@@ -1,0 +1,75 @@
+"""SparkSession factory and session-level semantics.
+
+The reference pipeline runs on BigQuery + pandas with these implicit
+semantics (SURVEY.md §1.2-1.3):
+
+- all timestamps UTC (``ecom_Silver_Layer.ipynb:173-183``)
+- tolerant parsing: unparseable timestamp/number -> NULL, never error
+  (``Scd_Type2.sql:19-23`` SAFE.PARSE_TIMESTAMP; ``app.py:22-40,94``)
+
+We encode both at the session level: UTC session timezone and non-ANSI
+mode (casts return NULL on junk). AQE is on so joins/skew re-plan at
+runtime — this is the 100 TB stance: let the optimizer pick broadcast
+vs shuffle join from runtime stats instead of hand-scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable semantics every entry point applies, whether the
+# session was built by us or handed in by a driver.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which the Parquet
+    # reader rejects; read as long-nanos and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "edp-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session with the engine's semantics.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster this would be ~2-3x total cores; AQE coalesces down at
+    runtime so oversizing is safe, undersizing is not.
+    """
+    n = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{default_parallelism()}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_session_semantics(spark)
+    return spark
+
+
+def apply_session_semantics(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable semantics to ANY session.
+
+    Called from every public entry point so driver-provided sessions
+    behave identically to ours (UTC, tolerant casts, AQE).
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static conf on this build — already set or harmless default
+            pass
+    return spark
