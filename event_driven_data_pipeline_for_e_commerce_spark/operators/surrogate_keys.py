@@ -1,0 +1,62 @@
+"""Surrogate-key assignment (SURVEY.md §2.E W1/W2, §7.3).
+
+Two realizations behind one API:
+
+- ``with_surrogate_key_dense``: ``row_number`` over a global window +
+  offset — byte-faithful to ``Scd_Type2.sql:33-34`` (dense, ordered,
+  continues from the current max). A global window funnels all rows
+  through ONE task; correct and fine at dimension scale (≤ tens of
+  millions), wrong for 100 TB facts.
+- ``with_surrogate_key_scalable``: per-partition counts + offset
+  composition (the zipWithIndex trick expressed on DataFrames). Dense
+  and deterministic given a pre-sorted input, no single-task funnel —
+  this is the variant fact builds use.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def with_surrogate_key_dense(
+    df: DataFrame, order_col: str, sk_col: str, offset: int = 0
+) -> DataFrame:
+    """W1: sk = row_number() over (order by order_col) + offset."""
+    w = Window.orderBy(order_col)
+    return df.withColumn(sk_col, F.row_number().over(w) + F.lit(offset))
+
+
+def with_surrogate_key_scalable(df: DataFrame, sk_col: str, offset: int = 0) -> DataFrame:
+    """Dense keys without a global window: sort-partition the data,
+    count rows per partition, prefix-sum the counts on the driver
+    (#partitions scalars, not data), then add the per-partition base to
+    a within-partition row_number. One extra count job, no shuffle
+    funnel. Keys are assigned in partition order — stable for a given
+    partitioning; callers wanting a business ordering should
+    ``repartitionByRange(order_col)`` first."""
+    part = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    bases, acc = {}, offset
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_df = part.sparkSession.createDataFrame(
+        [(pid, base) for pid, base in bases.items()], ["__pid", "__base"]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    return (
+        part.join(F.broadcast(base_df), "__pid")
+        .withColumn(sk_col, F.row_number().over(w) + F.col("__base"))
+        .drop("__pid", "__base")
+    )
+
+
+def max_key(df: DataFrame, sk_col: str, default: int = 0) -> int:
+    """Scalar ``SELECT MAX(sk)`` (Scd_Type2.sql:34) — the one sanctioned
+    collect: a single aggregated scalar."""
+    row = df.agg(F.max(sk_col).alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else default

@@ -17,9 +17,16 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.aggregates import funnel
+from ..functions.datetimes import date_sk, day_diff_trunc, fractional_days, month_bucket
+from ..functions.strings import row_hash, truncate_ellipsis
+from ..operators.aggregates import argmax, frequency_count, funnel, mode
+from ..operators.dedup import dedup_keyed_ordered
+from ..operators.joins import cross_join, date_key_join, enrich
+from ..operators.surrogate_keys import with_surrogate_key_dense
+from ..sources.io import union_by_name
 from .tables import load_tables
 
 FUNNEL_STAGES = ["view", "click", "signup", "purchase"]
@@ -70,3 +77,698 @@ def query(name: str, oracle: str | None = None):
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return funnel(t["events"], FUNNEL_STAGES)
+
+
+# --------------------------------------------------------------------------
+# §2.B Projections / filters / dedup
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_status_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_filter_status_revenue(spark, sf_dir):
+    """B3 equality filter + G3 group-by sum (app.py:180,253,281)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "late_shipments",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS late_cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_late_shipments(spark, sf_dir):
+    """B4 cross-column theta filter (late orders, app.py:195-197)."""
+    t = load_tables(spark, sf_dir)
+    joined = t["lineitem"].join(
+        t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey
+    )
+    return (
+        joined.filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("late_cnt"))
+    )
+
+
+@query(
+    "dedup_full_rows",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_dedup_full_rows(spark, sf_dir):
+    """B8 full-row dedup (ecom_Silver_Layer.ipynb:198-199)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "dedup_keyed_ordered",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts AS first_ts
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keyed_ordered(spark, sf_dir):
+    """B10 ordered keyed dedup — deterministic first-event-per-user
+    (the app.py:116 min-installments-per-order semantic)."""
+    t = load_tables(spark, sf_dir)
+    out = dedup_keyed_ordered(
+        t["events"], ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", F.col("ts").alias("first_ts")
+    )
+
+
+@query(
+    "empty_relation",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'NOPE'
+    """,
+)
+def q_empty_relation(spark, sf_dir):
+    """B12 typed empty fallback (app.py:253,462 df.iloc[0:0])."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select("o_orderkey", "o_orderstatus").filter(
+        F.col("o_orderstatus") == "NOPE"
+    )
+
+
+@query(
+    "defensive_default_column",
+    oracle="""
+    SELECT c_custkey, c_name, 'unknown' AS loyalty_tier
+    FROM customer
+    """,
+)
+def q_defensive_default_column(spark, sf_dir):
+    """B11 defensive column default (app.py:42-45): add constant column
+    when absent from the source schema."""
+    t = load_tables(spark, sf_dir)
+    df = t["customer"].select("c_custkey", "c_name")
+    if "loyalty_tier" not in df.columns:
+        df = df.withColumn("loyalty_tier", F.lit("unknown"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# §2.C Joins
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_last_event",
+    oracle="""
+    WITH last_ev AS (
+        SELECT user_id, event_type AS last_event_type, ts AS last_ts
+        FROM (
+            SELECT user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, l.last_event_type, l.last_ts
+    FROM customer c LEFT JOIN last_ev l ON c.c_custkey = l.user_id
+    """,
+)
+def q_orders_last_event(spark, sf_dir):
+    """J1 left join to per-key event agg + G1/W3 last-event-per-key
+    (app.py:100-107)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last_ev = (
+        t["events"]
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+    return t["customer"].select("c_custkey", "c_name").join(
+        last_ev, F.col("c_custkey") == F.col("user_id"), "left"
+    ).drop("user_id")
+
+
+@query(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name, ROUND(SUM(o.o_totalprice), 2) AS revenue, count(*) AS order_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_revenue_by_region(spark, sf_dir):
+    """J3 multi-way inner equi-join (ecom_Gold_Layer.ipynb:80-83) with
+    broadcast dims (J5) — geography chain customer→nation→region."""
+    t = load_tables(spark, sf_dir)
+    geo = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        t["orders"]
+        .join(geo, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+@query(
+    "cross_join_matrix",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join_matrix(spark, sf_dir):
+    """J4 deliberate cartesian product (ecom_Gold_Layer.ipynb:81-82)."""
+    t = load_tables(spark, sf_dir)
+    return cross_join(t["region"].select("r_name"), t["nation"].select("n_name"))
+
+
+@query(
+    "brand_performance",
+    oracle="""
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS net_revenue,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_performance(spark, sf_dir):
+    """J5 broadcast dim enrich + F22 derived measure (product
+    performance mart, README.md:83)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("net_revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "date_sk_rollup",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_sk,
+           count(*) AS order_cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def q_date_sk_rollup(spark, sf_dir):
+    """J6/F9 date→yyyymmdd surrogate key (ecom_Gold_Layer.ipynb:53-56)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        date_key_join(t["orders"], "o_orderdate")
+        .groupBy("date_sk")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.D Aggregations
+# --------------------------------------------------------------------------
+
+@query(
+    "monthly_revenue",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q_monthly_revenue(spark, sf_dir):
+    """G3/F4 revenue per month bucket (app.py:280-281)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(month_bucket("o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "monthly_revenue_by_status",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_monthly_revenue_by_status(spark, sf_dir):
+    """G4 multi-key group-by (app.py:347)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(month_bucket("o_orderdate").alias("month"), F.col("o_orderstatus"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "avg_acctbal_by_segment",
+    oracle="""
+    SELECT c_mktsegment, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_avg_acctbal_by_segment(spark, sf_dir):
+    """G2 group-by mean (app.py:210-216,434-437)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+    )
+
+
+@query(
+    "global_kpis",
+    oracle="""
+    SELECT count(*) AS total_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue,
+           ROUND(AVG(o_totalprice), 4) AS avg_order_value,
+           COUNT(DISTINCT o_custkey) AS distinct_customers
+    FROM orders
+    """,
+)
+def q_global_kpis(spark, sf_dir):
+    """G6 count-distinct + G7 global scalar aggs (app.py:179-183,255,502-507)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+    )
+
+
+@query(
+    "top_customer_by_revenue",
+    oracle="""
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 1
+    """,
+)
+def q_top_customer_by_revenue(spark, sf_dir):
+    """G8 argmax over groups (app.py:511-528).
+
+    Note the tie-break/rounding subtlety: ordering uses the UNROUNDED
+    sum on both sides so engine-side rounding can't flip the winner.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("__raw"))
+        .orderBy(F.desc("__raw"), F.asc("o_custkey"))
+        .limit(1)
+        .select("o_custkey", F.round("__raw", 2).alias("total"))
+    )
+
+
+@query(
+    "mode_event_type",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events
+    GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 1
+    """,
+)
+def q_mode_event_type(spark, sf_dir):
+    """G9 mode with deterministic tie-break (app.py:374)."""
+    t = load_tables(spark, sf_dir)
+    return mode(t["events"], "event_type")
+
+
+@query(
+    "median_acctbal_by_nation",
+    oracle="""
+    SELECT c_nationkey, ROUND(MEDIAN(c_acctbal), 4) AS median_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_median_acctbal_by_nation(spark, sf_dir):
+    """G10 exact median (the Silver imputation statistic,
+    ecom_Silver_Layer.ipynb:214-215) — Spark `median` is exact, matching
+    DuckDB; percentile_approx would NOT hash-match."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(F.round(F.median("c_acctbal"), 4).alias("median_acctbal"))
+    )
+
+
+@query(
+    "conditional_counts",
+    oracle="""
+    SELECT count(*) AS total_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+           count(*) FILTER (WHERE value > 100) AS high_value_cnt,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+    FROM events
+    """,
+)
+def q_conditional_counts(spark, sf_dir):
+    """G11 conditional count / count_if (app.py:188,197-198)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("purchase_cnt"),
+        F.count_if(F.col("value") > 100).alias("high_value_cnt"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+        ).alias("purchase_value"),
+    )
+
+
+@query(
+    "status_value_counts",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt FROM orders
+    GROUP BY o_orderstatus ORDER BY cnt DESC, o_orderstatus
+    """,
+)
+def q_status_value_counts(spark, sf_dir):
+    """G5 frequency count / value_counts (app.py:188,230-240)."""
+    t = load_tables(spark, sf_dir)
+    return frequency_count(t["orders"], "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# §2.E Windows / surrogate keys, §2.F sorts & top-k
+# --------------------------------------------------------------------------
+
+@query(
+    "surrogate_keys_dense",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           ROW_NUMBER() OVER (ORDER BY n_nationkey) + 100 AS nation_sk
+    FROM nation
+    """,
+)
+def q_surrogate_keys_dense(spark, sf_dir):
+    """W1 row_number + offset surrogate keys (Scd_Type2.sql:33-34)."""
+    t = load_tables(spark, sf_dir)
+    return with_surrogate_key_dense(
+        t["nation"].select("n_nationkey", "n_name"), "n_nationkey", "nation_sk", 100
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    """S3 top-k largest — plans TakeOrderedAndProject, not a full sort
+    (app.py:400,563)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "bottomk_customers",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer ORDER BY c_acctbal ASC, c_custkey LIMIT 10
+    """,
+)
+def q_bottomk_customers(spark, sf_dir):
+    """S4 top-k smallest (app.py:412)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "limit_preview",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 5
+    """,
+)
+def q_limit_preview(spark, sf_dir):
+    """S5 deterministic limit (ecom_Gold_Layer.ipynb:170)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"].select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.G Set ops, §2.H scalar functions
+# --------------------------------------------------------------------------
+
+@query(
+    "union_entities",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS entity_name,
+           c_mktsegment AS segment, 'customer' AS entity_kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, s_name AS entity_name,
+           CAST(NULL AS VARCHAR) AS segment, 'supplier' AS entity_kind
+    FROM supplier
+    """,
+)
+def q_union_entities(spark, sf_dir):
+    """U1 union-by-name with NULL alignment for missing columns
+    (pd.concat parity, ecom_Bronze_Layer.ipynb:44)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    supp = t["supplier"].select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("entity_kind"),
+    )
+    return union_by_name([cust, supp])
+
+
+@query(
+    "ship_delay_days",
+    oracle="""
+    SELECT l.l_returnflag,
+           ROUND(AVG(FLOOR((FLOOR(epoch(l.l_shipdate)) - FLOOR(epoch(o.o_orderdate))) / 86400)), 4)
+               AS avg_delay_days,
+           ROUND(AVG((FLOOR(epoch(l.l_shipdate)) - FLOOR(epoch(o.o_orderdate))) / 86400.0), 4)
+               AS avg_delay_frac
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_ship_delay_days(spark, sf_dir):
+    """F5/F6 pandas-parity day diffs: whole-day truncation AND
+    fractional days (ecom_Silver_Layer.ipynb:271; app.py:137-140)."""
+    t = load_tables(spark, sf_dir)
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.avg(day_diff_trunc("l_shipdate", "o_orderdate")), 4).alias("avg_delay_days"),
+        F.round(F.avg(fractional_days("l_shipdate", "o_orderdate")), 4).alias("avg_delay_frac"),
+    )
+
+
+@query(
+    "row_hash_customers",
+    oracle="""
+    SELECT c_custkey,
+           md5(concat(
+               COALESCE(CAST(c_name AS VARCHAR), ''),
+               COALESCE(CAST(c_nationkey AS VARCHAR), ''),
+               COALESCE(CAST(c_mktsegment AS VARCHAR), '')
+           )) AS row_hash
+    FROM customer
+    """,
+)
+def q_row_hash_customers(spark, sf_dir):
+    """F12/F13 md5 change-detection row hash (Scd_Type2.sql:25-32)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(
+        "c_custkey",
+        row_hash(["c_name", "c_nationkey", "c_mktsegment"]).alias("row_hash"),
+    )
+
+
+@query(
+    "tolerant_extract_cast",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS k_total,
+           count(*) FILTER (WHERE TRY_CAST(props AS DOUBLE) IS NULL) AS unparseable_cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_tolerant_extract_cast(spark, sf_dir):
+    """F18 tolerant numeric cast (NULL on junk, app.py:94,123) + F14/F15
+    regex extraction."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.sum(F.regexp_extract("props", r"([0-9]+)", 1).cast("long")).alias("k_total"),
+        F.count_if(F.col("props").cast("double").isNull()).alias("unparseable_cnt"),
+    )
+
+
+@query(
+    "null_fill_policy",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0)), 2)
+               AS value_filled_total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_null_fill_policy(spark, sf_dir):
+    """F19 constant null-fill (ecom_Silver_Layer.ipynb:211,233): mask a
+    column to NULL then fill with the policy default."""
+    t = load_tables(spark, sf_dir)
+    masked = t["events"].withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    filled = masked.na.fill({"value_masked": 0.0})
+    return filled.groupBy("event_type").agg(
+        F.round(F.sum("value_masked"), 2).alias("value_filled_total")
+    )
+
+
+@query(
+    "display_truncate",
+    oracle="""
+    SELECT p_partkey, concat(substring(p_name, 1, 10), '...') AS short_name
+    FROM part
+    """,
+)
+def q_display_truncate(spark, sf_dir):
+    """F16 truncate+ellipsis display projection (app.py:536)."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey", truncate_ellipsis("p_name", 10).alias("short_name")
+    )
+
+
+@query(
+    "sk_continuation",
+    oracle="""
+    SELECT s_suppkey,
+           ROW_NUMBER() OVER (ORDER BY s_suppkey)
+               + (SELECT MAX(c_custkey) FROM customer) AS supplier_sk
+    FROM supplier
+    """,
+)
+def q_sk_continuation(spark, sf_dir):
+    """W1 scalar-subquery SK offset (Scd_Type2.sql:33-34): new keys
+    continue from the current max of another table."""
+    t = load_tables(spark, sf_dir)
+    from ..operators.surrogate_keys import max_key, with_surrogate_key_dense
+
+    offset = max_key(t["customer"], "c_custkey")
+    return with_surrogate_key_dense(
+        t["supplier"].select("s_suppkey"), "s_suppkey", "supplier_sk", offset
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.I streaming semantics, batch-replay form (ST1-ST6)
+# --------------------------------------------------------------------------
+
+@query(
+    "tumbling_daily_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           ROUND(SUM(value), 2) AS revenue,
+           count(*) AS event_cnt
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_tumbling_daily_revenue(spark, sf_dir):
+    """ST2 tumbling event-time window (batch replay) — the streaming
+    variant is streaming.streams.windowed_revenue with a watermark."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("event_cnt"),
+        )
+        .select(F.col("w.start").alias("window_start"), "revenue", "event_cnt")
+    )
+
+
+@query(
+    "event_id_dedup",
+    oracle="""
+    SELECT count(*) AS unique_events FROM (
+        SELECT DISTINCT ON (event_id) event_id FROM (
+            SELECT event_id FROM events UNION ALL SELECT event_id FROM events
+        )
+    )
+    """,
+)
+def q_event_id_dedup(spark, sf_dir):
+    """ST5 dedup on event identity under at-least-once replay: the
+    stream delivered every event twice; dedup restores exactly-once."""
+    t = load_tables(spark, sf_dir)
+    replayed = t["events"].unionAll(t["events"])
+    return replayed.dropDuplicates(["event_id"]).agg(
+        F.count(F.lit(1)).alias("unique_events")
+    )

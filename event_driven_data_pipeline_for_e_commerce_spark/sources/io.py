@@ -1,0 +1,64 @@
+"""Sources & sinks (SURVEY.md §2.A A1-A8).
+
+The reference's Bronze ingest concatenates every CSV in a folder with a
+``source_table`` lineage column (ecom_Bronze_Layer.ipynb:38-44) and its
+dashboard reads CSVs defensively (app.py:13-20). Spark-native forms:
+
+- A1: one distributed ``read.csv`` over the glob + ``input_file_name()``
+  — no per-file driver loop, files are split across executors.
+- A5-A7: ``write.parquet`` with ``partitionBy`` (the BigQuery
+  ``PARTITION BY DATE(...)`` equivalent) and ``sortWithinPartitions``
+  (the ``CLUSTER BY`` approximation) — at scale this is what enables
+  partition pruning + better row-group skipping.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv_dir(
+    spark: SparkSession, path: str, lineage_col: str = "source_table"
+) -> DataFrame:
+    """A1: scan every ``*.csv`` under ``path``, tagging rows with the
+    originating file's basename (lineage)."""
+    df = spark.read.option("header", True).csv(os.path.join(path, "*.csv"))
+    return df.withColumn(
+        lineage_col, F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv", 1)
+    )
+
+
+def safe_read_csv(spark: SparkSession, path: str) -> DataFrame:
+    """A2: tolerant single-file scan — empty 0-column frame on missing
+    file, PERMISSIVE mode on corrupt rows (app.py:13-20)."""
+    if not os.path.exists(path):
+        return spark.createDataFrame([], "struct<>")
+    return spark.read.option("header", True).option("mode", "PERMISSIVE").csv(path)
+
+
+def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1: schema-aligned union-all; missing columns become NULL
+    (pd.concat parity, ecom_Bronze_Layer.ipynb:44)."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    cluster_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """A5-A7: partitioned overwrite write with optional within-partition
+    clustering (``PARTITION BY``/``CLUSTER BY`` of Scd_Type2.sql:91-92)."""
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
