@@ -772,3 +772,113 @@ def q_event_id_dedup(spark, sf_dir):
     return replayed.dropDuplicates(["event_id"]).agg(
         F.count(F.lit(1)).alias("unique_events")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.C J7 — SCD Type-2 MERGE (the Scd_Type2.sql algorithm, hash-checked)
+# --------------------------------------------------------------------------
+
+@query(
+    "scd2_merge_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS order_id, o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_str
+        FROM orders
+    ),
+    tgt AS (
+        SELECT order_id, status, total_str,
+               md5(concat(COALESCE(status,''), COALESCE(total_str,''))) AS row_hash,
+               ROW_NUMBER() OVER (ORDER BY order_id) AS order_sk,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '9999-12-31 23:59:59' AS valid_to,
+               TRUE AS is_current
+        FROM base
+    ),
+    staging AS (
+        SELECT order_id,
+               CASE WHEN order_id % 3 = 0 THEN 'X' ELSE status END AS status,
+               CASE WHEN order_id % 5 = 0 THEN CAST(CAST(order_id AS DECIMAL(18,2)) AS VARCHAR)
+                    ELSE total_str END AS total_str
+        FROM base
+        UNION ALL
+        SELECT order_id + 1000000, 'NEW',
+               CAST(CAST(1 AS DECIMAL(18,2)) AS VARCHAR)
+        FROM base WHERE order_id % 100 = 0
+    ),
+    st AS (
+        SELECT order_id, status, total_str,
+               md5(concat(COALESCE(status,''), COALESCE(total_str,''))) AS row_hash
+        FROM staging
+    ),
+    j AS (
+        SELECT t.order_id AS t_key, t.status AS t_status, t.total_str AS t_total,
+               t.row_hash AS t_hash, t.order_sk, t.valid_from, t.valid_to, t.is_current,
+               s.order_id AS s_key, s.status AS s_status, s.total_str AS s_total,
+               s.row_hash AS s_hash
+        FROM tgt t FULL OUTER JOIN st s ON t.order_id = s.order_id
+    ),
+    unchanged AS (
+        SELECT t_key AS order_id, t_status AS status, t_total AS total_str,
+               t_hash AS row_hash, order_sk, valid_from, valid_to, is_current
+        FROM j WHERE s_key IS NULL OR t_hash = s_hash
+    ),
+    expired AS (
+        SELECT t_key, t_status, t_total, t_hash, order_sk, valid_from,
+               TIMESTAMP '2024-02-01 00:00:00', FALSE
+        FROM j WHERE s_key IS NOT NULL AND t_key IS NOT NULL AND t_hash <> s_hash
+    ),
+    inserts AS (
+        SELECT s_key, s_status, s_total, s_hash,
+               ROW_NUMBER() OVER (ORDER BY s_key) + (SELECT MAX(order_sk) FROM tgt),
+               TIMESTAMP '2024-02-01 00:00:00',
+               TIMESTAMP '9999-12-31 23:59:59', TRUE
+        FROM j WHERE s_key IS NOT NULL AND (t_key IS NULL OR t_hash <> s_hash)
+    )
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM expired
+    UNION ALL SELECT * FROM inserts
+    """,
+)
+def q_scd2_merge_orders(spark, sf_dir):
+    """J7 SCD2 MERGE (Scd_Type2.sql:13-53) on a deterministic scenario:
+    initial load at T0 from orders, then a staging batch that mutates
+    status (key%3), total (key%5) and adds brand-new keys (key%100).
+
+    Tracked values are hashed via the decimal-string form so the md5 is
+    byte-identical between Spark and the oracle (double→string
+    formatting is engine-specific; decimal(18,2)→string is not).
+    """
+    t = load_tables(spark, sf_dir)
+    from ..operators.scd2 import scd2_init, scd2_merge
+
+    base = t["orders"].select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("total_str"),
+    )
+    tracked = ["status", "total_str"]
+    target = scd2_init(base, "order_id", tracked, F.lit("2024-01-01 00:00:00"), sk_col="order_sk")
+
+    mutated = base.select(
+        "order_id",
+        F.when(F.col("order_id") % 3 == 0, F.lit("X")).otherwise(F.col("status")).alias("status"),
+        F.when(
+            F.col("order_id") % 5 == 0,
+            F.col("order_id").cast("decimal(18,2)").cast("string"),
+        ).otherwise(F.col("total_str")).alias("total_str"),
+    )
+    new_keys = base.filter(F.col("order_id") % 100 == 0).select(
+        (F.col("order_id") + 1000000).alias("order_id"),
+        F.lit("NEW").alias("status"),
+        F.lit(1).cast("decimal(18,2)").cast("string").alias("total_str"),
+    )
+    staging = mutated.unionByName(new_keys)
+
+    merged = scd2_merge(
+        target, staging, "order_id", tracked, F.lit("2024-02-01 00:00:00"), sk_col="order_sk"
+    )
+    return merged.select(
+        "order_id", "status", "total_str", "row_hash",
+        "order_sk", "valid_from", "valid_to", "is_current",
+    )
