@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  The query set is broadcast; the corpus side streams through one
+  projection + per-query window rank. At 100 TB corpus scale this is
+  a single pass, no shuffle of the corpus (TakeOrdered per query).
+- ``lsh_bucket`` / ``lsh_topk``: random-hyperplane LSH — the scale
+  path. Hyperplanes are seeded constants (numpy RandomState), the
+  bucket key is the sign pattern of the projections; candidate
+  generation becomes an equi-join on bucket keys.
+
+Dot products use ``zip_with`` + ``aggregate`` higher-order functions
+(sequential left fold in double) — JVM-side, deterministic order, and
+bit-identical to a SQL oracle's list_dot_product on DOUBLE[].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+LSH_SEED = 42
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim) — ranked on the raw
+    similarity with id tie-break, rounded 6dp after ranking.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sims = pairs.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+def hyperplanes(
+    dim: int, n_planes: int, n_tables: int = 1, seed: int = LSH_SEED
+) -> list[list[float]]:
+    """Deterministic random hyperplanes (shared with the SQL oracle):
+    ``n_tables * n_planes`` flat list; table t owns planes
+    [t*n_planes, (t+1)*n_planes)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables * n_planes, dim).round(6).tolist()
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern bucket keys, one per hash table (multi-table /
+    OR-amplified LSH — the standard recall fix for random-hyperplane
+    hashing). Output: (id_col, v, tbl, bucket), one row per table."""
+    v = _as_double(vec_col)
+    per_table = len(planes) // n_tables
+    signs = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.concat(*signs[t * per_table:(t + 1) * per_table]).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return embeddings.select(
+        F.col(id_col), v.alias("v"), F.explode(tables).alias("tb")
+    ).select(id_col, "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 3,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates are vectors sharing the query's
+    bucket in ANY hash table (OR over tables boosts recall; AND over
+    planes within a table keeps buckets small). One equi-join on
+    (tbl, bucket) replaces the full scan — the 100 TB shape."""
+    corpus = lsh_bucket(embeddings, planes, n_tables, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v"), "tbl", "bucket"
+    )
+    q = lsh_bucket(queries, planes, n_tables, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
+    )
+    cands = (
+        corpus.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "v", "qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cands.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"))
+    )

@@ -882,3 +882,7 @@ def q_scd2_merge_orders(spark, sf_dir):
         "order_id", "status", "total_str", "row_hash",
         "order_sk", "valid_from", "valid_to", "is_current",
     )
+
+
+# LLM-data corpus registrations (same registry, separate module)
+from . import llm_queries  # noqa: E402,F401

@@ -1,0 +1,424 @@
+"""LLM-data-pipeline query corpus (SURVEY.md §7.2 M7): dedup,
+similarity search, text analysis over the ``documents`` /
+``embeddings`` tables — each hash-checked against a DuckDB oracle.
+
+Registered into the same QUERIES/ORACLES registry as the relational
+corpus (imported at the end of ``corpus.py``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..llmdata.dedup import exact_dedup, minhash_near_duplicates, ngram_shingles, simhash
+from ..llmdata.similarity import brute_force_topk, hyperplanes, lsh_topk
+from ..llmdata.text import (
+    bpe_ish_token_count,
+    document_fingerprints,
+    language_guess,
+    quality_features,
+    token_count,
+)
+from .corpus import query
+from .tables import load_tables
+
+# shared MinHash-LSH configuration (chosen against the testdata's
+# near-dup structure: 2-gram shingles separate the ~25 true near-dup
+# pairs (j≥0.4) from the noise floor (p99.9 ≈ 0.10))
+SHINGLE_N = 2
+NUM_HASHES = 12
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.4
+
+# embedding LSH configuration: 4 tables × 4 planes (OR-amplification
+# across tables recovers the recall that 8 AND-ed planes destroy on
+# unclustered vectors: 1-(1-p^4)^4 vs p^8)
+N_PLANES = 4
+N_TABLES = 4
+EMB_DIM = 64
+
+
+def _planes_sql_literal(planes: list[list[float]]) -> str:
+    rows = ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes)
+    return f"[{rows}]"
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, count(*) AS copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    GROUP BY md5(text)
+    """,
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash under a duplicated corpus (each doc
+    replayed once with a shifted id): one keeper per distinct text."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    replayed = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup(replayed, "text", "doc_id")
+
+
+@query(
+    "doc_token_stats",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS doc_cnt,
+           SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+           ROUND(AVG(len(string_split_regex(lower(trim(text)), '\s+'))), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS total_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting per language: whitespace tokens + BPE-ish subword
+    proxy (alnum runs + punctuation)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS punct_cnt
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens, n_chars, punct_cnt,
+               len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS stop_cnt
+        FROM f
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(stop_cnt * 1.0 / n_tokens, 4) AS stop_ratio,
+           ROUND(punct_cnt * 1.0 / n_chars, 4) AS punct_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * (stop_cnt * 1.0 / n_tokens)
+                 + 0.3 * (1 - punct_cnt * 1.0 / n_chars), 4) AS quality_score
+    FROM g
+    """,
+)
+def q_doc_quality_scores(spark, sf_dir):
+    """Per-document quality features: length, stopword ratio,
+    punctuation ratio, composite score."""
+    t = load_tables(spark, sf_dir)
+    feats = quality_features("text")
+    return t["documents"].select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+@query(
+    "doc_language_id",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+            len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+            len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS h_en,
+            len(list_filter(w, t -> list_contains(['el','la','los','y','es'], t))) AS h_es,
+            len(list_filter(w, t -> list_contains(['le','les','et','est','une'], t))) AS h_fr,
+            len(list_filter(w, t -> list_contains(['的','是','了','在','我'], t))) AS h_zh
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                    WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                    WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                    WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM hits
+    )
+    SELECT lang, predicted_lang, count(*) AS cnt
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+)
+def q_doc_language_id(spark, sf_dir):
+    """Language-ID heuristic (stopword hits, alphabetical tie-break):
+    confusion matrix actual × predicted."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("predicted_lang", language_guess("text"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_full,
+           md5(array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:5], ' ')) AS fp_prefix
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: normalized content hash + 5-token
+    prefix fingerprint."""
+    t = load_tables(spark, sf_dir)
+    fps = document_fingerprints("text")
+    return t["documents"].select(
+        "doc_id", fps["fp_full"].alias("fp_full"), fps["fp_prefix"].alias("fp_prefix")
+    )
+
+
+@query(
+    "doc_simhash",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+    ),
+    tb AS (
+        SELECT doc_id, md5(tok) AS h, b.b
+        FROM tok, UNNEST(generate_series(0, 15)) AS b(b)
+    ),
+    contrib AS (
+        SELECT doc_id, b,
+               CASE WHEN (CAST(FLOOR((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                          / CAST(POW(2, b % 4) AS BIGINT)) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END AS c
+        FROM tb
+    ),
+    per_bit AS (SELECT doc_id, b, SUM(c) AS s FROM contrib GROUP BY doc_id, b)
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def q_doc_simhash(spark, sf_dir):
+    """SimHash fingerprint (16-bit, md5-hex-digit bit extraction)."""
+    t = load_tables(spark, sf_dir)
+    return simhash(t["documents"], "text", "doc_id", bits=16)
+
+
+@query(
+    "doc_minhash_near_dup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM toks, UNNEST(generate_series(1, len(w) - {SHINGLE_N - 1})) AS u(i)
+        WHERE len(w) >= {SHINGLE_N}
+    ),
+    mh AS (
+        SELECT doc_id, h.hi,
+               MIN(md5(concat(CAST(h.hi AS VARCHAR), ':', shingle))) AS sig
+        FROM sh, UNNEST(generate_series(1, {NUM_HASHES})) AS h(hi)
+        GROUP BY doc_id, h.hi
+    ),
+    bands AS (
+        SELECT doc_id, CAST(CEIL(hi / {ROWS_PER_BAND}.0) AS INT) AS band,
+               md5(string_agg(sig, '|' ORDER BY hi)) AS band_key
+        FROM mh GROUP BY doc_id, CAST(CEIL(hi / {ROWS_PER_BAND}.0) AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_a
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_doc_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-duplicate detection: shingle → 12-hash MinHash
+    signature → 6 bands → candidate equi-join → exact-Jaccard verify."""
+    t = load_tables(spark, sf_dir)
+    return minhash_near_duplicates(
+        t["documents"], "text", "doc_id",
+        n=SHINGLE_N, num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        WHERE len(w) >= 3
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+)
+def q_doc_ngram_jaccard_pairs(spark, sf_dir):
+    """Plain n-gram Jaccard (3-gram) between consecutive doc pairs —
+    the exact-similarity primitive without LSH."""
+    t = load_tables(spark, sf_dir)
+    sh = ngram_shingles(t["documents"], "text", "doc_id", n=3)
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+        .join(
+            sh.select(F.col("doc_id").alias("__b"), F.col("shingle").alias("sh_b")),
+            (F.col("__b") == F.col("doc_a") + 1) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", F.col("__b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    pairs AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def q_emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column — exact ANN
+    baseline (higher-order aggregate/zip_with, no UDF)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def _lsh_oracle() -> str:
+    planes = hyperplanes(EMB_DIM, N_PLANES, N_TABLES)
+    lits = _planes_sql_literal(planes)
+    n_total = N_PLANES * N_TABLES
+    return f"""
+    WITH planes AS (
+        SELECT i, CAST((i - 1) // {N_PLANES} AS INT) AS tbl, p
+        FROM (SELECT UNNEST({lits}) AS p,
+                     UNNEST(generate_series(1, {n_total})) AS i)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (
+        SELECT e.vec_id, e.v, pl.tbl,
+               string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY pl.i) AS bucket
+        FROM e, planes pl GROUP BY e.vec_id, e.v, pl.tbl
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, tbl, bucket FROM sig WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.qid AS query_id, s.vec_id AS neighbor_id
+        FROM sig s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.qid
+    ),
+    pairs AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_dot_product(ev.v, qv.v)
+               / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS sim
+        FROM cand c
+        JOIN e ev ON ev.vec_id = c.neighbor_id
+        JOIN e qv ON qv.vec_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rn
+          FROM pairs)
+    WHERE rn <= 3
+    """
+
+
+@query("emb_lsh_topk", oracle=_lsh_oracle())
+def q_emb_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-k: candidates restricted
+    to the query's sign-pattern bucket (the 100 TB scale path; seeded
+    hyperplanes shared with the oracle)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    planes = hyperplanes(EMB_DIM, N_PLANES, N_TABLES)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), planes, k=3, n_tables=N_TABLES)
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pos AS (
+        SELECT label, u.i AS pos, v[u.i] AS x
+        FROM e, UNNEST(generate_series(1, len(v))) AS u(i)
+    ),
+    cent AS (SELECT label, pos, AVG(x) AS cx FROM pos GROUP BY label, pos),
+    agg AS (SELECT label, SQRT(SUM(cx * cx)) AS cnorm FROM cent GROUP BY label)
+    SELECT a.label, n.n_vectors, ROUND(a.cnorm, 6) AS centroid_norm
+    FROM agg a JOIN (SELECT label, count(*) AS n_vectors FROM e GROUP BY label) n
+      ON a.label = n.label
+    """,
+)
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label centroid norms — element-wise vector aggregation via
+    posexplode + groupBy (the distributed mean-vector shape)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pos = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    aggd = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cnorm"))
+    counts = t["embeddings"].groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return aggd.join(counts, "label").select(
+        "label", "n_vectors", F.round("cnorm", 6).alias("centroid_norm")
+    )
