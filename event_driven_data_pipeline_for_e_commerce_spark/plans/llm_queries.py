@@ -422,3 +422,40 @@ def q_emb_label_centroids(spark, sf_dir):
     return aggd.join(counts, "label").select(
         "label", "n_vectors", F.round("cnorm", 6).alias("centroid_norm")
     )
+
+
+# --------------------------------------------------------------------------
+# ST6 sessionization (batch form; streaming variant in streaming.streams)
+# --------------------------------------------------------------------------
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark, sf_dir):
+    """ST6 sessionization via session_window (30-min gap): the README's
+    claimed capability realized natively. Oracle reproduces Spark's
+    half-open [start, last+gap) semantics with a lag/cumsum rewrite."""
+    from ..streaming.streams import sessionize
+
+    t = load_tables(spark, sf_dir)
+    return sessionize(t["events"], gap="30 minutes")

@@ -1,0 +1,136 @@
+"""Structured Streaming realizations of the event-driven surface
+(SURVEY.md §2.I ST1-ST7, §7.2 M6).
+
+The reference's "near real-time" intent (README.md:17,27,161) runs as
+batch replays of the event table; these are the streaming-native
+versions. Batch/stream parity is the test contract: each operator
+under ``Trigger.AvailableNow`` must produce the batch answer.
+
+State-boundedness at scale: every stateful op carries a watermark so
+Spark can evict state — dedup state is bounded to the watermark delay
+window, aggregations emit finalized windows and drop them, session
+state closes ``gap`` after the last event.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """ST1: file-source event stream (the Kafka-ready shape — swapping
+    ``format('kafka')`` + value parsing is the only change)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_revenue(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ST2: tumbling event-time revenue with late-data watermark —
+    streaming form of the ``tumbling_daily_revenue`` corpus query."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.round(F.sum(value_col), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("event_cnt"),
+        )
+        .select(F.col("w.start").alias("window_start"), "revenue", "event_cnt")
+    )
+
+
+def streaming_funnel_counts(
+    events: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """ST2: per-stage event counts (funnel numerators). Stage alignment
+    + conversion ratios stay a tiny batch join over this result
+    (operators.aggregates.funnel) — streaming aggregates the heavy
+    part, the 4-row alignment is free."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """ST6: session windows (the README's claimed sessionization,
+    README.md:76,150 — no code exists in the reference; this is the
+    Spark-native realization). Works identically in batch (no
+    watermark needed) and streaming."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, watermark: str = "1 hour", id_col: str = "event_id", ts_col: str = "ts"
+) -> DataFrame:
+    """ST5: exactly-once restoration under at-least-once delivery —
+    dropDuplicates on event identity with watermark-bounded state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([id_col, ts_col])
+
+
+def scd2_foreach_batch(
+    target_path: str,
+    key: str,
+    tracked_cols: list[str],
+    sk_col: str = "sk",
+) -> Callable[[DataFrame, int], None]:
+    """ST3/ST4: incremental SCD2 maintenance from a stream —
+    ``writeStream.foreachBatch(scd2_foreach_batch(...))``. Each
+    micro-batch merges into the Parquet dimension via the atomic
+    snapshot swap; ``load_ts`` is the batch's max event time, so replays
+    of the same batch are idempotent (hash equality short-circuits)."""
+    from ..operators.scd2 import scd2_init, scd2_merge, scd2_write
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        load_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        staged = batch
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = scd2_merge(
+                target, staged, key, tracked_cols, F.lit(str(load_ts)), sk_col=sk_col
+            )
+            # materialize before overwriting the input snapshot
+            merged = spark.createDataFrame(merged.collect(), merged.schema)
+        else:
+            merged = scd2_init(
+                staged.select(key, *tracked_cols).dropDuplicates([key]),
+                key, tracked_cols, F.lit(str(load_ts)), sk_col=sk_col,
+            )
+        scd2_write(merged, target_path)
+
+    return apply

@@ -1,0 +1,143 @@
+"""Streaming tests (SURVEY.md §5.2.4): batch/stream parity under
+Trigger.AvailableNow, replay dedup, foreachBatch SCD2."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+    dedup_stream,
+    read_event_stream,
+    scd2_foreach_batch,
+    streaming_funnel_counts,
+    windowed_revenue,
+)
+
+
+@pytest.fixture
+def event_source(spark, sf_dir, tmp_path):
+    """Events table materialized as a streaming file source dir."""
+    src = str(tmp_path / "events_src")
+    batch = load_tables(spark, sf_dir)["events"]
+    batch.write.mode("overwrite").parquet(src)
+    return src, spark.read.parquet(src).schema
+
+
+def _run_available_now(stream_df, tmp_path, name, output_mode="complete"):
+    ckpt = str(tmp_path / f"ckpt_{name}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, event_source, tmp_path):
+    src, schema = event_source
+    stream = read_event_stream(spark, src, schema)
+    _run_available_now(streaming_funnel_counts(stream), tmp_path, "funnel_counts")
+    got = {
+        (r["event_type"], r["cnt"])
+        for r in spark.sql("SELECT * FROM funnel_counts").collect()
+    }
+    batch = load_tables(spark, sf_dir)["events"]
+    want = {
+        (r["event_type"], r["cnt"])
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_windowed_revenue_matches_batch(spark, sf_dir, event_source, tmp_path):
+    src, schema = event_source
+    stream = read_event_stream(spark, src, schema)
+    _run_available_now(windowed_revenue(stream), tmp_path, "win_rev")
+    got = {
+        (str(r["window_start"]), r["revenue"], r["event_cnt"])
+        for r in spark.sql("SELECT * FROM win_rev").collect()
+    }
+    batch = load_tables(spark, sf_dir)["events"]
+    want = {
+        (str(r["window_start"]), r["revenue"], r["event_cnt"])
+        for r in (
+            batch.filter(F.col("event_type") == "purchase")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.round(F.sum("value"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("event_cnt"))
+            .select(F.col("w.start").alias("window_start"), "revenue", "event_cnt")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_restores_exactly_once(spark, sf_dir, tmp_path):
+    # at-least-once source: every event written twice
+    src = str(tmp_path / "dup_src")
+    batch = load_tables(spark, sf_dir)["events"]
+    batch.write.mode("overwrite").parquet(src)
+    batch.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_event_stream(spark, src, schema)
+    _run_available_now(
+        dedup_stream(stream).groupBy().agg(F.count(F.lit(1)).alias("n")),
+        tmp_path, "dedup_cnt",
+    )
+    n = spark.sql("SELECT * FROM dedup_cnt").collect()[0]["n"]
+    assert n == batch.count()
+
+
+def test_foreach_batch_scd2(spark, tmp_path):
+    src = str(tmp_path / "scd2_src")
+    tgt = str(tmp_path / "scd2_dim")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [(1, "o1", "created", "2024-01-01 00:00:00"),
+         (2, "o2", "created", "2024-01-01 00:00:00")],
+        "ts_id long, order_id string, status string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = read_event_stream(spark, src, schema)
+    q = (
+        stream.writeStream.foreachBatch(
+            scd2_foreach_batch(tgt, "order_id", ["status"], sk_col="order_sk")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dim1 = spark.read.parquet(tgt)
+    assert dim1.count() == 2 and dim1.filter("is_current").count() == 2
+
+    # second batch mutates o1
+    spark.createDataFrame(
+        [(3, "o1", "delivered", "2024-02-01 00:00:00")],
+        "ts_id long, order_id string, status string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+    q = (
+        read_event_stream(spark, src, schema)
+        .writeStream.foreachBatch(
+            scd2_foreach_batch(tgt, "order_id", ["status"], sk_col="order_sk")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dim2 = spark.read.parquet(tgt)
+    o1 = {(r["status"], r["is_current"]) for r in dim2.filter("order_id = 'o1'").collect()}
+    assert o1 == {("created", False), ("delivered", True)}
+    assert dim2.filter("is_current").count() == 2
