@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness — times the engine's headline queries.
+
+Runs a representative subset of the public corpus
+(`__spark_entry__.queries()`) at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full plan
+execution, no driver collect, no disk write) — the fairest proxy for
+cluster throughput on a local box.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family (SURVEY.md §2), weighted toward
+# the shuffling/joining queries that dominate cost at scale.
+HEADLINE = [
+    "funnel",                  # flagship: scan -> agg -> stage align
+    "revenue_by_region",       # multi-way join + agg (J2/J3/G3)
+    "orders_last_event",       # window last-event-per-key (W3/G1)
+    "monthly_revenue_by_status",  # multi-key agg (G4)
+    "top_customer_by_revenue",    # join + argmax top-k (G8/S3)
+    "median_acctbal_by_nation",   # exact median (G10)
+    "ship_delay_days",         # datetime arithmetic (F5/F6)
+    "dedup_full_rows",         # full-row dedup (B8)
+    "scd2_merge_orders",       # SCD2 full-outer merge (J7)
+    "tumbling_daily_revenue",  # event-time window (ST2)
+    "doc_minhash_near_dup",    # MinHash-LSH near-dedup (M7)
+    "emb_cosine_topk",         # brute-force cosine top-k (M7)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("se", os.path.join(REPO, "__spark_entry__.py"))
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    queries = entry_mod.queries()
+
+    from event_driven_data_pipeline_for_e_commerce_spark.session import get_spark
+
+    spark = get_spark("edp-bench")
+
+    def run(name: str) -> float:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: JVM/codegen/parquet-footer caches, not measured.
+    run("funnel")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in queries:
+            timings[name] = round(run(name), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
