@@ -4,14 +4,18 @@ Scale design (the whole point of these ops):
 
 - exact: one hash-groupBy on md5(text) — a single shuffle on the hash,
   map-side partial agg keeps it small.
-- MinHash+LSH: signature computation is per-document (explode shingles
-  → groupBy doc — one shuffle on doc_id); candidate generation is ONE
-  equi-join on (band, band_key) instead of the O(n²) cross join; only
-  candidates pay the exact-Jaccard verification join. This is the
-  standard web-scale near-dedup shape (e.g. the C4/RefinedWeb recipe).
-- SimHash: per-document bit aggregation (explode token×bit → groupBy),
-  emitting a compact integer fingerprint; Hamming-radius search then
-  works over fingerprints only.
+- MinHash+LSH: shingling, the full MinHash signature, AND the LSH band
+  keys are all computed **per-row** with array higher-order functions
+  (`transform`/`array_min`/`array_distinct`) — zero shuffles until the
+  one (band, band_key) equi-join that replaces the O(n²) cross join;
+  only candidates pay the exact-Jaccard verification, which is a local
+  `array_intersect` on the already-attached shingle arrays. This is
+  the standard web-scale near-dedup shape (the C4/RefinedWeb recipe)
+  with every per-document stage kept map-side.
+- SimHash: per-row bit aggregation over the distinct-token array
+  (`aggregate` per bit), emitting a compact integer fingerprint with
+  no shuffle at all; Hamming-radius search then works over
+  fingerprints only.
 
 Hash functions are md5-string based (lexicographic MIN over hex
 strings as the permutation proxy) — deliberately: md5 is the one hash
@@ -24,13 +28,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..operators.partitioning import ensure_parallelism
 
-def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id_col, shingle).
 
-    Per-row projection + explode; no shuffle until the consumer
-    aggregates. Documents with < n tokens produce no shingles.
-    """
+def shingle_array(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text_col`` as one per-row
+    array — pure projection, no shuffle. Documents with < n tokens get
+    an empty array."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     shingles = F.when(
         F.size(toks) >= n,
@@ -38,51 +42,78 @@ def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
-    ).otherwise(F.array())
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles)
+
+
+def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    ``array_distinct`` dedups within the row BEFORE the explode, so
+    this is projection-only — no data shuffle beyond the parallelism
+    bump on small scans. Documents with < n tokens produce no shingles.
+    """
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    )
+
+
+# MinHash permutation family: h_i(x) = ((2i+1)·x + 1000003·i) mod P over
+# a 31-bit base hash of the shingle. P Mersenne prime 2^31-1; any odd
+# multiplier gives a universal-family member. All arithmetic stays
+# well under 2^63.
+MINHASH_P = 2_147_483_647
+
+
+def _shingle_base(s: Column) -> Column:
+    """31-bit integer hash of a shingle: first 8 hex chars of md5 as an
+    int, mod P — md5 keeps Spark/oracle byte-parity; ONE digest per
+    shingle total (the permutations are arithmetic on top)."""
+    return F.conv(F.md5(s).substr(1, 8), 16, 10).cast("bigint") % MINHASH_P
+
+
+def _perm(base: Column, i: int) -> Column:
+    """Permutation i applied to a base hash — plain codegen arithmetic."""
+    return (F.lit(2 * i + 1) * base + F.lit(1_000_003 * i)) % MINHASH_P
+
+
+def _minhash_agg(shingles: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, shingle) → one row per doc with the shingle array and MIN
+    per permutation. Exploded rows + plain column arithmetic keep the
+    whole stage inside whole-stage codegen (interpreted higher-order
+    lambdas are ~6x slower here), and the single groupBy gets map-side
+    partial MIN combine — the shuffle carries ≤ num_hashes longs + the
+    distinct shingles per doc."""
+    base = _shingle_base(F.col("shingle"))
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+        shingles.withColumn("base", base)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("shingle").alias("sh_arr"),
+            *[F.min(_perm(F.col("base"), i)).alias(f"s{i}") for i in range(1, num_hashes + 1)],
+        )
     )
 
 
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 9
 ) -> DataFrame:
-    """MinHash signature per document: for hash i, MIN over shingles of
-    md5(i ':' shingle) — the lexicographic min over hex strings stands
-    in for a random permutation. Output: (id_col, hi, sig)."""
-    h = shingles.select(
+    """MinHash signature per document from a (id_col, shingle) frame.
+    Output: (id_col, hi, sig)."""
+    agg = _minhash_agg(shingles, id_col, num_hashes)
+    return agg.select(
         id_col,
-        "shingle",
-        F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("hi"),
-    ).withColumn(
-        "hv", F.md5(F.concat(F.col("hi").cast("string"), F.lit(":"), F.col("shingle")))
-    )
-    return h.groupBy(id_col, "hi").agg(F.min("hv").alias("sig"))
-
-
-def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int = 3) -> DataFrame:
-    """Band the signature: band key = md5 of the band's sigs joined in
-    hash order. Output: (id_col, band, band_key)."""
-    banded = signatures.withColumn(
-        "band", F.ceil(F.col("hi") / F.lit(float(rows_per_band))).cast("int")
-    )
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("hi", "sig"))),
-                    lambda s: s["sig"],
-                ),
-            )
-        ).alias("band_key")
-    )
+        F.posexplode(
+            F.array(*[F.col(f"s{i}") for i in range(1, num_hashes + 1)])
+        ).alias("pos", "sig"),
+    ).select(id_col, (F.col("pos") + 1).alias("hi"), "sig")
 
 
 def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs sharing any band bucket — the one
-    equi-join that replaces the O(n²) comparison."""
+    equi-join on (band, band_key) that replaces the O(n²) comparison.
+    Input: (id_col, band, band_key)."""
     a = band_keys.select(
         F.col(id_col).alias("doc_a"), F.col("band").alias("b1"), F.col("band_key").alias("k1")
     )
@@ -97,36 +128,6 @@ def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
-) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only. Output:
-    (doc_a, doc_b, jaccard) for pairs ≥ threshold, rounded 4dp."""
-    s1 = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
-    s2 = shingles.select(F.col(id_col).alias("__b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        pairs.join(s1, "doc_a")
-        .join(s2, (F.col("doc_b") == F.col("__b")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-
-
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -137,12 +138,59 @@ def minhash_near_duplicates(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verify."""
-    sh = ngram_shingles(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    bands = lsh_band_keys(sig, id_col, rows_per_band)
+    candidate join → exact-Jaccard verify.
+
+    Shingles, all ``num_hashes`` signature values, and every band key
+    are computed in ONE narrow projection (array higher-order
+    functions); the only shuffles are the LSH candidate equi-join and
+    the two id-joins that attach shingle arrays for verification (AQE
+    broadcasts those when the candidate set is small). Exact Jaccard
+    is a local ``array_intersect`` — no explode/re-aggregate.
+
+    The signature frame is persisted (memory-and-disk) because three
+    consumers reference it (both self-join sides + verify); on a
+    cluster pipeline you'd write it as an intermediate table instead.
+    """
+    num_bands = (num_hashes + rows_per_band - 1) // rows_per_band
+    sigs = _minhash_agg(ngram_shingles(df, text_col, id_col, n), id_col, num_hashes).persist()
+    # band j covers hash indices (j-1)*r+1 .. j*r; key = the band's sig
+    # values joined '|' in hash order (uniform width — no re-hash
+    # needed for the join key)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"s{i}").cast("string")
+                    for i in range(
+                        (j - 1) * rows_per_band + 1,
+                        min(j * rows_per_band, num_hashes) + 1,
+                    )
+                ],
+            ).alias("band_key"),
+        )
+        for j in range(1, num_bands + 1)
+    ])
+    bands = sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
+    )
     cands = lsh_candidate_pairs(bands, id_col)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    arr_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    arr_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    return (
+        cands.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_common / (F.size("arr_a") + F.size("arr_b") - n_common), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -154,32 +202,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _simhash_contrib(h: Column, b: Column) -> Column:
+    """±1 contribution of one md5 hash to bit ``b`` (bit b lives in hex
+    digit b//4 with weight 2^(b%4)). Pure hex-digit arithmetic so a SQL
+    oracle matches exactly."""
+    digit = F.conv(h.substr((b / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
+    bit_val = (digit / F.pow(F.lit(2.0), b % 4)).cast("bigint") % 2
+    return F.when(bit_val == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over distinct tokens.
 
     Bit b of md5(token)'s leading hex digits contributes ±1; the sign
-    of the per-bit sum sets the fingerprint bit. Uses only hex-digit
-    string arithmetic (strpos/substr) so a SQL oracle matches exactly.
-    Output: (id_col, simhash long).
+    of the per-bit sum sets the fingerprint bit. The whole fingerprint
+    is ONE nested higher-order expression over the distinct-token array
+    — no explode, no shuffle, compact plan. Output: (id_col, simhash
+    long).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = (
-        df.select(F.col(id_col), F.explode(toks).alias("tok"))
-        .dropDuplicates([id_col, "tok"])
-        .withColumn("h", F.md5("tok"))
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, F.md5)
+    addends = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.aggregate(hashes, F.lit(0), lambda acc, h: acc + _simhash_contrib(h, b)) > 0,
+            F.pow(F.lit(2.0), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
     )
-    tb = tok.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    )
-    digit = F.expr("instr('0123456789abcdef', substr(h, cast(b div 4 as int) + 1, 1)) - 1")
-    bit_weight = F.expr("cast(pow(2, b % 4) as bigint)")
-    bit_val = (digit / bit_weight).cast("bigint") % 2
-    contrib = F.when(bit_val == 1, F.lit(1)).otherwise(F.lit(-1))
-    per_bit = tb.withColumn("contrib", contrib).groupBy(id_col, "b").agg(
-        F.sum("contrib").alias("s")
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    fingerprint = F.aggregate(addends, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -28,7 +28,11 @@ from .tables import load_tables
 # pairs (j≥0.4) from the noise floor (p99.9 ≈ 0.10))
 SHINGLE_N = 2
 NUM_HASHES = 12
-ROWS_PER_BAND = 2
+# 12 hashes / 3 rows per band = 4 bands: at the 0.4 Jaccard target this
+# keeps P(candidate) high for true near-dups (≈0.81 at s=0.7) while
+# cutting low-similarity junk candidates ~15x vs 2-row bands — the
+# candidate-join + verify volume is what dominates cost at scale.
+ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.4
 
 # embedding LSH configuration: 4 tables × 4 planes (OR-amplification
@@ -232,15 +236,22 @@ def q_doc_simhash(spark, sf_dir):
         FROM toks, UNNEST(generate_series(1, len(w) - {SHINGLE_N - 1})) AS u(i)
         WHERE len(w) >= {SHINGLE_N}
     ),
+    sb AS (
+        SELECT doc_id, shingle,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                   k -> (strpos('0123456789abcdef', substr(md5(shingle), k, 1)) - 1)
+                        * 16 ** (8 - k))) AS BIGINT) % 2147483647 AS base
+        FROM sh
+    ),
     mh AS (
         SELECT doc_id, h.hi,
-               MIN(md5(concat(CAST(h.hi AS VARCHAR), ':', shingle))) AS sig
-        FROM sh, UNNEST(generate_series(1, {NUM_HASHES})) AS h(hi)
+               MIN(((2 * h.hi + 1) * base + 1000003 * h.hi) % 2147483647) AS sig
+        FROM sb, UNNEST(generate_series(1, {NUM_HASHES})) AS h(hi)
         GROUP BY doc_id, h.hi
     ),
     bands AS (
         SELECT doc_id, CAST(CEIL(hi / {ROWS_PER_BAND}.0) AS INT) AS band,
-               md5(string_agg(sig, '|' ORDER BY hi)) AS band_key
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY hi) AS band_key
         FROM mh GROUP BY doc_id, CAST(CEIL(hi / {ROWS_PER_BAND}.0) AS INT)
     ),
     cand AS (
