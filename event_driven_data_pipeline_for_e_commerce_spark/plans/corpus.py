@@ -324,6 +324,34 @@ def q_date_sk_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "dim_date_build",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+               MAX(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    )
+    SELECT CAST(d.g AS DATE) AS full_date,
+           CAST(strftime(d.g, '%Y%m%d') AS BIGINT) AS date_sk
+    FROM span, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d(g)
+    """,
+)
+def q_dim_date_build(spark, sf_dir):
+    """dim_date builder over the fact's observed date span — the
+    generator missing from the reference snapshot (dim_date map used at
+    ecom_Gold_Layer.ipynb:53-56; pipelines.medallion.build_dim_date).
+    Pure plan: 1-row agg → sequence() explode, no collect."""
+    t = load_tables(spark, sf_dir)
+    span = t["orders"].agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    return span.select(
+        F.explode(F.sequence("lo", "hi")).alias("full_date")
+    ).withColumn("date_sk", date_sk("full_date"))
+
+
 # --------------------------------------------------------------------------
 # §2.D Aggregations
 # --------------------------------------------------------------------------

@@ -14,6 +14,7 @@ dashboard reads CSVs defensively (app.py:13-20). Spark-native forms:
 
 from __future__ import annotations
 
+import glob
 import os
 from collections.abc import Sequence
 from functools import reduce
@@ -23,14 +24,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_csv_dir(
-    spark: SparkSession, path: str, lineage_col: str = "source_table"
+    spark: SparkSession,
+    path: str,
+    lineage_col: str = "source_table",
+    infer_schema: bool = True,
 ) -> DataFrame:
     """A1: scan every ``*.csv`` under ``path``, tagging rows with the
-    originating file's basename (lineage)."""
-    df = spark.read.option("header", True).csv(os.path.join(path, "*.csv"))
-    return df.withColumn(
-        lineage_col, F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv", 1)
-    )
+    originating file's basename (lineage), union-by-name across
+    heterogeneous schemas (pd.concat parity, ecom_Bronze_Layer.ipynb:
+    38-44; ``infer_schema`` mirrors the load job's ``autodetect``).
+
+    Spark's multi-file CSV scan applies ONE schema positionally to
+    every file — wrong when headers differ — so files are grouped by
+    header line (driver reads one line per file: metadata-scale IO)
+    and each group becomes one distributed scan; groups then
+    ``unionByName`` with NULL fill for missing columns.
+    """
+    files = sorted(glob.glob(os.path.join(path, "*.csv")))
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        with open(f, encoding="utf-8", errors="replace") as fh:
+            header = fh.readline()
+        groups.setdefault(header, []).append(f)
+    parts = []
+    for group_files in groups.values():
+        df = (
+            spark.read.option("header", True)
+            .option("inferSchema", infer_schema)
+            .csv(group_files)
+        )
+        parts.append(
+            df.withColumn(
+                lineage_col, F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv", 1)
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], f"`{lineage_col}` string")
+    return union_by_name(parts)
 
 
 def safe_read_csv(spark: SparkSession, path: str) -> DataFrame:
