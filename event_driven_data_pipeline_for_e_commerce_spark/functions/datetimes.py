@@ -32,8 +32,9 @@ REFERENCE_TS_FORMATS = (
 def tolerant_to_timestamp(col: Column | str, formats: Sequence[str] = REFERENCE_TS_FORMATS) -> Column:
     """F1/F2: first format that parses wins; NULL if none do.
 
-    Spark-native realization of pandas ``to_datetime_safe`` /
-    BigQuery ``SAFE.PARSE_TIMESTAMP`` — stays in codegen, no UDF.
+    Spark-native realization of pandas ``to_datetime_safe`` (UD2 —
+    app.py:22-40, replaced with pure SQL, no UDF) / BigQuery
+    ``SAFE.PARSE_TIMESTAMP`` — stays in codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
     attempts = [F.try_to_timestamp(c, F.lit(f)) for f in formats]

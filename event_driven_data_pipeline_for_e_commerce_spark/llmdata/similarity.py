@@ -20,6 +20,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..operators.partitioning import ensure_parallelism
+
 LSH_SEED = 42
 
 
@@ -53,8 +55,8 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos_sim) — ranked on the raw
     similarity with id tie-break, rounded 6dp after ranking.
     """
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
+    corpus = ensure_parallelism(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))

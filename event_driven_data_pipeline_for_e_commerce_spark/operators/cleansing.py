@@ -112,7 +112,9 @@ def cleanse(df: DataFrame, policy: CleansePolicy | None = None) -> DataFrame:
     return out
 
 
-# per-table policies mirroring ecom_Silver_Layer.ipynb:156-169,203-245
+# F21 table-conditional fill policy: per-table policies mirroring
+# ecom_Silver_Layer.ipynb:156-169,203-245 (lifecycle fills 0, others
+# median; zip/postal columns fill '0' via F17's name-pattern match)
 REFERENCE_POLICIES: dict[str, CleansePolicy] = {
     "synthetic_order_lifecycle": CleansePolicy(
         numeric_fill="zero",

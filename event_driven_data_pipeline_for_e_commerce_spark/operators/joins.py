@@ -24,7 +24,8 @@ def enrich(
     broadcast_dim: bool = True,
 ) -> DataFrame:
     """J2/J5: fact ⟕ dim with the dim broadcast — the idiomatic
-    replacement for the reference's dict-map probe."""
+    replacement for the reference's dict-map probe (UD4
+    ``load_sk_map``, ecom_Gold_Layer.ipynb:37-42)."""
     d = F.broadcast(dim) if broadcast_dim else dim
     return fact.join(d, on, how)
 

@@ -163,6 +163,8 @@ def fact_order_items(
         subset=["order_sk", "customer_sk", "product_sk", "seller_sk", "payment_sk"]
     )
     fact = with_surrogate_key_scalable(fact, "order_item_sk", offset=0)
+    # A6: explicit output schema (the declared 17-column fact schema of
+    # ecom_Gold_Layer.ipynb:140-166) enforced by cast-projection
     return fact.select(
         "order_item_sk", "order_sk", "customer_sk", "product_sk", "seller_sk",
         "payment_sk", "purchase_date_sk", "delivery_date_sk",

@@ -138,7 +138,8 @@ def q_late_shipments(spark, sf_dir):
     """,
 )
 def q_dedup_full_rows(spark, sf_dir):
-    """B8 full-row dedup (ecom_Silver_Layer.ipynb:198-199)."""
+    """B8 full-row dedup (ecom_Silver_Layer.ipynb:198-199) over a B1
+    column-list projection (app.py:111,117)."""
     t = load_tables(spark, sf_dir)
     return t["events"].select("user_id", "event_type").dropDuplicates()
 
@@ -156,7 +157,8 @@ def q_dedup_full_rows(spark, sf_dir):
 )
 def q_dedup_keyed_ordered(spark, sf_dir):
     """B10 ordered keyed dedup — deterministic first-event-per-user
-    (the app.py:116 min-installments-per-order semantic)."""
+    (the app.py:116 min-installments-per-order semantic); S1 multi-key
+    sort (app.py:102) realized as the window order."""
     t = load_tables(spark, sf_dir)
     out = dedup_keyed_ordered(
         t["events"], ["user_id"], [F.col("ts"), F.col("event_id")]
@@ -189,12 +191,140 @@ def q_empty_relation(spark, sf_dir):
 )
 def q_defensive_default_column(spark, sf_dir):
     """B11 defensive column default (app.py:42-45): add constant column
-    when absent from the source schema."""
+    when absent from the source schema — B2 computed projection with
+    literals (ecom_Gold_Layer.ipynb:63-79)."""
     t = load_tables(spark, sf_dir)
     df = t["customer"].select("c_custkey", "c_name")
     if "loyalty_tier" not in df.columns:
         df = df.withColumn("loyalty_tier", F.lit("unknown"))
     return df
+
+
+@query(
+    "filter_header_rows",
+    oracle="""
+    SELECT source, count(*) AS doc_cnt
+    FROM documents
+    WHERE source != 'source' AND text NOT LIKE '%doc_id%'
+    GROUP BY source
+    """,
+)
+def q_filter_header_rows(spark, sf_dir):
+    """B6 not-equal + NOT LIKE filter — the embedded-CSV-header-row
+    skip (Scd_Type2.sql:36,124-126)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter((F.col("source") != "source") & ~F.col("text").like("%doc_id%"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"))
+    )
+
+
+@query(
+    "masked_ship_kpis",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderstatus,
+               CASE WHEN l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+                    THEN (epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400.0
+               END AS ship_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           ROUND(AVG(ship_days), 4) AS avg_ship_days,
+           ROUND(100.0 * SUM(CASE WHEN ship_days > 60 THEN 1 ELSE 0 END) / count(*), 4)
+               AS late_pct
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def q_masked_ship_kpis(spark, sf_dir):
+    """F23 masked conditional assignment (app.py:135-140) + B5 null
+    predicates + F6 fractional-day diff + F25 ratio KPIs
+    (app.py:187-198): ship_days only where both dates present, late%
+    over the group."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey
+    )
+    ship_days = F.when(
+        F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull(),
+        fractional_days("l_shipdate", "o_orderdate"),
+    ).otherwise(F.lit(None))
+    return (
+        j.withColumn("ship_days", ship_days)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg("ship_days"), 4).alias("avg_ship_days"),
+            F.round(
+                100.0 * F.sum(F.when(F.col("ship_days") > 60, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("late_pct"),
+        )
+    )
+
+
+@query(
+    "deterministic_segments",
+    oracle="""
+    WITH seg AS (
+        SELECT c_custkey,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                   k -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(c_custkey AS VARCHAR)), k, 1)) - 1)
+                        * 16 ** (8 - k))) AS BIGINT) AS h
+        FROM customer
+    )
+    SELECT ['Premium', 'Gold', 'Silver'][CAST(h % 3 AS INT) + 1] AS segment,
+           count(*) AS customers,
+           ROUND(AVG(1000.0 + h % 4000), 2) AS avg_sales
+    FROM seg GROUP BY segment
+    """,
+)
+def q_deterministic_segments(spark, sf_dir):
+    """F24 seeded random columns (app.py:321-324,488-490) realized as
+    md5-keyed pseudo-randoms — deterministic across engines AND across
+    partitionings (Spark's rand(seed) is partition-dependent, so a
+    hash of the key is the reproducible form of the reference's seeded
+    rng), + F16-style segment pick via element_at."""
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.md5(F.col("c_custkey").cast("string")).substr(1, 8), 16, 10
+    ).cast("bigint")
+    segment = F.element_at(
+        F.array(F.lit("Premium"), F.lit("Gold"), F.lit("Silver")),
+        (h % 3 + 1).cast("int"),
+    )
+    return (
+        t["customer"]
+        .select(segment.alias("segment"), (F.lit(1000.0) + h % 4000).alias("sales"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.avg("sales"), 2).alias("avg_sales"),
+        )
+    )
+
+
+@query(
+    "render_timestamps",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS rendered,
+           CAST(o_orderdate AS DATE) AS purchase_date
+    FROM orders
+    """,
+)
+def q_render_timestamps(spark, sf_dir):
+    """F10 FORMAT_TIMESTAMP render (Scd_Type2.sql:145) + F8 date
+    extraction (ecom_Gold_Layer.ipynb:55,101-102)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm").alias("rendered"),
+        F.to_date("o_orderdate").alias("purchase_date"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -218,7 +348,8 @@ def q_defensive_default_column(spark, sf_dir):
 )
 def q_orders_last_event(spark, sf_dir):
     """J1 left join to per-key event agg + G1/W3 last-event-per-key
-    (app.py:100-107)."""
+    (app.py:100-107) — UD1's lambda "last non-null" aggregate replaced
+    by the native ordered-window row_number (no UDAF)."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     last_ev = (
@@ -463,7 +594,8 @@ def q_top_customer_by_revenue(spark, sf_dir):
     """,
 )
 def q_mode_event_type(spark, sf_dir):
-    """G9 mode with deterministic tie-break (app.py:374)."""
+    """G9 mode with deterministic tie-break (app.py:374) + S6 head-row
+    pick (the limit-1 form of app.py:371)."""
     t = load_tables(spark, sf_dir)
     return mode(t["events"], "event_type")
 
@@ -552,7 +684,7 @@ def q_surrogate_keys_dense(spark, sf_dir):
 )
 def q_topk_orders(spark, sf_dir):
     """S3 top-k largest — plans TakeOrderedAndProject, not a full sort
-    (app.py:400,563)."""
+    (app.py:400,563); S2 single-key sort semantics underneath."""
     t = load_tables(spark, sf_dir)
     return (
         t["orders"]

@@ -7,10 +7,12 @@ semantics (SURVEY.md §1.2-1.3):
 - tolerant parsing: unparseable timestamp/number -> NULL, never error
   (``Scd_Type2.sql:19-23`` SAFE.PARSE_TIMESTAMP; ``app.py:22-40,94``)
 
-We encode both at the session level: UTC session timezone and non-ANSI
-mode (casts return NULL on junk). AQE is on so joins/skew re-plan at
-runtime — this is the 100 TB stance: let the optimizer pick broadcast
-vs shuffle join from runtime stats instead of hand-scheduling.
+We encode both at the session level: UTC session timezone (F3 — the
+localize-naive/convert-aware normalization of ecom_Silver_Layer.ipynb:
+173-183) and non-ANSI mode (F18 — casts return NULL on junk). AQE is
+on so joins/skew re-plan at runtime — this is the 100 TB stance: let
+the optimizer pick broadcast vs shuffle join from runtime stats
+instead of hand-scheduling.
 """
 
 from __future__ import annotations
