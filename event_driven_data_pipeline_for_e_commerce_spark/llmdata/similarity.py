@@ -107,6 +107,35 @@ def lsh_bucket(
     ).select(id_col, "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    n_tables: int = 1,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share an LSH
+    bucket in ANY table (one equi-join, never O(n²)); candidates pay
+    exact cosine and keep pairs ≥ threshold. Output: (id_a, id_b,
+    cos_sim), id_a < id_b. The embedding-space sibling of the MinHash
+    text near-dup — same candidate-then-verify shape."""
+    b = lsh_bucket(embeddings, planes, n_tables, id_col, vec_col)
+    a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
+    b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    cands = (
+        a_side.join(b_side, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

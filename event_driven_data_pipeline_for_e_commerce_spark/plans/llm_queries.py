@@ -12,7 +12,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..llmdata.dedup import exact_dedup, minhash_near_duplicates, ngram_shingles, simhash
-from ..llmdata.similarity import brute_force_topk, hyperplanes, lsh_topk
+from ..llmdata.similarity import (
+    brute_force_topk,
+    cosine_near_duplicates,
+    hyperplanes,
+    lsh_topk,
+)
 from ..llmdata.text import (
     bpe_ish_token_count,
     document_fingerprints,
@@ -391,6 +396,54 @@ def _lsh_oracle() -> str:
           FROM pairs)
     WHERE rn <= 3
     """
+
+
+def _cosine_near_dup_oracle(threshold: float) -> str:
+    planes = hyperplanes(EMB_DIM, N_PLANES, N_TABLES)
+    lits = _planes_sql_literal(planes)
+    n_total = N_PLANES * N_TABLES
+    return f"""
+    WITH planes AS (
+        SELECT i, CAST((i - 1) // {N_PLANES} AS INT) AS tbl, p
+        FROM (SELECT UNNEST({lits}) AS p,
+                     UNNEST(generate_series(1, {n_total})) AS i)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (
+        SELECT e.vec_id, e.v, pl.tbl,
+               string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY pl.i) AS bucket
+        FROM e, planes pl GROUP BY e.vec_id, e.v, pl.tbl
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {threshold}
+    """
+
+
+COSINE_DUP_THRESHOLD = 0.45  # testdata vectors are unclustered (max pair ~0.6)
+
+
+@query("emb_cosine_near_dup", oracle=_cosine_near_dup_oracle(COSINE_DUP_THRESHOLD))
+def q_emb_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — LSH-bucketed candidates
+    (one equi-join, never O(n²)) + exact-cosine verify ≥ threshold;
+    the embedding-space sibling of doc_minhash_near_dup."""
+    t = load_tables(spark, sf_dir)
+    planes = hyperplanes(EMB_DIM, N_PLANES, N_TABLES)
+    return cosine_near_duplicates(
+        t["embeddings"], planes, n_tables=N_TABLES, threshold=COSINE_DUP_THRESHOLD
+    )
 
 
 @query("emb_lsh_topk", oracle=_lsh_oracle())

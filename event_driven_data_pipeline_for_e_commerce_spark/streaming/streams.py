@@ -121,11 +121,11 @@ def scd2_foreach_batch(
         staged = batch
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path)
+            # safe to stay lazy: scd2_write materializes into a temp dir
+            # (reading the old snapshot) before the atomic swap
             merged = scd2_merge(
                 target, staged, key, tracked_cols, F.lit(str(load_ts)), sk_col=sk_col
             )
-            # materialize before overwriting the input snapshot
-            merged = spark.createDataFrame(merged.collect(), merged.schema)
         else:
             merged = scd2_init(
                 staged.select(key, *tracked_cols).dropDuplicates([key]),

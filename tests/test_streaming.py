@@ -96,6 +96,54 @@ def test_streaming_dedup_restores_exactly_once(spark, sf_dir, tmp_path):
     assert n == batch.count()
 
 
+def test_late_event_beyond_watermark_dropped(spark, tmp_path):
+    """ST7: in append mode a window finalizes once the watermark passes
+    its end; an event arriving later than the watermark delay for that
+    window is discarded, never re-emitting or growing the window."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt_late")
+    out = str(tmp_path / "late_out")
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(
+            [(i, t, v, "purchase") for i, (t, v) in enumerate(rows)],
+            "event_id long, ts string, value double, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(mode).parquet(src)
+
+    def run():
+        stream = read_event_stream(spark, src, spark.read.parquet(src).schema)
+        q = (
+            windowed_revenue(stream, window="1 day", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def emitted():
+        return [
+            (str(r["window_start"]), r["revenue"], r["event_cnt"])
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    # window 2024-01-01 gets 2 events; the 01-03 event pushes the
+    # watermark past its end so it finalizes and is emitted
+    write_batch([("2024-01-01 10:00:00", 10.0), ("2024-01-01 11:00:00", 5.0),
+                 ("2024-01-03 12:00:00", 1.0)], "overwrite")
+    run()
+    assert ("2024-01-01 00:00:00", 15.0, 2) in emitted()
+
+    # a late event for the finalized window + a fresh event to advance time
+    write_batch([("2024-01-01 05:00:00", 100.0), ("2024-01-05 09:00:00", 2.0)], "append")
+    run()
+    jan1 = [r for r in emitted() if r[0] == "2024-01-01 00:00:00"]
+    # the 100.0 late event was dropped: window emitted exactly once, unchanged
+    assert jan1 == [("2024-01-01 00:00:00", 15.0, 2)]
+
+
 def test_foreach_batch_scd2(spark, tmp_path):
     src = str(tmp_path / "scd2_src")
     tgt = str(tmp_path / "scd2_dim")
