@@ -107,6 +107,77 @@ def lsh_bucket(
     ).select(id_col, "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
+def ivf_centroids(
+    embeddings: DataFrame, n_lists: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``n_lists`` lowest-id
+    vectors serve as centroids. (A production index would k-means-train
+    on a sample offline; the centroid CHOICE is orthogonal to the
+    Spark mechanics — inverted-list partitioning, multi-probe, rerank —
+    which are what this module provides.) Output: (list_id, cv)."""
+    return (
+        embeddings.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("list_id"), _as_double(vec_col).alias("cv"))
+    )
+
+
+def _assign_lists(
+    vectors: DataFrame, centroids: DataFrame, id_out: str, vec_out: str, nprobe: int
+) -> DataFrame:
+    """Rank centroids per vector by cosine (id tie-break) and keep the
+    top ``nprobe`` — centroids are broadcast, so assignment is one
+    map-side pass over the corpus."""
+    sims = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", cosine(F.col(vec_out), F.col("cv"))
+    )
+    w = Window.partitionBy(id_out).orderBy(F.desc("__csim"), F.asc("list_id"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(id_out, vec_out, "list_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest centroid's inverted list; each query probes its ``nprobe``
+    nearest lists and exact-reranks only those candidates. The corpus
+    pass is one broadcast-centroid projection + an equi-join on
+    list_id — at 100 TB you'd additionally ``partitionBy(list_id)`` the
+    index table so probes prune partitions."""
+    cents = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    corpus = ensure_parallelism(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
+    )
+    inv_lists = _assign_lists(corpus, cents, "neighbor_id", "v", nprobe=1)
+    probes = _assign_lists(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")),
+        cents, "query_id", "qv", nprobe=nprobe,
+    )
+    cands = (
+        inv_lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "v", "qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cands.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     planes: list[list[float]],

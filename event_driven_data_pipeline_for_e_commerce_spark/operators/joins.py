@@ -52,3 +52,33 @@ def anti_join(src: DataFrame, tgt: DataFrame, on: str | Sequence[str]) -> DataFr
     """The MERGE ``WHEN NOT MATCHED`` branch as a relational operator
     (Scd_Type2.sql:46-53)."""
     return src.join(tgt, on, "left_anti")
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: rows of the large side scatter across
+    ``buckets`` sub-keys (salt varies WITHIN a key, so one hot key fans
+    out over ``buckets`` reducers); the small side replicates once per
+    salt. Join on (key, salt) — results are identical to the plain
+    join, so the operator is oracle-checkable against one.
+
+    AQE's skew-join split handles most cases automatically; explicit
+    salting remains the tool when a single key exceeds what one task
+    can hold even after AQE splitting, or when AQE is unavailable
+    (streaming joins). Only inner/left are offered: replicating the
+    small side would duplicate its unmatched rows under right/full.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l_salted = large.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+    )
+    s_salted = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return l_salted.join(s_salted, [on, "__salt"], how).drop("__salt")

@@ -24,7 +24,7 @@ from ..functions.datetimes import date_sk, day_diff_trunc, fractional_days, mont
 from ..functions.strings import row_hash, truncate_ellipsis
 from ..operators.aggregates import argmax, frequency_count, funnel, mode
 from ..operators.dedup import dedup_keyed_ordered
-from ..operators.joins import cross_join, date_key_join, enrich
+from ..operators.joins import cross_join, date_key_join, enrich, salted_join
 from ..operators.surrogate_keys import with_surrogate_key_dense
 from ..sources.io import union_by_name
 from .tables import load_tables
@@ -481,6 +481,33 @@ def q_dim_date_build(spark, sf_dir):
     return span.select(
         F.explode(F.sequence("lo", "hi")).alias("full_date")
     ).withColumn("date_sk", date_sk("full_date"))
+
+
+@query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS item_cnt,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-mitigating salted join (SURVEY.md §7.0 scale stance): salt
+    fans each hot key over N reducers, small side replicated per salt.
+    Salting is result-invariant, so the oracle is the PLAIN join."""
+    t = load_tables(spark, sf_dir)
+    joined = salted_join(
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+        t["orders"].filter(F.col("o_orderstatus") == "O").select("o_orderkey"),
+        on="o_orderkey", buckets=8, how="inner",
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("item_cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
 
 
 # --------------------------------------------------------------------------

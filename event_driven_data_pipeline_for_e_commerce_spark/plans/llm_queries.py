@@ -16,6 +16,7 @@ from ..llmdata.similarity import (
     brute_force_topk,
     cosine_near_duplicates,
     hyperplanes,
+    ivf_topk,
     lsh_topk,
 )
 from ..llmdata.text import (
@@ -443,6 +444,72 @@ def q_emb_cosine_near_dup(spark, sf_dir):
     planes = hyperplanes(EMB_DIM, N_PLANES, N_TABLES)
     return cosine_near_duplicates(
         t["embeddings"], planes, n_tables=N_TABLES, threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+IVF_LISTS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_LISTS}
+    ),
+    corpus_rank AS (
+        SELECT e.vec_id AS neighbor_id, e.v, c.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.list_id
+               ) AS rn
+        FROM e, cents c
+    ),
+    inv AS (SELECT neighbor_id, v, list_id FROM corpus_rank WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe_rank AS (
+        SELECT q.query_id, q.qv, c.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.list_id
+               ) AS rn
+        FROM q, cents c
+    ),
+    probes AS (SELECT query_id, qv, list_id FROM probe_rank WHERE rn <= {IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT p.query_id, i.neighbor_id, i.v, p.qv
+        FROM inv i JOIN probes p ON i.list_id = p.list_id
+        WHERE i.neighbor_id <> p.query_id
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rn
+          FROM sims)
+    WHERE rn <= 3
+    """
+
+
+@query("emb_ivf_topk", oracle=_ivf_oracle())
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — inverted-list partitioning by nearest
+    coarse centroid, nprobe multi-probe, exact rerank on candidates
+    only (the other classic ANN scale path next to LSH)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        n_lists=IVF_LISTS, nprobe=IVF_NPROBE, k=3,
     )
 
 

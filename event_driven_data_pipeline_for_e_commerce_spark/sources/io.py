@@ -92,3 +92,23 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """A7 ``CLUSTER BY`` in its shuffle-eliminating form: a managed
+    table bucketed (and optionally sorted) on the join/agg keys. Two
+    tables bucketed the same way equi-join WITHOUT an Exchange on
+    either side — the co-located-join layout for repeated 100 TB
+    fact⋈fact joins. Size ``n_buckets`` so one bucket ≈ one task's
+    memory budget at the target scale."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

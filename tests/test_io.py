@@ -1,0 +1,71 @@
+"""Source/sink behavior: heterogeneous CSV union-by-name (A1/U1),
+tolerant single-file read (A2), partitioned+clustered writes (A5-A7),
+bucketed co-located joins (A7 CLUSTER BY as shuffle elimination)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from event_driven_data_pipeline_for_e_commerce_spark.sources.io import (
+    read_csv_dir,
+    safe_read_csv,
+    write_bucketed_table,
+    write_table,
+)
+
+
+def test_read_csv_dir_heterogeneous_headers(spark, tmp_path):
+    """Files with different headers must union by NAME (pd.concat
+    parity) — Spark's positional multi-file scan would misalign them."""
+    (tmp_path / "a.csv").write_text("id,name\n1,ann\n2,bob\n")
+    (tmp_path / "b.csv").write_text("name,score,id\ncid,9.5,3\n")
+    df = read_csv_dir(spark, str(tmp_path))
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["name"] == "cid" and rows[3]["score"] == 9.5
+    assert rows[1]["score"] is None  # missing column -> NULL, not misaligned
+    assert rows[1]["source_table"] == "a" and rows[3]["source_table"] == "b"
+
+
+def test_safe_read_csv_missing_file(spark, tmp_path):
+    df = safe_read_csv(spark, str(tmp_path / "nope.csv"))
+    assert df.count() == 0
+
+
+def test_write_table_partition_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")], "id long, d string"
+    )
+    out = str(tmp_path / "part_tbl")
+    write_table(df, out, partition_by=["d"], cluster_by=["id"])
+    back = spark.read.parquet(out).filter(F.col("d") == "2024-01-02")
+    assert back.count() == 2
+    # partition filter prunes at planning: only the matching dir is read
+    scan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in scan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with ZERO Exchange operators — the co-located layout."""
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("rv")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    write_bucketed_table(left, "bkt_left", ["k"], n_buckets=4, sort_cols=["k"])
+    write_bucketed_table(right, "bkt_right", ["k"], n_buckets=4, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
