@@ -31,6 +31,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# A vectorized (Arrow/numpy) pandas_udf dot was benchmarked for the
+# pair-verify stages and performed no better than the native fold at
+# 64 dims: shipping both vectors to Python (~1 KB/pair) costs as much
+# as the JVM evaluation it replaces. At 512+ dims or with the vectors
+# already Python-side, revisit.
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -54,13 +61,22 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cos_sim) — ranked on the raw
     similarity with id tie-break, rounded 6dp after ranking.
+
+    Norms are attached per vector BEFORE the pair join (the join
+    boundary materializes them), so each pair pays one dot product +
+    one divide instead of three array folds — same expression,
+    bit-identical result.
     """
     corpus = ensure_parallelism(
         embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    ).withColumn("n_v", norm(F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("n_q", norm(F.col("qv")))
     pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    sims = pairs.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    sims = pairs.withColumn(
+        "sim", dot(F.col("v"), F.col("qv")) / (F.col("n_v") * F.col("n_q"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("__rn", F.row_number().over(w))
@@ -88,7 +104,8 @@ def lsh_bucket(
 ) -> DataFrame:
     """Sign-pattern bucket keys, one per hash table (multi-table /
     OR-amplified LSH — the standard recall fix for random-hyperplane
-    hashing). Output: (id_col, v, tbl, bucket), one row per table."""
+    hashing). Output: (id_col, v, n_v, tbl, bucket), one row per table
+    (``n_v`` is the vector norm, precomputed for downstream cosines)."""
     v = _as_double(vec_col)
     per_table = len(planes) // n_tables
     signs = [
@@ -103,8 +120,10 @@ def lsh_bucket(
         for t in range(n_tables)
     ])
     return embeddings.select(
-        F.col(id_col), v.alias("v"), F.explode(tables).alias("tb")
-    ).select(id_col, "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        F.col(id_col), v.alias("v"), norm(v).alias("n_v"), F.explode(tables).alias("tb")
+    ).select(
+        id_col, "v", "n_v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def ivf_centroids(
@@ -127,15 +146,22 @@ def _assign_lists(
 ) -> DataFrame:
     """Rank centroids per vector by cosine (id tie-break) and keep the
     top ``nprobe`` — centroids are broadcast, so assignment is one
-    map-side pass over the corpus."""
-    sims = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "__csim", cosine(F.col(vec_out), F.col("cv"))
+    map-side pass over the corpus. Output carries the vector norm for
+    downstream rerank cosines."""
+    n_out = f"n_{vec_out}"
+    sims = (
+        vectors.withColumn(n_out, norm(F.col(vec_out)))
+        .crossJoin(F.broadcast(centroids.withColumn("n_cv", norm(F.col("cv")))))
+        .withColumn(
+            "__csim",
+            dot(F.col(vec_out), F.col("cv")) / (F.col(n_out) * F.col("n_cv")),
+        )
     )
     w = Window.partitionBy(id_out).orderBy(F.desc("__csim"), F.asc("list_id"))
     return (
         sims.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select(id_out, vec_out, "list_id")
+        .select(id_out, vec_out, n_out, "list_id")
     )
 
 
@@ -166,10 +192,12 @@ def ivf_topk(
     cands = (
         inv_lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "v", "qv")
+        .select("query_id", "neighbor_id", "v", "qv", "n_v", "n_qv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cands.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    sims = cands.withColumn(
+        "sim", dot(F.col("v"), F.col("qv")) / (F.col("n_v") * F.col("n_qv"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("__rn", F.row_number().over(w))
@@ -191,17 +219,34 @@ def cosine_near_duplicates(
     exact cosine and keep pairs ≥ threshold. Output: (id_a, id_b,
     cos_sim), id_a < id_b. The embedding-space sibling of the MinHash
     text near-dup — same candidate-then-verify shape."""
-    b = lsh_bucket(embeddings, planes, n_tables, id_col, vec_col)
-    a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
-    b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
-    cands = (
-        a_side.join(b_side, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
+    # candidate generation over BARE ids — the bucket join + pair dedup
+    # shuffle must not carry the vectors (128 doubles/pair); they are
+    # re-attached afterwards from the slim per-vector frame (AQE
+    # broadcasts it when small, shuffle-joins at scale)
+    b = lsh_bucket(embeddings, planes, n_tables, id_col, vec_col).select(
+        id_col, "tbl", "bucket"
     )
+    cands = (
+        b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+        .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
+    a = vecs.select(
+        F.col("__vid").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    bv = vecs.select(
+        F.col("__vid").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cands.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cands.join(a, "id_a")
+        .join(bv, "id_b")
+        .withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -221,18 +266,21 @@ def lsh_topk(
     planes within a table keeps buckets small). One equi-join on
     (tbl, bucket) replaces the full scan — the 100 TB shape."""
     corpus = lsh_bucket(embeddings, planes, n_tables, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("v"), "tbl", "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("v"), F.col("n_v"), "tbl", "bucket"
     )
     q = lsh_bucket(queries, planes, n_tables, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("n_v").alias("n_q"), "tbl", "bucket",
     )
     cands = (
         corpus.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "v", "qv")
+        .select("query_id", "neighbor_id", "v", "qv", "n_v", "n_q")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cands.withColumn("sim", cosine(F.col("v"), F.col("qv")))
+    sims = cands.withColumn(
+        "sim", dot(F.col("v"), F.col("qv")) / (F.col("n_v") * F.col("n_q"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("__rn", F.row_number().over(w))
