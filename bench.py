@@ -35,10 +35,14 @@ HEADLINE = [
     "median_acctbal_by_nation",   # exact median (G10)
     "ship_delay_days",         # datetime arithmetic (F5/F6)
     "dedup_full_rows",         # full-row dedup (B8)
+    "salted_join_revenue",     # skew-salted equi-join
     "scd2_merge_orders",       # SCD2 full-outer merge (J7)
     "tumbling_daily_revenue",  # event-time window (ST2)
+    "session_windows",         # session_window gap sessionization (ST6)
     "doc_minhash_near_dup",    # MinHash-LSH near-dedup (M7)
     "emb_cosine_topk",         # brute-force cosine top-k (M7)
+    "emb_ivf_topk",            # IVF inverted-list ANN (M7)
+    "emb_cosine_near_dup",     # embedding near-dup via LSH buckets (M7)
 ]
 
 

@@ -1045,7 +1045,12 @@ def q_scd2_merge_orders(spark, sf_dir):
         F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("total_str"),
     )
     tracked = ["status", "total_str"]
-    target = scd2_init(base, "order_id", tracked, F.lit("2024-01-01 00:00:00"), sk_col="order_sk")
+    # persisted: a real SCD2 target is a materialized table; the merge
+    # reads it three ways (current slice, history, max-SK scalar) and
+    # recomputing the init lineage per branch would triple the cost
+    target = scd2_init(
+        base, "order_id", tracked, F.lit("2024-01-01 00:00:00"), sk_col="order_sk"
+    ).persist()
 
     mutated = base.select(
         "order_id",
