@@ -19,6 +19,7 @@ from ..llmdata.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from ..operators.partitioning import ensure_parallelism
 from ..llmdata.text import (
     bpe_ish_token_count,
     document_fingerprints,
@@ -67,7 +68,7 @@ def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup by content hash under a duplicated corpus (each doc
     replayed once with a shifted id): one keeper per distinct text."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "text")
+    docs = ensure_parallelism(t["documents"].select("doc_id", "text"))
     replayed = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
@@ -91,7 +92,7 @@ def q_doc_token_stats(spark, sf_dir):
     proxy (alnum runs + punctuation)."""
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        ensure_parallelism(t["documents"])
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("doc_cnt"),
@@ -132,7 +133,7 @@ def q_doc_quality_scores(spark, sf_dir):
     punctuation ratio, composite score."""
     t = load_tables(spark, sf_dir)
     feats = quality_features("text")
-    return t["documents"].select(
+    return ensure_parallelism(t["documents"]).select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
         feats["stop_ratio"].alias("stop_ratio"),
@@ -175,7 +176,7 @@ def q_doc_language_id(spark, sf_dir):
     confusion matrix actual × predicted."""
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        ensure_parallelism(t["documents"])
         .withColumn("predicted_lang", language_guess("text"))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -196,7 +197,7 @@ def q_doc_fingerprints(spark, sf_dir):
     prefix fingerprint."""
     t = load_tables(spark, sf_dir)
     fps = document_fingerprints("text")
-    return t["documents"].select(
+    return ensure_parallelism(t["documents"]).select(
         "doc_id", fps["fp_full"].alias("fp_full"), fps["fp_prefix"].alias("fp_prefix")
     )
 
