@@ -515,6 +515,50 @@ def q_salted_join_revenue(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @query(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           count(*) AS order_cnt
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP subtotals (status → priority → grand total)
+    — free via df.rollup; the reference computed each level as its own
+    pandas groupby (SURVEY.md §2.D note)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+@query(
+    "cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS order_cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_counts(spark, sf_dir):
+    """CUBE over status × priority — every grouping-set combination in
+    one pass (df.cube)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+@query(
     "monthly_revenue",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,

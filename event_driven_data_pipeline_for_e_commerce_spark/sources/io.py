@@ -94,6 +94,33 @@ def write_table(
     writer.parquet(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Error-row quarantine (SURVEY.md §4.1): PERMISSIVE scan with a
+    corrupt-record column, split into (good, quarantined). The Spark
+    realization of the reference's try/except-per-table isolation +
+    stray-header filters (ecom_Silver_Layer.ipynb:303-320,
+    Scd_Type2.sql:124-126) — bad rows are retained for inspection
+    instead of silently dropped or fatally raised.
+
+    The scan is cached before splitting: Spark's PERMISSIVE corrupt
+    column is only populated while parsing, so filtering an uncached
+    re-scan could re-parse and race with pushdown pruning of the
+    corrupt column.
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema + ", _corrupt_record string")
+        .csv(path)
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 
 from event_driven_data_pipeline_for_e_commerce_spark.sources.io import (
     read_csv_dir,
+    read_csv_quarantine,
     safe_read_csv,
     write_bucketed_table,
     write_table,
@@ -43,6 +44,25 @@ def test_write_table_partition_pruning(spark, tmp_path):
     # partition filter prunes at planning: only the matching dir is read
     scan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(d" in scan
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    """Corrupt rows land in quarantine with their raw text; good rows
+    parse cleanly — nothing dropped, nothing fatal."""
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,amount\n"
+        "1,10.5\n"
+        "not-a-number-row,\"unclosed\n"   # structurally corrupt
+        "2,20.0\n"
+        "3,oops\n"                        # type-corrupt: amount not double
+    )
+    good, bad = read_csv_quarantine(spark, str(p), "id int, amount double")
+    good_rows = {r["id"]: r["amount"] for r in good.collect()}
+    assert good_rows == {1: 10.5, 2: 20.0}
+    raw_bad = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raw_bad) == 2
+    assert any("oops" in (s or "") for s in raw_bad)
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

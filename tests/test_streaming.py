@@ -14,6 +14,7 @@ from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
     dedup_stream,
     read_event_stream,
     scd2_foreach_batch,
+    sessionize,
     streaming_funnel_counts,
     windowed_revenue,
 )
@@ -94,6 +95,24 @@ def test_streaming_dedup_restores_exactly_once(spark, sf_dir, tmp_path):
     )
     n = spark.sql("SELECT * FROM dedup_cnt").collect()[0]["n"]
     assert n == batch.count()
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """ST6: session_window over the stream (availableNow) equals the
+    batch sessionization — same gap, same session boundaries."""
+    src, schema = event_source
+    stream = read_event_stream(spark, src, schema)
+    _run_available_now(sessionize(stream), tmp_path, "sess_stream")
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    batch = load_tables(spark, sf_dir)["events"]
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(batch).collect()
+    }
+    assert got == want
 
 
 def test_late_event_beyond_watermark_dropped(spark, tmp_path):
