@@ -315,9 +315,11 @@ def q_doc_minhash_near_dup(spark, sf_dir):
 )
 def q_doc_ngram_jaccard_pairs(spark, sf_dir):
     """Plain n-gram Jaccard (3-gram) between consecutive doc pairs —
-    the exact-similarity primitive without LSH."""
+    the exact-similarity primitive without LSH. The shingle frame is
+    persisted: three consumers (both join sides + sizes) would each
+    recompute the tokenize/shingle projection otherwise."""
     t = load_tables(spark, sf_dir)
-    sh = ngram_shingles(t["documents"], "text", "doc_id", n=3)
+    sh = ngram_shingles(t["documents"], "text", "doc_id", n=3).persist()
     pairs = (
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
         .join(
