@@ -32,6 +32,11 @@ RUNTIME_CONF = {
     # testdata events.parquet stores TIMESTAMP(NANOS) which the Parquet
     # reader rejects; read as long-nanos and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Persisted frames (minhash signatures, SCD2 target, shingles)
+    # otherwise pin their shuffle stages at the session's static
+    # shuffle-partition count — a driver session's default 200 yields
+    # 200 tiny tasks per cached-plan stage at small SF.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
