@@ -1,0 +1,125 @@
+"""Physical-plan audits — the 100 TB regression guard.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one we'd want on a 1000-executor cluster: predicates pushed into
+the parquet scan, scans pruned to the projected columns, dimension
+joins broadcast (never shuffled), whole-stage codegen on the hot path,
+and zero Python row-at-a-time evaluation anywhere in the public corpus
+(SURVEY.md §2.J design rule: "zero Python UDFs on the hot path").
+
+Plan-only: nothing here executes a query, so the whole module is
+cheap. Explain strings come from the optimized physical plan via
+``queryExecution().explainString`` (same text as
+``df.explain('formatted')``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import QUERIES
+
+
+def formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def simple_plan(df) -> str:
+    return df._jdf.queryExecution().simpleString()
+
+
+def scan_blocks(plan: str) -> list[str]:
+    """The per-scan detail blocks of a formatted plan (one per
+    ``Scan parquet`` node), each holding PushedFilters/ReadSchema."""
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    return [b for b in blocks if b.startswith("Scan parquet")]
+
+
+def test_selective_filter_pushed_to_scan(spark, sf_dir):
+    """B3 equality filters must reach the parquet reader as
+    PushedFilters — a scan that reads all rows and filters later reads
+    100 TB to answer a 1-status question."""
+    plan = formatted_plan(spark, QUERIES["filter_status_revenue"](spark, sf_dir))
+    pushed = [
+        line for b in scan_blocks(plan) for line in b.splitlines()
+        if line.startswith("PushedFilters")
+    ]
+    assert any(
+        "EqualTo" in line or "In(" in line or "GreaterThan" in line
+        for line in pushed
+    ), f"no selective pushed filter in:\n{plan}"
+
+
+def test_scan_pruned_to_projected_columns(spark, sf_dir):
+    """A4/B1 column pruning: revenue_by_region touches 2 columns of
+    orders (custkey, totalprice) — the scan's ReadSchema must not
+    include the other 7."""
+    plan = formatted_plan(spark, QUERIES["revenue_by_region"](spark, sf_dir))
+    orders = [b for b in scan_blocks(plan) if "orders.parquet" in b]
+    assert orders, plan
+    schema = next(
+        line for line in orders[0].splitlines() if line.startswith("ReadSchema")
+    )
+    n_fields = schema.count(":")
+    assert n_fields <= 3, f"orders scan reads {n_fields} columns: {schema}"
+    assert "o_comment" not in schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """J2/J5: region/nation/customer are dims — all three joins must be
+    broadcast-hash, never a shuffled sort-merge (at 100 TB the fact
+    side never moves for a dim join)."""
+    plan = formatted_plan(spark, QUERIES["revenue_by_region"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan.split("\n\n")[0], plan
+
+
+def test_hot_path_is_whole_stage_codegen(spark, sf_dir):
+    """Tungsten codegen spans (the ``*(n)`` markers) must cover the
+    scan->filter->aggregate pipeline of the flagship query. AQE only
+    stamps codegen ids on the FINAL plan, so execute once (sf0.001)
+    and audit ``executedPlan``."""
+    df = QUERIES["funnel"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final
+    assert re.search(r"\*\(\d+\)", final), final
+
+
+def test_no_python_eval_in_public_corpus(spark, sf_dir):
+    """SURVEY §2.J design rule: every public query compiles to pure
+    JVM operators — no BatchEvalPython / ArrowEvalPython /
+    FlatMapGroupsInPandas anywhere (Python evaluation caps throughput
+    at the Python worker, which is exactly what this engine exists to
+    avoid; mapInPandas lives only in the stubbed multimodal module)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = simple_plan(fn(spark, sf_dir))
+        if re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|PythonUDF", plan):
+            offenders[name] = plan
+    assert not offenders, f"Python eval in: {sorted(offenders)}"
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """J4 is the only deliberate cross join; every other query must be
+    free of CartesianProduct / nested-loop fanout (an accidental cross
+    join at 100 TB is a non-terminating job)."""
+    for name, fn in QUERIES.items():
+        if name == "cross_join_matrix":
+            continue
+        plan = simple_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+@pytest.mark.parametrize("qname", ["global_kpis", "topk_orders"])
+def test_topk_and_scalar_aggs_avoid_global_sort(spark, sf_dir, qname):
+    """S3 top-k must plan TakeOrderedAndProject (heap-based, no full
+    sort/exchange of the data); scalar KPIs must partial-aggregate."""
+    plan = simple_plan(QUERIES[qname](spark, sf_dir))
+    if qname == "topk_orders":
+        assert "TakeOrderedAndProject" in plan, plan
+    else:
+        assert "HashAggregate" in plan, plan
