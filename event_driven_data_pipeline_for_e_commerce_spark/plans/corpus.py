@@ -1005,6 +1005,44 @@ def q_event_id_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "purchase_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS epoch
+        FROM events
+    ),
+    counts AS (
+        SELECT user_id, epoch,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views_before,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks_before
+        FROM tagged GROUP BY user_id, epoch
+    )
+    SELECT t.user_id,
+           t.ts AS purchase_ts,
+           t.value AS purchase_value,
+           c.views_before,
+           c.clicks_before
+    FROM tagged t JOIN counts c USING (user_id, epoch)
+    WHERE t.event_type = 'purchase'
+    """,
+)
+def q_purchase_attribution(spark, sf_dir):
+    """ST3 generalized: per-user state machine (views/clicks since the
+    previous purchase, emitted on purchase) in its native batch-replay
+    form — gaps-and-islands, zero Python. The cross-batch streaming
+    twin is streaming.stateful.purchase_attribution_stream
+    (applyInPandasWithState); a pytest proves stream/batch parity."""
+    from ..streaming.stateful import purchase_attribution_batch
+
+    t = load_tables(spark, sf_dir)
+    return purchase_attribution_batch(t["events"])
+
+
 # --------------------------------------------------------------------------
 # §2.C J7 — SCD Type-2 MERGE (the Scd_Type2.sql algorithm, hash-checked)
 # --------------------------------------------------------------------------
