@@ -1006,6 +1006,129 @@ def q_event_id_dedup(spark, sf_dir):
 
 
 @query(
+    "sliding_weekly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+               - INTERVAL (g.k) DAY AS window_start,
+           ROUND(SUM(e.value), 2) AS revenue,
+           count(*) AS event_cnt
+    FROM events e CROSS JOIN generate_series(0, 6) AS g(k)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_sliding_weekly_revenue(spark, sf_dir):
+    """ST2 extended to an overlapping (sliding) event-time window:
+    7-day revenue recomputed every day. Spark assigns each row to its
+    window_size/slide = 7 windows map-side — no self-join; the oracle
+    materializes the same assignment with generate_series. Epoch
+    alignment: slide = 1 day in a UTC session puts window starts on
+    date boundaries, matching date_trunc."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("event_cnt"),
+        )
+        .select(F.col("w.start").alias("window_start"), "revenue", "event_cnt")
+    )
+
+
+@query(
+    "asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           (SELECT max(c.ts) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts < p.ts) AS click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_last_click(spark, sf_dir):
+    """Backward as-of join (no reference equivalent — the custom
+    temporal operator SURVEY §2.C notes is absent): each purchase
+    picks the latest strictly-earlier click by the same user.
+    operators/temporal.asof_join sweeps a union-tagged window — one
+    key shuffle, no per-key cartesian; the oracle states the same
+    semantics as a correlated MAX."""
+    from ..operators.temporal import asof_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload=["ts"],
+        payload_prefix="click_",
+    )
+
+
+@query(
+    "view_click_pairs_2h",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS click_id,
+           date_diff('microsecond', a.ts, b.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_view_click_pairs_2h(spark, sf_dir):
+    """Range (band) join — pairs every view with the same user's
+    clicks in the following 2 hours. operators/temporal.range_join
+    turns the theta predicate into an equi-join on (user_id, 2h time
+    bucket) + residual filter: each view probes ≤2 buckets, so the
+    plan is a shuffleable hash join, never a per-key cartesian."""
+    from ..operators.temporal import range_join
+
+    e = load_tables(spark, sf_dir)["events"]
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        range_join(
+            views,
+            clicks,
+            on="user_id",
+            left_ts="view_ts",
+            right_ts="click_ts",
+            lower_seconds=0,
+            upper_seconds=7200,
+        )
+        .filter(F.col("click_ts") > F.col("view_ts"))
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
     "purchase_attribution",
     oracle="""
     WITH tagged AS (
