@@ -1129,6 +1129,76 @@ def q_view_click_pairs_2h(spark, sf_dir):
 
 
 @query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_props_json_stats(spark, sf_dir):
+    """Semi-structured extraction: the events table's ``props`` column
+    is a JSON string (the Kafka-payload shape the reference's
+    README.md:27 positions the stream as). ``get_json_object`` is a
+    native Catalyst expression — the path extraction runs codegen-side,
+    no UDF; aggregates stay integer-exact for hash parity."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("k_cnt"),
+        )
+    )
+
+
+@query(
+    "approx_distinct_contract",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS acd_ok,
+           TRUE AS p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct_contract(spark, sf_dir):
+    """Sketch aggregates with a testable contract. Approximate results
+    can't hash-match an exact oracle, so the query emits the CONTRACT
+    instead: |approx − exact| within tolerance, per group, as a
+    boolean the oracle asserts TRUE. approx_count_distinct (HLL++,
+    rsd=5%) and percentile_approx (KLL-style) are THE scale path —
+    mergeable partial sketches, one narrow shuffle, bounded memory —
+    where exact distinct/median shuffle every value; the exact twins
+    here exist only to score the sketch."""
+    t = load_tables(spark, sf_dir)
+    agg = t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("acd"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    tol = (F.col("vmax") - F.col("vmin")) * 0.05
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("acd") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("acd_ok"),
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= tol).alias("p50_ok"),
+    )
+
+
+@query(
     "purchase_attribution",
     oracle="""
     WITH tagged AS (

@@ -98,6 +98,60 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates([id_col, ts_col])
 
 
+def view_click_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    band_seconds: int = 7200,
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream range join — the streaming twin of the
+    ``view_click_pairs_2h`` corpus query (operators/temporal.range_join
+    is its batch form). Each view pairs with the same user's clicks in
+    the following ``band_seconds``.
+
+    State-boundedness: BOTH sides carry watermarks and the join
+    condition bounds click_ts relative to view_ts in both directions,
+    so Spark derives state-eviction watermarks for each side (views
+    older than watermark + band are dropped; clicks likewise). Without
+    the time-band condition a stream-stream inner join would buffer
+    forever — this is the canonical watermark-join pattern.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""
+            v_user_id = c_user_id
+            AND click_ts > view_ts
+            AND click_ts <= view_ts + INTERVAL {band_seconds} SECOND
+            """
+        ),
+    )
+    return joined.select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
 def scd2_foreach_batch(
     target_path: str,
     key: str,

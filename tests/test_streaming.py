@@ -16,6 +16,7 @@ from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
     scd2_foreach_batch,
     sessionize,
     streaming_funnel_counts,
+    view_click_join_stream,
     windowed_revenue,
 )
 
@@ -208,3 +209,26 @@ def test_foreach_batch_scd2(spark, tmp_path):
     o1 = {(r["status"], r["is_current"]) for r in dim2.filter("order_id = 'o1'").collect()}
     assert o1 == {("created", False), ("delivered", True)}
     assert dim2.filter("is_current").count() == 2
+
+
+def test_stream_stream_range_join_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """The watermarked stream-stream band join replayed to completion
+    must equal the batch range_join corpus query."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import QUERIES
+
+    src, schema = event_source
+    joined = view_click_join_stream(
+        read_event_stream(spark, src, schema),
+        read_event_stream(spark, src, schema),
+    )
+    _run_available_now(joined, tmp_path, "vc_join", output_mode="append")
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"], r["gap_us"])
+        for r in spark.sql("SELECT * FROM vc_join").collect()
+    }
+    want = {
+        (r["user_id"], r["view_id"], r["click_id"], r["gap_us"])
+        for r in QUERIES["view_click_pairs_2h"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
