@@ -1351,5 +1351,163 @@ def q_scd2_merge_orders(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Relational breadth beyond the reference (SURVEY §2.C/§2.G notes the
+# reference has no semi/anti joins and no intersect/except; §2.D notes
+# no grouping-sets family — all are table-stakes for a query engine a
+# reference user would switch to, so the engine exposes and checks them)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_with_orders_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): probe side streams, build side holds
+    only the key set — no payload duplication, broadcastable by AQE."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — the standalone form of the SCD2
+    MERGE's not-matched branch (operators/joins.anti_join)."""
+    from ..operators.joins import anti_join
+
+    t = load_tables(spark, sf_dir)
+    return anti_join(
+        t["customer"],
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "nations_both_sides_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_nations_both_sides_intersect(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "nations_customers_only_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_nations_customers_only_except(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    # subtract = EXCEPT DISTINCT (set semantics, matching SQL EXCEPT);
+    # exceptAll would be multiset difference and keep keys whose
+    # customer multiplicity merely exceeds their supplier multiplicity
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).subtract(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "priority_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_priority_status_pivot(spark, sf_dir):
+    """Pivot with an EXPLICIT value list — without it Spark runs an
+    extra distinct-collect job to discover columns; pinning the values
+    keeps the plan a single pass at any scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "status_measures_unpivot",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderstatus,
+               ROUND(SUM(o_totalprice), 2) AS tp,
+               ROUND(AVG(o_totalprice), 2) AS ap
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'total_price' AS measure, tp AS val FROM a
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price' AS measure, ap AS val FROM a
+    """,
+)
+def q_status_measures_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide→long) — map-side row expansion, no shuffle
+    beyond the feeding aggregation."""
+    t = load_tables(spark, sf_dir)
+    agg = t["orders"].groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return agg.unpivot(
+        ["o_orderstatus"], ["total_price", "avg_price"], "measure", "val"
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (rollup/cube's general form, both already
+    in the corpus): one shuffle computes all three groupings;
+    grouping_id disambiguates a NULL group value from a subtotal row."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # LLM-data corpus registrations (same registry, separate module)
 from . import llm_queries  # noqa: E402,F401
