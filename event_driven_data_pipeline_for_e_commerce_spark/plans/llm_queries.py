@@ -593,3 +593,73 @@ def q_session_windows(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return sessionize(t["events"], gap="30 minutes")
+
+
+# --------------------------------------------------------------------------
+# Training-data preparation beyond the mandated operator list: chunking
+# and deterministic dataset splitting — the two steps every corpus
+# pipeline runs between dedup/quality-filter and training
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    SELECT d.doc_id,
+           (s.start - 1) // 150 AS chunk_no,
+           substr(d.text, CAST(s.start AS BIGINT), 200) AS chunk,
+           length(substr(d.text, CAST(s.start AS BIGINT), 200)) AS chunk_len
+    FROM documents d,
+         UNNEST(generate_series(1, greatest(length(d.text), 1), 150)) AS s(start)
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping fixed-width chunking (200-char windows, stride 150
+    → 50-char overlap), the context-window prep step for training
+    corpora. sequence+posexplode is pure map-side row expansion: no
+    shuffle, no Python, and at 100 TB each scan split chunks its own
+    documents independently."""
+    t = load_tables(spark, sf_dir)
+    return (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.expr("sequence(1, greatest(length(text), 1), 150)")
+            ).alias("chunk_no", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.expr("substr(text, start, 200)").alias("chunk"),
+            F.expr("length(substr(text, start, 200))").alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "doc_train_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def q_doc_train_split(spark, sf_dir):
+    """Deterministic hash-based train/eval split (~80/20 via the first
+    md5 byte < 0xcc). Unlike randomSplit this is stable across runs,
+    engines, partitionings, and re-executions — the property a
+    reproducible training pipeline needs — and it's a pure projection:
+    no shuffle, no sampling pass."""
+    t = load_tables(spark, sf_dir)
+    return ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc",
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
