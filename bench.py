@@ -39,6 +39,8 @@ HEADLINE = [
     "scd2_merge_orders",       # SCD2 full-outer merge (J7)
     "tumbling_daily_revenue",  # event-time window (ST2)
     "session_windows",         # session_window gap sessionization (ST6)
+    "asof_last_click",         # as-of join (union-sweep, one shuffle)
+    "view_click_pairs_2h",     # range join (band-bucketed equi-join)
     "doc_minhash_near_dup",    # MinHash-LSH near-dedup (M7)
     "emb_cosine_topk",         # brute-force cosine top-k (M7)
     "emb_ivf_topk",            # IVF inverted-list ANN (M7)
