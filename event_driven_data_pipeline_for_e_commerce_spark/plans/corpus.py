@@ -1509,5 +1509,81 @@ def q_grouping_sets_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "user_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS cnt
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_user_event_transitions(spark, sf_dir):
+    """lead/lag analytics (SURVEY §2.E notes the reference computes its
+    funnel with group-bys and has no lag — the engine exposes it): the
+    event-type transition matrix per user. One key-shuffle for the
+    window, then a partial-aggregated count."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "customer_order_ranks",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+               DENSE_RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS dense_price_rank,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend
+        FROM orders
+    )
+    SELECT * FROM ranked WHERE price_rank <= 3
+    """,
+)
+def q_customer_order_ranks(spark, sf_dir):
+    """rank/dense_rank + an explicit ROWS frame (running per-customer
+    spend) — the analytic-window family the reference lacks entirely.
+    The running sum's frame order is total (date, then key), so the
+    left-to-right accumulation is identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(wr).alias("price_rank"),
+            F.dense_rank().over(wr).alias("dense_price_rank"),
+            F.round(F.sum("o_totalprice").over(wf), 2).alias("running_spend"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
 # LLM-data corpus registrations (same registry, separate module)
 from . import llm_queries  # noqa: E402,F401
