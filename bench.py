@@ -28,6 +28,7 @@ sys.path.insert(0, REPO)
 # the shuffling/joining queries that dominate cost at scale.
 HEADLINE = [
     "funnel",                  # flagship: scan -> agg -> stage align
+    "pricing_summary",         # TPC-H Q1 shape: raw scan-agg throughput
     "revenue_by_region",       # multi-way join + agg (J2/J3/G3)
     "orders_last_event",       # window last-event-per-key (W3/G1)
     "monthly_revenue_by_status",  # multi-key agg (G4)

@@ -232,3 +232,68 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     fingerprint = F.aggregate(addends, F.lit(0).cast("bigint"), lambda a, x: a + x)
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     return src.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    node gets ``cluster_id`` = the smallest id reachable through pair
+    edges (singletons label themselves), plus ``is_canonical`` marking
+    the cluster representative. This is the step a dedup pipeline runs
+    AFTER pair generation — near-dup relations are not transitive-
+    closed, so keep-one-per-pair under-deletes chains (a~b, b~c).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (1) every node takes the min of its own and its neighbors' labels
+    — one equi-join on the edge list; (2) labels compress by one hop
+    (label := label's label) — one self-join. Jumping makes
+    convergence O(log diameter) rounds, the same contraction idea as
+    the large-star/small-star map-reduce CC algorithm; each round is
+    two shuffles on (node) and the edge frame is persisted once.
+    Convergence is detected by the monotone label sum reaching a
+    fixpoint (labels only ever decrease); ``localCheckpoint``
+    truncates the growing lineage every round.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("label", "nbr_label").alias("label"))
+        )
+        # pointer jump: follow the label one hop (label's own label)
+        hop = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("jump_label")
+        )
+        labels_new = (
+            stepped.join(hop, "label", "left")
+            .select("node", F.least("label", "jump_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels_new.agg(F.sum("label")).collect()[0][0]
+        labels = labels_new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

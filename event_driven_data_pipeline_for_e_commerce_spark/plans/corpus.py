@@ -1510,6 +1510,67 @@ def q_grouping_sets_revenue(spark, sf_dir):
 
 
 @query(
+    "pricing_summary",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS DECIMAL(9,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(l_tax AS DECIMAL(4,2)) AS tax
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+           CAST(SUM(qty) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(price) AS DOUBLE) / count(*) AS avg_price,
+           CAST(SUM(disc) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM d GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the canonical scan-heavy
+    aggregate: ~600k-row scan at sf0.1 collapsing to a handful of
+    groups, entirely whole-stage-codegen with map-side partial
+    aggregation, so the shuffle carries only |groups| x partitions
+    rows. The engine's pure-scan-throughput headline.
+
+    Parity design: money quantized to DECIMAL at the scan, summed
+    EXACTLY (scales sized so no product overflows precision — no
+    engine-specific rescale rounding), then cast to double once at the
+    end. Double SUMs rounded post-hoc would carry order-of-accumulation
+    noise across 600k rows and can straddle a rounding boundary
+    differently per engine; exact decimal sums are bit-identical."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(9,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
     "user_event_transitions",
     oracle="""
     WITH seq AS (

@@ -232,10 +232,9 @@ def q_doc_simhash(spark, sf_dir):
     return simhash(t["documents"], "text", "doc_id", bits=16)
 
 
-@query(
-    "doc_minhash_near_dup",
-    oracle=rf"""
-    WITH toks AS (
+# MinHash pipeline CTEs, shared by the pair query's oracle and the
+# cluster query's oracle (which adds a recursive CC on top)
+_MINHASH_CTES = rf"""toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
     ),
     sh AS (
@@ -273,7 +272,13 @@ def q_doc_simhash(spark, sf_dir):
         JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
         GROUP BY c.doc_a, c.doc_b
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+@query(
+    "doc_minhash_near_dup",
+    oracle=rf"""
+    WITH {_MINHASH_CTES}
     SELECT i.doc_a, i.doc_b,
            ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
     FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -289,6 +294,53 @@ def q_doc_minhash_near_dup(spark, sf_dir):
         n=SHINGLE_N, num_hashes=NUM_HASHES,
         rows_per_band=ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
     )
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(label) AS cluster_id,
+           MIN(label) = node AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q_doc_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: connected components over
+    the MinHash near-dup graph (near-dup similarity isn't transitive,
+    so chain dedup needs the closure), via iterative min-label
+    propagation with pointer jumping (llmdata/dedup.duplicate_clusters).
+    Genuinely iterative — the oracle needs a recursive CTE; Spark runs
+    O(log diameter) join rounds. Every doc appears: singletons are
+    their own canonical cluster."""
+    from ..llmdata.dedup import duplicate_clusters
+
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id",
+        n=SHINGLE_N, num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return duplicate_clusters(pairs, docs.select("doc_id"))
 
 
 @query(
