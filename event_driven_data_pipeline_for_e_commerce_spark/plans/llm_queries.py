@@ -715,3 +715,82 @@ def q_doc_train_split(spark, sf_dir):
         .otherwise("eval")
         .alias("split"),
     )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, t.tok
+        FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               (tf.tf * (n.n_docs + 1.0)) / (df.df + 1) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY (tf.tf * (n.n_docs + 1.0)) / (df.df + 1) DESC,
+                                           tf.tok) AS rn
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rn FROM scored WHERE rn <= 3
+    """,
+)
+def q_doc_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms. The rational idf form
+    tf*(N+1)/(df+1) (no log) keeps the score an identical IEEE double
+    in both engines — ln() last-ulp divergence would break hash parity.
+    Plan shape at scale: one explode → two partial-agg groupBys (tf,
+    df), a broadcastable df join (|vocab| << corpus), and a per-doc
+    top-k window; the N scalar rides a 1-row broadcast cross join."""
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * (F.col("n_docs") + F.lit(1.0))) / (F.col("df") + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '33' ELSE '80' END
+    """,
+)
+def q_doc_stratified_sample(spark, sf_dir):
+    """Stratified sampling with per-stratum fractions (sampleBy's
+    deterministic twin): ~20% of English docs, ~50% of everything else,
+    selected by the first md5 byte of the id — reproducible across
+    runs/engines/partitionings, pure map-side filter, no sampling
+    pass."""
+    t = load_tables(spark, sf_dir)
+    return ensure_parallelism(t["documents"]).filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < F.when(F.col("lang") == "en", "33").otherwise("80")
+    ).select("doc_id", "lang")

@@ -68,3 +68,22 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # and every approx neighbor must be a real vector with valid sim
     for r in approx.collect():
         assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_duplicate_clusters_chain_transitivity(spark):
+    """a~b and b~c (but never a~c directly) must land in ONE cluster —
+    the property pairwise keep-one dedup gets wrong."""
+    import pyspark.sql.functions as F
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 30, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in duplicate_clusters(pairs, nodes).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 30: (10, False),
+        99: (99, True),
+    }
