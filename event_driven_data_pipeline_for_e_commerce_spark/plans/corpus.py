@@ -1646,5 +1646,43 @@ def q_customer_order_ranks(spark, sf_dir):
     )
 
 
+@query(
+    "order_value_distribution",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           NTILE(10) OVER w AS value_decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_largest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_order_value_distribution(spark, sf_dir):
+    """Distribution analytics: ntile, percent_rank, cume_dist, and a
+    full-frame nth_value, all over one partitioned/ordered window (no
+    global-window scale smell — each priority partition sorts
+    independently). Ratios are exact small-integer divisions rounded
+    identically on both sides."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(10).over(w).alias("value_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_largest_key"),
+    )
+
+
 # LLM-data corpus registrations (same registry, separate module)
 from . import llm_queries  # noqa: E402,F401

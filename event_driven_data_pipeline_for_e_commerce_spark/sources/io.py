@@ -139,3 +139,23 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def ensure_database(spark: SparkSession, name: str) -> None:
+    """A8: idempotent dataset create (the reference's ``Conflict``-catch
+    on dataset/table creation, ecom_Silver_Layer.ipynb:325-330 + run
+    log :14)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def save_managed_table(
+    df: DataFrame, table: str, database: str | None = None, mode: str = "overwrite"
+) -> str:
+    """A5/A3: overwrite a managed catalog table (the BigQuery
+    ``WRITE_TRUNCATE`` load) and return its qualified name for
+    ``spark.table`` scans."""
+    if database:
+        ensure_database(df.sparkSession, database)
+        table = f"{database}.{table}"
+    df.write.mode(mode).format("parquet").saveAsTable(table)
+    return table

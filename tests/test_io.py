@@ -89,3 +89,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_catalog_roundtrip_idempotent(spark, sf_dir):
+    """A8/A3/A5: CREATE DATABASE IF NOT EXISTS twice, managed-table
+    overwrite twice, distributed spark.table scan reads it back."""
+    from event_driven_data_pipeline_for_e_commerce_spark.sources.io import ensure_database, save_managed_table
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    ensure_database(spark, "edp_test_db")
+    ensure_database(spark, "edp_test_db")  # idempotent
+    nation = load_tables(spark, sf_dir)["nation"]
+    name = save_managed_table(nation, "nation_snap", database="edp_test_db")
+    name = save_managed_table(nation, "nation_snap", database="edp_test_db")  # overwrite
+    assert spark.table(name).count() == nation.count()
+    spark.sql("DROP TABLE edp_test_db.nation_snap")
+    spark.sql("DROP DATABASE edp_test_db")
