@@ -105,3 +105,40 @@ def test_catalog_roundtrip_idempotent(spark, sf_dir):
     assert spark.table(name).count() == nation.count()
     spark.sql("DROP TABLE edp_test_db.nation_snap")
     spark.sql("DROP DATABASE edp_test_db")
+
+
+def test_json_and_orc_roundtrip(spark, sf_dir, tmp_path):
+    """Source-format breadth: the event stream written/read as JSON
+    lines (the Kafka-payload shape) and ORC, both value-identical to
+    the parquet original. JSON read uses an explicit schema — schema
+    inference on JSON is a full extra pass at scale."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+    import pyspark.sql.functions as F
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    checksum = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("ids"),
+        F.sum(F.unix_micros("ts")).alias("ts_us"),
+        F.round(F.sum("value"), 2).alias("v"),
+    ).collect()[0]
+
+    jpath, opath = str(tmp_path / "ev_json"), str(tmp_path / "ev_orc")
+    # default JSON timestampFormat truncates to milliseconds — spell
+    # out a microsecond format on both sides
+    us_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.mode("overwrite").option("timestampFormat", us_fmt).json(jpath)
+    events.write.mode("overwrite").orc(opath)
+
+    back_j = spark.read.schema(events.schema).option("timestampFormat", us_fmt).json(jpath)
+    back_o = spark.read.orc(opath)
+    for back in (back_j, back_o):
+        got = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("ids"),
+            F.sum(F.unix_micros("ts")).alias("ts_us"),
+            F.round(F.sum("value"), 2).alias("v"),
+        ).collect()[0]
+        assert tuple(got) == tuple(checksum)
