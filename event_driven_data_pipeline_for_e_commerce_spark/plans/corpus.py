@@ -1684,5 +1684,68 @@ def q_order_value_distribution(spark, sf_dir):
     )
 
 
+@query(
+    "user_event_paths",
+    oracle="""
+    SELECT user_id,
+           (list(event_type ORDER BY ts, event_id))[1:20] AS path,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_paths(spark, sf_dir):
+    """Ordered array aggregation (the clickstream 'path' shape).
+    collect_list gives NO ordering guarantee under partial aggregation
+    — the deterministic form collects (ts, event_id, type) structs,
+    array_sorts locally, then projects the type, all map-side after one
+    key shuffle; the oracle is DuckDB's ordered list()."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                20,
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "order_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           count(*) AS cnt,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_order_price_histogram(spark, sf_dir):
+    """Fixed-width binning/histogram: the bin id is computed map-side
+    so the aggregation partial-combines to |bins| rows per task before
+    the shuffle — constant shuffle volume at any scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 # LLM-data corpus registrations (same registry, separate module)
 from . import llm_queries  # noqa: E402,F401
