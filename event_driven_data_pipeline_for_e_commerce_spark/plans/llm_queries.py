@@ -794,3 +794,51 @@ def q_doc_stratified_sample(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
         < F.when(F.col("lang") == "en", "33").otherwise("80")
     ).select("doc_id", "lang")
+
+
+@query(
+    "doc_quality_filter",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS punct_cnt
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               ROUND(0.4 * LEAST(len(toks) / 100.0, 1.0)
+                     + 0.3 * (len(list_filter(toks,
+                           t -> list_contains(['the','a','and','of','to','in','is'], t)))
+                         * 1.0 / len(toks))
+                     + 0.3 * (1 - punct_cnt * 1.0 / n_chars), 4) AS quality_score
+        FROM f
+    ),
+    r AS (
+        SELECT doc_id, lang, quality_score,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY quality_score, doc_id) AS pr
+        FROM g
+    )
+    SELECT doc_id, lang, quality_score FROM r WHERE pr >= 0.25
+    """,
+)
+def q_doc_quality_filter(spark, sf_dir):
+    """Quantile quality filtering: drop each language's bottom quartile
+    by composite quality score. The threshold is a rank RATIO
+    (percent_rank = (rank-1)/(n-1), exact integer division) rather than
+    an interpolated quantile VALUE — engines interpolate quantiles
+    differently, rank ratios are bit-identical. One window shuffle per
+    lang partition; the filter is map-side after it."""
+    t = load_tables(spark, sf_dir)
+    feats = quality_features("text")
+    scored = ensure_parallelism(t["documents"]).select(
+        "doc_id", "lang", feats["quality_score"].alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "lang", "quality_score")
+    )
