@@ -1747,5 +1747,74 @@ def q_order_price_histogram(spark, sf_dir):
     )
 
 
+@query(
+    "customer_geo_nearest",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey, c_nationkey,
+               (CAST(list_sum(list_transform(generate_series(1, 8),
+                    k -> (strpos('0123456789abcdef',
+                                 substr(md5(CAST(c_custkey AS VARCHAR)), k, 1)) - 1)
+                         * 16 ** (8 - k))) AS BIGINT) % 120000) / 1000.0 - 60
+                   AS lat,
+               ((CAST(list_sum(list_transform(generate_series(1, 8),
+                    k -> (strpos('0123456789abcdef',
+                                 substr(md5(CAST(c_custkey AS VARCHAR)), k, 1)) - 1)
+                         * 16 ** (8 - k))) AS BIGINT) // 120000) % 360000) / 1000.0
+                   - 180 AS lon
+        FROM customer
+    )
+    SELECT p.c_custkey, n.n_name, p.lat, p.lon,
+           p.lat * p.lat + p.lon * p.lon AS d2
+    FROM pts p JOIN nation n ON n.n_nationkey = p.c_nationkey
+    WHERE p.lat BETWEEN -30 AND 30 AND p.lon BETWEEN -60 AND 60
+    ORDER BY d2, p.c_custkey LIMIT 10
+    """,
+)
+def q_customer_geo_nearest(spark, sf_dir):
+    """Geo surface (the reference's dashboard maps median-imputed
+    Latitude/Longitude, app.py:483-493; SURVEY §1.2 FLOAT64 row):
+    bounding-box filter + k-nearest to a point. Coordinates are
+    md5-derived from the key (the F24 deterministic-synthesis pattern —
+    testdata has no geo columns); distance is squared equirectangular —
+    pure arithmetic on identical doubles, no trig whose last-ulp
+    behavior differs across libm implementations. Top-k plans as
+    TakeOrderedAndProject after a broadcast nation join — no global
+    sort."""
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.md5(F.col("c_custkey").cast("string")).substr(1, 8), 16, 10
+    ).cast("bigint")
+    pts = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        ((h % 120000) / F.lit(1000.0) - 60).alias("lat"),
+        (
+            (F.expr(
+                "(cast(conv(substr(md5(cast(c_custkey as string)), 1, 8), 16, 10)"
+                " as bigint) div 120000) % 360000"
+            ))
+            / F.lit(1000.0)
+            - 180
+        ).alias("lon"),
+    )
+    return (
+        pts.filter(F.col("lat").between(-30, 30) & F.col("lon").between(-60, 60))
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            pts.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            "lat",
+            "lon",
+            (F.col("lat") * F.col("lat") + F.col("lon") * F.col("lon")).alias("d2"),
+        )
+        .orderBy("d2", "c_custkey")
+        .limit(10)
+    )
+
+
 # LLM-data corpus registrations (same registry, separate module)
 from . import llm_queries  # noqa: E402,F401
