@@ -159,3 +159,45 @@ def save_managed_table(
         table = f"{database}.{table}"
     df.write.mode(mode).format("parquet").saveAsTable(table)
     return table
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: Sequence[str] = (),
+) -> int:
+    """Compact a small-files parquet directory (the debris every
+    micro-batch/streaming sink accumulates) into ~``target_file_bytes``
+    files; returns the new file count. Streaming sinks write one file
+    per partition per batch — at scale a day of 30s batches is ~3k
+    files per partition, and scan planning + footer reads dominate.
+
+    Metadata-only sizing (sum of current file sizes — no data pass),
+    one round-robin repartition to the target count, optional
+    ``sortWithinPartitions`` to restore clustering, then an atomic
+    temp-write + swap (the same pattern scd2_write uses) so readers
+    never see a half-compacted directory.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -142,3 +142,24 @@ def test_json_and_orc_roundtrip(spark, sf_dir, tmp_path):
             F.round(F.sum("value"), 2).alias("v"),
         ).collect()[0]
         assert tuple(got) == tuple(checksum)
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """64 micro-batch-sized files compact to a handful, values intact."""
+    from event_driven_data_pipeline_for_e_commerce_spark.sources.io import compact_parquet
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "frag")
+    orders = load_tables(spark, sf_dir)["orders"]
+    orders.repartition(64).write.mode("overwrite").parquet(path)
+    import os
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before == 64
+    checksum = orders.agg(F.sum("o_orderkey"), F.count(F.lit(1))).collect()[0]
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_after == 1
+    back = spark.read.parquet(path)
+    assert tuple(back.agg(F.sum("o_orderkey"), F.count(F.lit(1))).collect()[0]) == tuple(checksum)
