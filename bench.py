@@ -30,6 +30,8 @@ HEADLINE = [
     "funnel",                  # flagship: scan -> agg -> stage align
     "pricing_summary",         # TPC-H Q1 shape: raw scan-agg throughput
     "revenue_by_region",       # multi-way join + agg (J2/J3/G3)
+    "q3_shipping_priority",    # TPC-H Q3: selective 3-way join + top-k
+    "q5_local_supplier_volume",  # TPC-H Q5: 6-way cyclic-condition join
     "orders_last_event",       # window last-event-per-key (W3/G1)
     "monthly_revenue_by_status",  # multi-key agg (G4)
     "top_customer_by_revenue",    # join + argmax top-k (G8/S3)

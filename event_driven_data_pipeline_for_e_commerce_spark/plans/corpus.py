@@ -1818,3 +1818,6 @@ def q_customer_geo_nearest(spark, sf_dir):
 
 # LLM-data corpus registrations (same registry, separate module)
 from . import llm_queries  # noqa: E402,F401
+
+# TPC-H-shaped multi-join analytics (same registry, separate module)
+from . import tpch_queries  # noqa: E402,F401

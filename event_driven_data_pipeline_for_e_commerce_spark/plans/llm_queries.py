@@ -842,3 +842,85 @@ def q_doc_quality_filter(spark, sf_dir):
         .filter(F.col("pr") >= 0.25)
         .select("doc_id", "lang", "quality_score")
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns (SURVEY.md build mandate; llmdata/multimodal.py):
+# binary payloads + typed metadata, decoded via Arrow-batched mapInPandas.
+# The testdata has no binary table, so the media frame is DERIVED
+# deterministically from documents (payload = UTF-8 bytes of the text,
+# media_type round-robins on doc_id) — the oracle reproduces the byte
+# semantics with length()/md5() because the corpus text is ASCII
+# (byte length == char length, verified at both SFs).
+# --------------------------------------------------------------------------
+
+
+def _media_frame(t):
+    """documents -> MEDIA_SCHEMA-shaped frame (deterministic derivation)."""
+    return t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+@query(
+    "media_feature_extract",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS BIGINT)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           COUNT(*) AS media_cnt,
+           CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(substr(text, 1, 16))) AS distinct_heads
+    FROM documents
+    GROUP BY media_type
+    """,
+)
+def q_media_feature_extract(spark, sf_dir):
+    """Multimodal decode plumbing end-to-end: binary payload column ->
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder — byte stats + head hash) -> per-media-type rollup.
+
+    The mapInPandas stage is the genuinely non-SQL part; its OUTPUT is
+    still oracle-checkable because the fake decoder's features
+    (n_bytes, md5 of the first 16 bytes) have exact SQL twins on ASCII
+    text. Zero shuffles until the final 3-group aggregate; payloads
+    stream through Python as Arrow batches, never row-at-a-time."""
+    from ..llmdata.multimodal import decode_image_features
+
+    t = load_tables(spark, sf_dir)
+    feats = decode_image_features(
+        ensure_parallelism(_media_frame(t)), fake=True
+    )
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("media_cnt"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("head_hash").alias("distinct_heads"),
+    )
+
+
+@query(
+    "video_frame_grid",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, n_chars * 10, 1000)) AS BIGINT) AS frame_ms
+    FROM documents
+    WHERE CAST(doc_id % 3 AS BIGINT) = 2
+    """,
+)
+def q_video_frame_grid(spark, sf_dir):
+    """Video frame-sampling plumbing: per-video timestamp grid via
+    native sequence()+explode (llmdata/multimodal.sample_frames) — the
+    decode of each sampled frame would slot into the same mapInPandas
+    as media_feature_extract. Map-side only: no shuffle, the explode
+    fans out inside the scan stage."""
+    from ..llmdata.multimodal import sample_frames
+
+    t = load_tables(spark, sf_dir)
+    return sample_frames(_media_frame(t), every_ms=1000)
