@@ -92,3 +92,28 @@ def document_fingerprints(text: Column | str) -> dict[str, Column]:
         "fp_full": F.md5(F.lower(F.trim(c))),
         "fp_prefix": F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))),
     }
+
+
+# PII patterns kept deliberately simple (char classes + bounded
+# quantifiers only) so the Java-regex (Spark) and RE2-ish (oracle)
+# engines agree byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._]+@[a-z0-9.]+",
+    "phone": r"555-[0-9]{4}",
+}
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """PII redaction for training-data pipelines: replace email/phone
+    spans with typed placeholder tokens and count the redactions.
+
+    Pure codegen string ops (regexp_replace / regexp_extract_all) — no
+    UDF, map-side only, safe at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    red = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    return {
+        "redacted": red,
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"]), 0)),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["phone"]), 0)),
+    }

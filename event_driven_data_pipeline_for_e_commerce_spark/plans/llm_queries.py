@@ -924,3 +924,156 @@ def q_video_frame_grid(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return sample_frames(_media_frame(t), every_ms=1000)
+
+
+# --------------------------------------------------------------------------
+# Training-data hygiene ops: PII redaction, repetition scoring,
+# benchmark decontamination — the filter/flag passes a pretraining
+# pipeline runs between dedup and tokenization.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_pii_redact",
+    oracle="""
+    WITH pii AS (
+        SELECT doc_id,
+               'contact ' || source || CAST(doc_id AS VARCHAR) || '@example.com call 555-'
+                 || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                              '555-[0-9]{4}', '<PHONE>', 'g')) AS red_hash,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones
+    FROM pii
+    """,
+)
+def q_doc_pii_redact(spark, sf_dir):
+    """PII redaction pass (llmdata/text.redact_pii): the corpus text is
+    synthetic word-salad with no PII, so each doc is first salted with
+    a deterministic email + phone (derived from doc_id/source) and the
+    redactor must find and mask exactly those spans. Output is the md5
+    of the redacted text (byte parity with the oracle) plus per-type
+    redaction counts. Map-side only — regexp codegen, no shuffle."""
+    from ..llmdata.text import redact_pii
+
+    t = load_tables(spark, sf_dir)
+    raw = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    red = redact_pii(raw)
+    return ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        F.md5(red["redacted"]).alias("red_hash"),
+        red["n_emails"].alias("n_emails"),
+        red["n_phones"].alias("n_phones"),
+    )
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, COUNT(*) AS c
+        FROM bg WHERE bigram IS NOT NULL
+        GROUP BY doc_id, bigram
+    )
+    SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_doc_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of a document's word
+    bigrams taken by its single most frequent bigram (high ratio =
+    degenerate/repetitive text, a standard pretraining drop rule).
+
+    Bigrams are built map-side with zip_with over the token array
+    (concat, NOT concat_ws: the zip tail pads with NULL and concat
+    propagates it so the trailing pair drops cleanly), then one
+    shuffle for the (doc, bigram) count and a doc-level rollup that
+    reuses the same key prefix."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") * F.lit(1.0) / F.sum("count"), 4).alias(
+                "top_bigram_ratio"
+            )
+        )
+    )
+
+
+@query(
+    "doc_contamination_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    d AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL),
+    bench AS (SELECT DISTINCT gram FROM d WHERE doc_id < 25),
+    cand AS (SELECT doc_id, gram FROM d WHERE doc_id >= 25)
+    SELECT c.doc_id, COUNT(*) AS shared_grams
+    FROM cand c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def q_doc_contamination_overlap(spark, sf_dir):
+    """Benchmark decontamination probe: for every candidate document,
+    the number of distinct 5-gram shingles it shares with a held-out
+    benchmark set (here: doc_id < 25 stands in for the eval corpus).
+    Standard pretraining hygiene — candidates with any overlap get
+    dropped or down-weighted.
+
+    Reuses ngram_shingles (distinct per doc, map-side build); the
+    benchmark gram set is small and AQE-broadcast onto the candidate
+    explode, so the only shuffle is the per-doc count."""
+    from ..llmdata.dedup import ngram_shingles
+
+    t = load_tables(spark, sf_dir)
+    sh = ngram_shingles(t["documents"], "text", "doc_id", n=5)
+    bench = sh.filter(F.col("doc_id") < 25).select("shingle").distinct()
+    cand = sh.filter(F.col("doc_id") >= 25)
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )
