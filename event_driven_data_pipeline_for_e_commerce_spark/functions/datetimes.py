@@ -35,11 +35,17 @@ def tolerant_to_timestamp(col: Column | str, formats: Sequence[str] = REFERENCE_
     Spark-native realization of pandas ``to_datetime_safe`` (UD2 —
     app.py:22-40, replaced with pure SQL, no UDF) / BigQuery
     ``SAFE.PARSE_TIMESTAMP`` — stays in codegen.
+
+    Only the explicit reference formats are attempted (no format-less
+    fallback: it would bind bare times like '12:34' to the wall-clock
+    date, breaking determinism). Parses outside year [1, 9999] — which
+    Spark's proleptic calendar accepts but Python/pandas cannot
+    represent (``datetime.MINYEAR == 1``) — are nulled to match the
+    reference's NaT behavior.
     """
     c = F.col(col) if isinstance(col, str) else col
-    attempts = [F.try_to_timestamp(c, F.lit(f)) for f in formats]
-    attempts.append(F.try_to_timestamp(c))  # generic fallback parse
-    return F.coalesce(*attempts)
+    parsed = F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in formats])
+    return F.when(F.year(parsed).between(1, 9999), parsed)
 
 
 def month_bucket(col: Column | str) -> Column:

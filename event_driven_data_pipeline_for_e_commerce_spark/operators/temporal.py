@@ -34,6 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 _SIDE, _PRIO, _BUCKET = "__asof_side", "__asof_prio", "__band_bucket"
+_LID = "__range_left_id"
 
 
 def asof_join(
@@ -128,11 +129,16 @@ def range_join(
 
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
+    # row identity for the left-join unmatched recovery: anti-joining on
+    # all left columns would drop-and-duplicate rows containing NULLs
+    # (NULL never equals itself under SQL equality), so tag each left
+    # row with a surrogate id first and anti-join on that
+    l_src = left.withColumn(_LID, F.monotonically_increasing_id()) if how == "left" else left
     # left row's band [l+lower, l+upper] spans at most 2 width-sized
     # buckets; array_distinct collapses the aligned case. `div` is
     # integral long division — float floor(x/w) can round a hair-below
     # multiple UP at epoch-microsecond magnitudes and mis-bucket.
-    l_exp = left.withColumn(
+    l_exp = l_src.withColumn(
         _BUCKET,
         F.explode(
             F.array_distinct(
@@ -154,13 +160,10 @@ def range_join(
     if how == "inner":
         return l_exp.join(r_b, [*keys, _BUCKET]).filter(band).drop(_BUCKET)
     # left join: run the inner plan, then re-attach unmatched left rows
+    # (identified by surrogate id — null-safe by construction)
     matched = l_exp.join(r_b, [*keys, _BUCKET]).filter(band).drop(_BUCKET)
-    right_only = [c for c in matched.columns if c not in left.columns]
-    unmatched = left.join(
-        matched.select(*left.columns).dropDuplicates(left.columns),
-        left.columns,
-        "left_anti",
-    )
+    right_only = [c for c in matched.columns if c not in l_src.columns]
+    unmatched = l_src.join(matched.select(_LID).distinct(), [_LID], "left_anti")
     for c in right_only:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop(_LID)

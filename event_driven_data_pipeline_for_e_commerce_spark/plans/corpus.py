@@ -881,7 +881,7 @@ def q_row_hash_customers(spark, sf_dir):
     "tolerant_extract_cast",
     oracle="""
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_total,
            count(*) FILTER (WHERE TRY_CAST(props AS DOUBLE) IS NULL) AS unparseable_cnt
     FROM events GROUP BY event_type
     """,
@@ -1132,7 +1132,7 @@ def q_view_click_pairs_2h(spark, sf_dir):
     "props_json_stats",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
            COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_cnt
     FROM events GROUP BY event_type
@@ -1211,8 +1211,8 @@ def q_approx_distinct_contract(spark, sf_dir):
     ),
     counts AS (
         SELECT user_id, epoch,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views_before,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks_before
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views_before,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_before
         FROM tagged GROUP BY user_id, epoch
     )
     SELECT t.user_id,
@@ -1297,9 +1297,13 @@ def q_purchase_attribution(spark, sf_dir):
                TIMESTAMP '9999-12-31 23:59:59', TRUE
         FROM j WHERE s_key IS NOT NULL AND (t_key IS NULL OR t_hash <> s_hash)
     )
-    SELECT * FROM unchanged
-    UNION ALL SELECT * FROM expired
-    UNION ALL SELECT * FROM inserts
+    SELECT order_id, status, total_str, row_hash, order_sk,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to,
+           is_current
+    FROM (SELECT * FROM unchanged
+          UNION ALL SELECT * FROM expired
+          UNION ALL SELECT * FROM inserts)
     """,
 )
 def q_scd2_merge_orders(spark, sf_dir):
@@ -1345,9 +1349,15 @@ def q_scd2_merge_orders(spark, sf_dir):
     merged = scd2_merge(
         target, staging, "order_id", tracked, F.lit("2024-02-01 00:00:00"), sk_col="order_sk"
     )
+    # valid_from/valid_to are rendered as strings: the storage-layer
+    # open-end sentinel (9999-12-31 23:59:59) overflows pandas
+    # datetime64[ns] (max 2262) in any Arrow/pandas consumer, so the
+    # oracle-checked projection never materializes it as a timestamp.
     return merged.select(
-        "order_id", "status", "total_str", "row_hash",
-        "order_sk", "valid_from", "valid_to", "is_current",
+        "order_id", "status", "total_str", "row_hash", "order_sk",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
     )
 
 

@@ -86,11 +86,15 @@ def purchase_attribution_stream(
             return
         views, clicks = state.get if state.exists else (0, 0)
         rows: list[tuple] = []
-        for pdf in pdfs:
-            # micro-batch rows are not order-guaranteed; the state
-            # machine is ts-order-defined, so sort the chunk (ties
-            # broken by event_id for determinism)
-            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+        # micro-batch rows are not order-guaranteed AND one key's rows
+        # may span multiple Arrow chunks — materialize the whole batch
+        # (state size is already bounded per key) and sort ONCE so the
+        # ts-order-defined state machine never replays across a chunk
+        # boundary out of order (ties broken by event_id)
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0] if chunks else None
+        if batch is not None:
+            for r in batch.sort_values(["ts", "event_id"]).itertuples():
                 if r.event_type == "view":
                     views += 1
                 elif r.event_type == "click":

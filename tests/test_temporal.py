@@ -125,6 +125,25 @@ def test_range_join_left_keeps_unmatched(spark):
     assert len(out) == 2 and by_k[1] is not None and by_k[2] is None
 
 
+def test_range_join_left_null_columns_not_duplicated(spark):
+    """A matched left row carrying a NULL column must appear exactly
+    once: an anti-join on all left columns would never match the NULL
+    row against itself (SQL equality) and emit it twice — matched AND
+    as a spurious unmatched row."""
+    left = spark.createDataFrame(
+        [(1, None, "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+        "k int, extra string, lt string",
+    ).select("k", "extra", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "k int, rt string"
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"))
+    out = range_join(left, right, "k", "lt", "rt", 0, 3600, how="left").collect()
+    assert len(out) == 2
+    by_k = {r["k"]: r for r in out}
+    assert by_k[1]["rt"] is not None and by_k[1]["extra"] is None
+    assert by_k[2]["rt"] is None
+
+
 def test_temporal_plans_avoid_cartesian(spark, sf_dir):
     """The reason these operators exist: neither may plan a nested-loop
     / cartesian product."""
