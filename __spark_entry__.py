@@ -19,9 +19,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return corpus.QUERIES["funnel"](spark, "/root/testdata/sf0.001")
 
 
+# Round-1 driver run checked exactly the first 50 registered queries
+# (CORRECTNESS_r01.json), leaving 46 without a correctness row. Order
+# the corpus so the driver's window covers (a) everything unchecked in
+# round 1, then (b) the four round-1 reds whose fixes need a green row
+# (oracle HUGEINT casts, SCD2 sentinel stringify) — 50 exactly — then
+# the already-green remainder.
+_PRIORITY = (
+    "customers_without_orders_anti", "nations_both_sides_intersect",
+    "nations_customers_only_except", "priority_status_pivot",
+    "status_measures_unpivot", "grouping_sets_revenue", "pricing_summary",
+    "user_event_transitions", "customer_order_ranks",
+    "order_value_distribution", "user_event_paths", "order_price_histogram",
+    "customer_geo_nearest", "doc_exact_dedup", "doc_token_stats",
+    "doc_quality_scores", "doc_language_id", "doc_fingerprints",
+    "doc_simhash", "doc_minhash_near_dup", "doc_dup_clusters",
+    "doc_ngram_jaccard_pairs", "emb_cosine_topk", "emb_cosine_near_dup",
+    "emb_ivf_topk", "emb_lsh_topk", "emb_label_centroids",
+    "session_windows", "doc_chunks", "doc_train_split",
+    "doc_tfidf_top_terms", "doc_stratified_sample", "doc_quality_filter",
+    "media_feature_extract", "video_frame_grid", "doc_pii_redact",
+    "doc_repetition_ratio", "doc_contamination_overlap",
+    "q3_shipping_priority", "q4_priority_semi_exists",
+    "q5_local_supplier_volume", "q7_nation_trade_volume", "q8_market_share",
+    "q17_small_quantity_revenue", "q22_prospective_customers",
+    "q19_disjunctive_predicates",
+    # round-1 reds, now fixed — need fresh driver rows
+    "tolerant_extract_cast", "props_json_stats", "purchase_attribution",
+    "scd2_merge_orders",
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(corpus.QUERIES)
+    return _ordered(dict(corpus.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(corpus.ORACLES)
+    return _ordered(dict(corpus.ORACLES))

