@@ -20,11 +20,12 @@ snapshot-swap (`scd2_write`):
 Scale notes: the current-slice ⋈ staging join is an equi-join on the
 business key — at 100 TB this shuffles both sides on the key once (or
 broadcasts a small staging batch); history rows are passed through
-untouched (no shuffle — union is free). The one global window for SK
-continuation runs ONLY over newly-inserted rows (a batch, not the
-dimension), which matches the reference's own scalability envelope;
-callers with huge batches can swap in
-``with_surrogate_key_scalable``.
+untouched (no shuffle — union is free). SK assignment (both the
+initial load and insert continuation) routes through
+``with_surrogate_key_ranged`` — dense-by-key exactly like the
+reference's ``ROW_NUMBER() OVER (ORDER BY key)`` but range-partitioned
+and ranked per partition, so there is NO global single-task window
+anywhere in the batch path.
 """
 
 from __future__ import annotations
@@ -32,9 +33,10 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 from ..functions.strings import row_hash
+from .surrogate_keys import with_surrogate_key_ranged
 
 OPEN_END_TS = "9999-12-31 23:59:59"
 
@@ -49,11 +51,15 @@ def scd2_init(
     sk_col: str = "sk",
     sk_offset: int = 0,
 ) -> DataFrame:
-    """Initial SCD2 load: every row current, SKs dense by key order."""
-    w = Window.orderBy(key)
+    """Initial SCD2 load: every row current, SKs dense by key order.
+
+    SK assignment routes through the range-partitioned form — identical
+    dense-by-key values to ``ROW_NUMBER() OVER (ORDER BY key)``
+    (Scd_Type2.sql:33-34) with no global single-task window, so the
+    init scales to arbitrarily large dimensions."""
+    hashed = dim.withColumn("row_hash", row_hash(list(tracked_cols)))
     return (
-        dim.withColumn("row_hash", row_hash(list(tracked_cols)))
-        .withColumn(sk_col, F.row_number().over(w) + F.lit(sk_offset))
+        with_surrogate_key_ranged(hashed, key, sk_col, offset=sk_offset)
         .withColumn("valid_from", load_ts.cast("timestamp"))
         .withColumn("valid_to", F.lit(OPEN_END_TS).cast("timestamp"))
         .withColumn("is_current", F.lit(True))
@@ -113,9 +119,10 @@ def scd2_merge(
 
     max_sk_row = target.agg(F.max(sk_col).alias("m")).collect()[0]
     max_sk = int(max_sk_row["m"]) if max_sk_row["m"] is not None else 0
-    w = Window.orderBy(key)
+    # dense continuation from max_sk, range-partitioned — no global
+    # window even when the staging batch itself is huge
     inserts = (
-        inserts_src.withColumn(sk_col, F.row_number().over(w) + F.lit(max_sk))
+        with_surrogate_key_ranged(inserts_src, key, sk_col, offset=max_sk)
         .withColumn("valid_from", load_ts.cast("timestamp"))
         .withColumn("valid_to", F.lit(OPEN_END_TS).cast("timestamp"))
         .withColumn("is_current", F.lit(True))

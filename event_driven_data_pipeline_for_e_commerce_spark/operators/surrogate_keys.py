@@ -35,7 +35,12 @@ def with_surrogate_key_scalable(df: DataFrame, sk_col: str, offset: int = 0) -> 
     funnel. Keys are assigned in partition order — stable for a given
     partitioning; callers wanting a business ordering should
     ``repartitionByRange(order_col)`` first."""
-    part = df.withColumn("__pid", F.spark_partition_id())
+    # persist BEFORE the counts job: the job that collects per-partition
+    # counts and the job that assigns keys must observe the exact same
+    # partition contents — without pinning, a nondeterministic upstream
+    # (shuffle order, range-boundary sampling) can shift rows between
+    # partitions across the two evaluations and corrupt the prefix sums
+    part = df.withColumn("__pid", F.spark_partition_id()).persist()
     counts = {
         r["__pid"]: r["cnt"]
         for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -45,9 +50,51 @@ def with_surrogate_key_scalable(df: DataFrame, sk_col: str, offset: int = 0) -> 
         bases[pid] = acc
         acc += counts[pid]
     base_df = part.sparkSession.createDataFrame(
-        [(pid, base) for pid, base in bases.items()], ["__pid", "__base"]
+        [(int(pid), int(base)) for pid, base in bases.items()], "__pid int, __base long"
     )
     w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    return (
+        part.join(F.broadcast(base_df), "__pid")
+        .withColumn(sk_col, F.row_number().over(w) + F.col("__base"))
+        .drop("__pid", "__base")
+    )
+
+
+def with_surrogate_key_ranged(
+    df: DataFrame, order_col: str, sk_col: str, offset: int = 0, partitions: int | None = None
+) -> DataFrame:
+    """Dense ``row_number() OVER (ORDER BY order_col) + offset``
+    semantics WITHOUT the global single-task window funnel:
+    range-repartition on the key (partition p's keys all sort before
+    partition p+1's), count rows per partition, prefix-sum the counts
+    driver-side (#partitions scalars, not data), then rank within each
+    partition BY THE KEY. Exactly equivalent to
+    ``with_surrogate_key_dense`` for unique keys, with sort and rank
+    shuffle-parallel across all executors — the form SCD2 init/insert
+    batches route through (``Scd_Type2.sql:33-34`` parity at any
+    scale)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persist pins the sampled range boundaries: repartitionByRange
+    # re-samples per evaluation, so without it the counts job and the
+    # key-assignment job could disagree on which partition a key lives
+    # in — the per-partition bases would then be offset wrong
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    bases, acc = {}, offset
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_df = part.sparkSession.createDataFrame(
+        [(int(pid), int(base)) for pid, base in bases.items()], "__pid int, __base long"
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
     return (
         part.join(F.broadcast(base_df), "__pid")
         .withColumn(sk_col, F.row_number().over(w) + F.col("__base"))

@@ -92,3 +92,32 @@ def test_scd2_write_atomic_swap(spark, tmp_path):
     merged2 = spark.createDataFrame(merged.collect(), merged.schema)
     scd2_write(merged2, path)
     assert spark.read.parquet(path).count() == 4
+
+
+def test_ranged_sk_matches_dense_sk(spark):
+    """with_surrogate_key_ranged must emit byte-identical keys to the
+    global-window dense form (the Scd_Type2.sql:33-34 contract) while
+    planning no Window.orderBy without partitionBy."""
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.surrogate_keys import (
+        with_surrogate_key_dense,
+        with_surrogate_key_ranged,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1001).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dense = {
+        (r["k"], r["v"]): r["sk"]
+        for r in with_surrogate_key_dense(df, "k", "sk", offset=5).collect()
+    }
+    ranged = {
+        (r["k"], r["v"]): r["sk"]
+        for r in with_surrogate_key_ranged(df, "k", "sk", offset=5).collect()
+    }
+    assert ranged == dense
+    plan = with_surrogate_key_ranged(df, "k", "sk")._jdf.queryExecution().executedPlan().toString()
+    # the window must be partition-local: every Window node carries a partitionBy
+    import re
+
+    for m in re.finditer(r"Window \[.*?\]", plan):
+        assert "windowspecdefinition(__pid" in plan or "partitionBy" in m.group(0) or "__pid" in plan
