@@ -49,5 +49,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             for col, dtype in df.dtypes:
                 if dtype == "bigint" and col in NANO_TS_COLUMNS:
                     df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+                elif dtype.startswith("timestamp_ntz"):
+                    # Session read as NTZ anyway (conf applied too late or
+                    # overridden): normalize — UTC session tz makes the
+                    # cast value-identical.
+                    df = df.withColumn(col, F.col(col).cast("timestamp"))
             out[name] = df
     return out

@@ -32,6 +32,12 @@ RUNTIME_CONF = {
     # testdata events.parquet stores TIMESTAMP(NANOS) which the Parquet
     # reader rejects; read as long-nanos and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timezone-less parquet timestamps (isAdjustedToUTC=false) otherwise
+    # surface as TIMESTAMP_NTZ, which unix_micros/to_utc_timestamp
+    # reject. With the session timezone pinned to UTC, reading them as
+    # regular TIMESTAMP is value-identical and keeps every temporal
+    # operator on one type.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Persisted frames (minhash signatures, SCD2 target, shingles)
     # otherwise pin their shuffle stages at the session's static
     # shuffle-partition count — a driver session's default 200 yields
