@@ -1077,3 +1077,379 @@ def q_doc_contamination_overlap(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: training-data pipeline expansion — segment-level dedup,
+# self-trained bigram LM scoring, text normalization, embedding exact
+# dedup / int8 quantization / one Lloyd k-means iteration.
+# --------------------------------------------------------------------------
+
+SEGMENT_TOKENS = 8  # CCNet-style "line" width for segment-level dedup
+
+
+@query(
+    "doc_segment_dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, ts, len(ts) AS n
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents)
+    ),
+    segs AS (
+        SELECT doc_id,
+               CAST((u.i - 1) // {SEGMENT_TOKENS} AS BIGINT) AS seg_id,
+               md5(string_agg(ts[u.i], ' ' ORDER BY u.i)) AS seg_hash
+        FROM toks, UNNEST(generate_series(1, n)) AS u(i)
+        GROUP BY doc_id, (u.i - 1) // {SEGMENT_TOKENS}
+    ),
+    freq AS (
+        SELECT seg_hash, COUNT(DISTINCT doc_id) AS ndocs
+        FROM segs GROUP BY seg_hash
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+           ROUND(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS dup_fraction
+    FROM segs s JOIN freq f USING (seg_hash)
+    GROUP BY s.doc_id
+    """,
+)
+def q_doc_segment_dedup(spark, sf_dir):
+    """CCNet-style segment-level dedup stats: split each document into
+    consecutive 8-token segments, hash each segment, and report per
+    document how many of its segments also appear in another document
+    (the removal candidates a paragraph-dedup pass would drop).
+
+    Scale shape: segmentation is MAP-SIDE (one pass over the token
+    array — no per-token explode/shuffle); the only wide stages are
+    the seg_hash frequency count (one shuffle on the hash, partial
+    map-side agg) and the per-doc rollup. Segment hashes travel as
+    32-char md5 strings, never the text itself.
+    """
+    t = load_tables(spark, sf_dir)
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ts) / {SEGMENT_TOKENS}.0) as int) - 1),"
+                f" i -> array_join(slice(ts, i * {SEGMENT_TOKENS} + 1, {SEGMENT_TOKENS}), ' '))"
+            )
+        ).alias("seg"),
+    ).select("doc_id", F.md5("seg").alias("seg_hash"))
+    freq = segs.groupBy("seg_hash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    dup = F.when(F.col("ndocs") > 1, 1).otherwise(0)
+    return (
+        segs.join(freq, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(dup).alias("dup_segments"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "doc_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, ts, len(ts) AS n
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents)
+    ),
+    bg AS (
+        SELECT doc_id, ts[u.i] AS w1, ts[u.i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, n - 1)) AS u(i)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(c) AS tot FROM cnt GROUP BY w1),
+    prob AS (
+        SELECT c.w1, c.w2, c.c * 1.0 / u.tot AS p
+        FROM cnt c JOIN uni u USING (w1)
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LOG2(p.p)), 4) AS avg_neg_log2_prob
+    FROM bg b JOIN prob p USING (w1, w2)
+    GROUP BY b.doc_id
+    """,
+)
+def q_doc_bigram_lm_score(spark, sf_dir):
+    """Perplexity-proxy quality scoring: train a word-bigram language
+    model on the corpus itself (P(w2|w1) from global bigram counts)
+    and score each document by its mean negative log2 probability —
+    the KenLM-filter shape from LLM data pipelines, self-contained.
+
+    Scale shape: bigrams are built map-side with zip_with over two
+    array slices (no per-token shuffle); the model is the bigram-count
+    frame (vocabulary-sized, partial-agg'd) and the conditional is a
+    broadcast-joined lookup back onto the exploded bigram stream.
+    """
+    t = load_tables(spark, sf_dir)
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ts, 1, size(ts) - 1)"),
+                F.expr("slice(ts, 2, size(ts) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = cnt.groupBy("w1").agg(F.sum("c").alias("tot"))
+    prob = cnt.join(uni, "w1").select(
+        "w1", "w2", (F.col("c") * 1.0 / F.col("tot")).alias("p")
+    )
+    return (
+        bg.join(F.broadcast(prob), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p")), 4).alias("avg_neg_log2_prob"),
+        )
+    )
+
+
+@query(
+    "doc_clean_normalize",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           COUNT(DISTINCT md5(norm)) AS distinct_norm,
+           CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS changed_cnt,
+           ROUND(AVG(len(norm)), 4) AS avg_norm_chars
+    FROM (SELECT lang, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_doc_clean_normalize(spark, sf_dir):
+    """Text normalization pass (lowercase, strip non-alphanumerics,
+    collapse whitespace) with per-language effect stats — the
+    pre-tokenization cleanup stage of a training-data pipeline.
+    Pure map-side codegen (regexp_replace chain); the only shuffle is
+    the per-language rollup with a two-phase distinct count.
+    """
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        ensure_parallelism(t["documents"])
+        .select("lang", "text", norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_cnt"),
+            F.count_distinct(F.md5("norm")).alias("distinct_norm"),
+            F.sum(F.when(F.col("norm") != F.col("text"), 1).otherwise(0)).alias(
+                "changed_cnt"
+            ),
+            F.round(F.avg(F.length("norm")), 4).alias("avg_norm_chars"),
+        )
+    )
+
+
+@query(
+    "emb_exact_dedup",
+    oracle="""
+    WITH e2 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    h AS (
+        SELECT vec_id,
+               md5(array_to_string(
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(ROUND(x * 1000) AS BIGINT)),
+                   ',')) AS vec_hash
+        FROM e2
+    )
+    SELECT vec_hash, MIN(vec_id) AS keeper_vec_id, COUNT(*) AS copies
+    FROM h GROUP BY vec_hash
+    """,
+)
+def q_emb_exact_dedup(spark, sf_dir):
+    """Exact embedding dedup by quantized-grid hash (3-decimal lattice
+    md5) under a replayed corpus — the vector-space twin of
+    doc_exact_dedup. Quantizing to an integer lattice BEFORE hashing
+    makes the hash byte-stable across engines and storage float
+    widths; the shuffle carries 32-char hashes, never vectors.
+    """
+    t = load_tables(spark, sf_dir)
+    emb = ensure_parallelism(t["embeddings"]).select("vec_id", "embedding")
+    replayed = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    vec_hash = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000).cast("long").cast("string"),
+            ),
+        )
+    )
+    return (
+        replayed.select("vec_id", vec_hash.alias("vec_hash"))
+        .groupBy("vec_hash")
+        .agg(F.min("vec_id").alias("keeper_vec_id"), F.count("*").alias("copies"))
+    )
+
+
+KMEANS_K = 8
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    ranked AS (
+        SELECT e.vec_id, e.v, s.cluster_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, s.cv), s.cluster_id
+               ) AS rn
+        FROM e, seeds s
+    ),
+    a AS (SELECT vec_id, v, cluster_id FROM ranked WHERE rn = 1),
+    pos AS (
+        SELECT cluster_id, u.i AS pos, v[u.i] AS x
+        FROM a, UNNEST(generate_series(1, len(v))) AS u(i)
+    ),
+    cent AS (SELECT cluster_id, pos, AVG(x) AS cx FROM pos GROUP BY cluster_id, pos),
+    norms AS (SELECT cluster_id, SQRT(SUM(cx * cx)) AS cnorm FROM cent GROUP BY cluster_id),
+    cnt AS (SELECT cluster_id, COUNT(*) AS n_members FROM a GROUP BY cluster_id)
+    SELECT c.cluster_id, c.n_members, ROUND(n.cnorm, 6) AS new_centroid_norm
+    FROM cnt c JOIN norms n USING (cluster_id)
+    ORDER BY c.cluster_id
+    """,
+)
+def q_emb_kmeans_assign(spark, sf_dir):
+    """One Lloyd iteration of k-means over the embedding table:
+    assign every vector to its nearest of k seed centroids (L2,
+    deterministic seed = lowest-id vectors, ties to lowest cluster),
+    then recompute the mean centroid per cluster — the clustering
+    primitive behind semantic dedup / data-mixing stages.
+
+    Scale shape: the k seed vectors broadcast to every partition
+    (assignment is map-side, a k-way compare per row — no shuffle);
+    the mean update is the posexplode + (cluster, dim) partial-agg
+    used by emb_label_centroids. Iterating = re-broadcasting k new
+    centroids; no step shuffles the corpus.
+    """
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster_id")
+    )
+    pos = assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+    cent = pos.groupBy("cluster_id", "pos").agg(F.avg("x").alias("cx"))
+    norms = cent.groupBy("cluster_id").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cnorm")
+    )
+    cnt = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        cnt.join(norms, "cluster_id")
+        .select("cluster_id", "n_members", F.round("cnorm", 6).alias("new_centroid_norm"))
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-12) AS amax
+        FROM e
+    ),
+    recon AS (
+        SELECT vec_id, amax,
+               v[u.i] AS x,
+               CAST(ROUND(v[u.i] * 127.0 / amax) AS BIGINT) * amax / 127.0 AS rx
+        FROM s, UNNEST(generate_series(1, len(v))) AS u(i)
+    )
+    SELECT vec_id,
+           ROUND(MAX(amax), 6) AS scale_max,
+           ROUND(SQRT(SUM((x - rx) * (x - rx))), 6) AS recon_err
+    FROM recon
+    GROUP BY vec_id
+    """,
+)
+def q_emb_int8_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scaling) with exact reconstruction error — the vector
+    compression step before shipping embeddings to an ANN index or a
+    training shard.  Entirely map-side per vector (no shuffle at all:
+    the group-by is only the oracle's cross-engine formulation; Spark
+    computes the error inside one higher-order fold per row).
+    """
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    err = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("v"),
+                lambda x: F.pow(
+                    x
+                    - F.round(x * 127.0 / F.col("amax")).cast("long")
+                    * F.col("amax")
+                    / 127.0,
+                    F.lit(2.0),
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.withColumn("amax", amax)
+        .select(
+            "vec_id",
+            F.round("amax", 6).alias("scale_max"),
+            F.round(err, 6).alias("recon_err"),
+        )
+    )
