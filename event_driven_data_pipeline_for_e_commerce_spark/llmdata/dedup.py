@@ -35,16 +35,31 @@ from ..operators.partitioning import ensure_parallelism
 def shingle_array(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text_col`` as one per-row
     array — pure projection, no shuffle. Documents with < n tokens get
-    an empty array."""
+    an empty array.
+
+    Construction cost matters: higher-order lambdas run interpreted,
+    so the body must be O(tokens), not O(tokens·n) with per-element
+    ``slice`` re-scans. n=2 (the near-dup config) uses one zip_with of
+    two offset slices; general n uses element_at probes (O(1) each)
+    instead of slice."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(
+    if n == 2:
+        shingles = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    else:
+        shingles = F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(shingles)
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    guarded = F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(guarded)
 
 
 def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -77,6 +92,40 @@ def _shingle_base(s: Column) -> Column:
 def _perm(base: Column, i: int) -> Column:
     """Permutation i applied to a base hash — plain codegen arithmetic."""
     return (F.lit(2 * i + 1) * base + F.lit(1_000_003 * i)) % MINHASH_P
+
+
+def shingle_hash_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id_col, base) rows: the DISTINCT 31-bit shingle hashes of each
+    document — the minhash pipeline's shingle identity.
+
+    Hash-identity (standard in web-scale MinHash pipelines) keeps the
+    verify joins on 8-byte ints instead of shingle strings, and the
+    distinct-hash set is computed map-side inside the array (one
+    interpreted pass doing the md5s; no shuffle). Within-doc hash
+    collisions (~2^-31 per shingle pair) fold two shingles into one —
+    both engines fold identically, so oracle parity is exact.
+    """
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    hash_arr = F.array_distinct(
+        F.transform(shingle_array(text_col, n), lambda s: _shingle_base(s))
+    )
+    return src.select(F.col(id_col), F.explode(hash_arr).alias("base"))
+
+
+def _minhash_agg_hashed(hashes: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, base) → one row per doc: distinct-shingle count + MIN per
+    permutation. Input rows are already distinct per doc, so the single
+    groupBy gets map-side partial MIN combine and the shuffle carries
+    ≤ num_hashes+1 longs per doc."""
+    return hashes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(_perm(F.col("base"), i)).alias(f"s{i}")
+            for i in range(1, num_hashes + 1)
+        ],
+    )
 
 
 def _minhash_agg(shingles: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -113,19 +162,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
-    """Distinct candidate pairs sharing any band bucket — the one
-    equi-join on (band, band_key) that replaces the O(n²) comparison.
-    Input: (id_col, band, band_key)."""
-    a = band_keys.select(
-        F.col(id_col).alias("doc_a"), F.col("band").alias("b1"), F.col("band_key").alias("k1")
+    """Distinct candidate pairs sharing any band bucket. Input:
+    (id_col, band, band_key).
+
+    Pair generation is bucket-collect, not self-join: one groupBy on
+    (band, band_key) gathers each bucket's ids, and the within-bucket
+    pairs unfold map-side (ids sorted, so doc_a < doc_b by
+    construction). That's one exchange instead of a self-join's two,
+    and bucket sizes are small by LSH design — a bucket is only large
+    when its members really are near-identical, in which case the
+    self-join would have produced the same quadratic pair count
+    anyway."""
+    buckets = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = band_keys.select(
-        F.col(id_col).alias("doc_b"), F.col("band").alias("b2"), F.col("band_key").alias("k2")
+    pair_expr = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
     )
     return (
-        a.join(b, (F.col("k1") == F.col("k2")) & (F.col("b1") == F.col("b2"))
-               & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates()
     )
 
@@ -144,16 +204,19 @@ def minhash_near_duplicates(
 
     Scale contract (what survives a 100 TB corpus):
 
-    - The only persisted frame is the signature table — ``num_hashes+1``
-      longs per document, never shingle text. Everything corpus-sized
-      (the (doc, shingle) relation) is a recomputable map-side
-      projection off the parquet scan, referenced twice by the verify
-      joins but never materialized.
-    - Exact Jaccard is computed for CANDIDATE PAIRS only: the candidate
-      list (small — LSH's entire purpose) re-joins the shingle
-      projection per side, so the verify shuffle carries only shingles
-      of documents that actually appear in a candidate pair (AQE
-      broadcasts the candidate frame, making the first attach map-side).
+    - The only persisted frames are the signature table —
+      ``num_hashes+1`` longs per document, never shingle text — and the
+      candidate-bounded shingle-hash slice. Everything corpus-sized
+      (the (doc, shingle-hash) relation) is a recomputable map-side
+      projection off the parquet scan, never materialized whole.
+    - Exact Jaccard is computed for CANDIDATE PAIRS only, over 31-bit
+      shingle HASHES (never strings): the candidate list (small —
+      LSH's entire purpose) re-joins the hash projection per side, so
+      the verify shuffle carries 8-byte ints for candidate documents
+      only (AQE broadcasts the candidate frame, making the first
+      attach map-side). Jaccard over the distinct-hash sets equals
+      string Jaccard except on ~2^-31 within-doc collisions, which
+      both engines fold identically.
 
     Recall s-curve (probability a pair at true Jaccard s becomes a
     candidate) = 1-(1-s^r)^b with r=``rows_per_band``, b=#bands. At the
@@ -164,8 +227,8 @@ def minhash_near_duplicates(
     more recall at the cost of more candidates to verify).
     """
     num_bands = (num_hashes + rows_per_band - 1) // rows_per_band
-    shingles = ngram_shingles(df, text_col, id_col, n)
-    sigs = _minhash_agg(shingles, id_col, num_hashes).persist()
+    shingle_hashes = shingle_hash_frame(df, text_col, id_col, n)
+    sigs = _minhash_agg_hashed(shingle_hashes, id_col, num_hashes).persist()
     # band j covers hash indices (j-1)*r+1 .. j*r; key = the band's sig
     # values joined '|' in hash order (uniform width — no re-hash
     # needed for the join key)
@@ -193,30 +256,30 @@ def minhash_near_duplicates(
     # that's LSH's entire point)
     cands = lsh_candidate_pairs(bands, id_col).persist()
     # candidate-only verify: restrict the (recomputable, never-persisted
-    # corpus-sized) shingle projection to documents appearing in some
-    # candidate pair, persist THAT candidate-bounded slice, and count
-    # common shingles per pair by joining it against itself through the
-    # pair list
+    # corpus-sized) per-doc hash ARRAY projection to documents appearing
+    # in some candidate pair (AQE broadcasts the small doc-id list, so
+    # the corpus side never shuffles), persist that candidate-bounded
+    # slice, and compute exact Jaccard map-side with array_intersect —
+    # no per-hash explode, no groupBy, no size joins.
     cand_docs = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .union(cands.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+        cands.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
     )
-    cand_sh = shingles.join(cand_docs, id_col, "left_semi").persist()
-    sh_a = cand_sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = cand_sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    hash_arr = F.array_distinct(
+        F.transform(shingle_array(text_col, n), lambda s: _shingle_base(s))
     )
-    size_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    size_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    arr = src.select(F.col(id_col), hash_arr.alias("sh_arr"))
+    cand_arr = arr.join(cand_docs, id_col, "left_semi").persist()
+    a = cand_arr.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    b = cand_arr.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    jac = F.col("n_common") / (
+        F.size("arr_a") + F.size("arr_b") - F.col("n_common")
+    )
     return (
-        common.join(size_a, "doc_a")
-        .join(size_b, "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

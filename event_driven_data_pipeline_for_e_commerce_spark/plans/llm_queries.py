@@ -265,14 +265,15 @@ _MINHASH_CTES = rf"""toks AS (
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
+    shb AS (SELECT DISTINCT doc_id, base FROM sb),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common
         FROM cand c
-        JOIN sh s1 ON s1.doc_id = c.doc_a
-        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+        JOIN shb s1 ON s1.doc_id = c.doc_a
+        JOIN shb s2 ON s2.doc_id = c.doc_b AND s2.base = s1.base
         GROUP BY c.doc_a, c.doc_b
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id)"""
 
 
 @query(

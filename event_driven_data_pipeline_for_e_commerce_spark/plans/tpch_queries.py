@@ -1199,16 +1199,19 @@ def q_q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who single-handedly held up
     finished multi-supplier orders — the EXISTS (another supplier on
     the order) + NOT EXISTS (another LATE supplier on the order)
-    double-correlation, decorrelated into per-order distinct counts.
+    double-correlation, decorrelated into ONE per-order aggregation:
+    the waiting supplier of an order is the sole member of its
+    late-supplier set when the order has >1 distinct suppliers.
 
-    All four frames shuffle on l_orderkey, so AQE chains them on one
-    partitioning; supplier names broadcast at the end.  'Late' is
-    shipped >30 days after the order date (no receipt/commit dates in
-    the slim schema).
+    One fact shuffle total: lineitem joins date-pruned 'F' orders on
+    orderkey, and the per-order aggregate reuses that exchange (the
+    orderkey partitioning already clusters the groupBy key). The
+    late-supplier set is bounded by suppliers-per-order (schema-small),
+    so collect_set state is O(1) per order. 'Late' is shipped >30 days
+    after the order date (no receipt/commit dates in the slim schema).
     """
     t = load_tables(spark, sf_dir)
-    pairs = t["lineitem"].select("l_orderkey", "l_suppkey").distinct()
-    late = (
+    li_o = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(
@@ -1217,26 +1220,26 @@ def q_q21_waiting_suppliers(spark, sf_dir):
             .select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .withColumn(
+            "late_supp",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.col("l_suppkey"),
+            ),
+        )
     )
-    multi = (
-        pairs.groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("l_orderkey")
+    # size(collect_set) instead of count_distinct: both sets come out
+    # of ONE aggregation pass (a count_distinct alongside another agg
+    # would plan an Expand that doubles the shuffled rows)
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supp_set"),
+        F.collect_set("late_supp").alias("late_set"),
     )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("l_orderkey")
-    )
+    waiting = per_order.filter(
+        (F.size("supp_set") > 1) & (F.size("late_set") == 1)
+    ).select(F.element_at("late_set", 1).alias("l_suppkey"))
     return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(sole_late, "l_orderkey", "left_semi")
-        .join(
+        waiting.join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
