@@ -1,0 +1,283 @@
+"""E-commerce analytics marts beyond the reference dashboard: cohort
+retention, RFM segmentation, market-basket co-occurrence, and a
+mergeable-sketch distinct rollup.
+
+These are the marts the reference's README aspires to
+(``README.md:83`` gold_conversion_rates / product_performance) built
+as engine queries over the testdata star schema — registered into the
+same QUERIES/ORACLES registry (imported at the end of ``corpus.py``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .corpus import query
+from .tables import load_tables
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id, date_trunc('month', first_ts) AS cohort_month FROM firsts
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month FROM events
+    ),
+    joined AS (
+        SELECT c.cohort_month,
+               CAST((YEAR(a.act_month) - YEAR(c.cohort_month)) * 12
+                    + (MONTH(a.act_month) - MONTH(c.cohort_month)) AS BIGINT)
+                   AS month_offset,
+               a.user_id
+        FROM cohorts c JOIN activity a USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_month, COUNT(*) AS cohort_users
+        FROM cohorts GROUP BY cohort_month
+    )
+    SELECT strftime(j.cohort_month, '%Y-%m') AS cohort,
+           j.month_offset,
+           COUNT(DISTINCT j.user_id) AS active_users,
+           s.cohort_users,
+           ROUND(COUNT(DISTINCT j.user_id) * 100.0 / s.cohort_users, 4)
+               AS retention_pct
+    FROM joined j JOIN sizes s USING (cohort_month)
+    GROUP BY cohort, j.month_offset, s.cohort_users
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity month,
+    tracked by the share still active k months later — the canonical
+    retention mart the reference's README claims and its dashboard
+    approximates with segment donuts (app.py:483-530).
+
+    Scale shape: first-activity and monthly-activity frames are both
+    one groupBy over events keyed on user_id, so the cohort join
+    reuses the same hash partitioning; the per-(cohort, offset)
+    distinct count is the only second shuffle. No windows, no
+    collects.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("month", "first_ts").alias("cohort_month"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("act_month")
+    ).distinct()
+    month_offset = (
+        (F.year("act_month") - F.year("cohort_month")) * 12
+        + (F.month("act_month") - F.month("cohort_month"))
+    ).cast("long")
+    joined = cohorts.join(activity, "user_id").select(
+        "cohort_month", month_offset.alias("month_offset"), "user_id"
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_users")
+    )
+    return (
+        joined.join(sizes, "cohort_month")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            "month_offset",
+            "cohort_users",
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            "cohort",
+            "month_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users") * 100.0 / F.col("cohort_users"), 4
+            ).alias("retention_pct"),
+        )
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate), (SELECT d FROM maxd))
+                    AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               CASE WHEN recency_days <= 90 THEN 4
+                    WHEN recency_days <= 180 THEN 3
+                    WHEN recency_days <= 330 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency >= 12 THEN 4
+                    WHEN frequency >= 10 THEN 3
+                    WHEN frequency >= 8 THEN 2 ELSE 1 END AS f_score,
+               CASE WHEN monetary >= 3000000 THEN 4
+                    WHEN monetary >= 2400000 THEN 3
+                    WHEN monetary >= 1800000 THEN 2 ELSE 1 END AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(monetary), 2) AS segment_revenue,
+           ROUND(AVG(recency_days), 4) AS avg_recency_days
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: each customer scored 1-4 on Recency /
+    Frequency / Monetary against fixed business thresholds, rolled up
+    per segment — the engine form of the dashboard's customer-segment
+    donut (app.py:483-530), with real purchase behavior instead of
+    random segment labels.
+
+    Fixed thresholds (not global quantile ranks) keep scoring
+    MAP-SIDE after the one per-customer aggregation — a global
+    NTILE(4) would funnel every customer through a single-task
+    window, the SK anti-pattern this engine avoids. The reference
+    anchor date is the table's max order date (1-row broadcast
+    cross-attach, no collect).
+    """
+    t = load_tables(spark, sf_dir)
+    maxd = t["orders"].agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("anchor"), F.col("last_order")).cast("long"),
+        )
+    )
+    def band(col, b4, b3, b2):
+        return (
+            F.when(col >= b4, 4).when(col >= b3, 3).when(col >= b2, 2).otherwise(1)
+        )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= 90, 4)
+        .when(F.col("recency_days") <= 180, 3)
+        .when(F.col("recency_days") <= 330, 2)
+        .otherwise(1)
+        .alias("r_score"),
+        band(F.col("frequency"), 12, 10, 8).alias("f_score"),
+        band(F.col("monetary"), 3000000, 2400000, 1800000).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+    )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the top part pairs bought together
+    in one order (frequent-itemset support counting, the first step of
+    association-rule mining over an order log).
+
+    Scale shape: one groupBy on orderkey collects each basket's
+    distinct parts (bounded by lines-per-order — schema-small), pairs
+    unfold MAP-SIDE from the sorted basket array (part_a < part_b by
+    construction), and the support count is one narrow shuffle on the
+    pair. A self-join formulation would shuffle the order-part
+    relation twice; this shape touches it once.
+    """
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(parts, (a, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "b -> struct(a AS part_a, b AS part_b))))"
+    )
+    return (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "hll_rollup_contract",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS rollup_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_hll_rollup_contract(spark, sf_dir):
+    """Mergeable-sketch distinct rollup: per-(event_type, day) HLL
+    sketches unioned up to event_type level, with the merged estimate
+    scored against the exact distinct count (DataSketches
+    hll_sketch_agg / hll_union_agg, Spark 3.5+).
+
+    This is THE 100 TB distinct-count pattern: daily partitions each
+    emit a kilobyte sketch once, and any coarser rollup (weekly,
+    monthly, all-time) is a sketch union — no rescan of history, no
+    shuffle of raw user ids. The exact twin here exists only to score
+    the estimate; the contract (relative error within HLL's published
+    bound for lgK=12) is the oracle-checked output.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_users")
+    )
+    exact = t["events"].groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.05, F.lit(10.0))
+            ).alias("rollup_ok"),
+        )
+    )

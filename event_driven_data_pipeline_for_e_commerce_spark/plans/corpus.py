@@ -1831,3 +1831,6 @@ from . import llm_queries  # noqa: E402,F401
 
 # TPC-H-shaped multi-join analytics (same registry, separate module)
 from . import tpch_queries  # noqa: E402,F401
+
+# analytics marts: cohort/RFM/basket/sketch-rollup (same registry)
+from . import analytics_queries  # noqa: E402,F401

@@ -1454,3 +1454,157 @@ def q_emb_int8_quantize(spark, sf_dir):
             F.round(err, 6).alias("recon_err"),
         )
     )
+
+
+PACK_CAPACITY = 512  # tokens per training sequence bin
+
+
+@query(
+    "doc_sequence_pack",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   - n_tok AS prev_sum
+        FROM toks
+    )
+    SELECT source,
+           CAST(prev_sum // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           ROUND(SUM(n_tok) / {PACK_CAPACITY}.0, 4) AS fill_ratio
+    FROM c
+    GROUP BY source, bin_id
+    """,
+)
+def q_doc_sequence_pack(spark, sf_dir):
+    """Training-sequence packing: assign documents (in stable doc_id
+    order, shard-local per source) to ~512-token bins by cumulative
+    token prefix — the sequence-packing step that turns a document
+    corpus into fixed-length training examples. Documents may straddle
+    a bin boundary (prefix packing, the standard streaming-concat
+    formulation) — fill_ratio per bin makes the packing efficiency
+    the checkable output.
+
+    Scale shape: token counts are map-side; the running sum windows
+    WITHIN each source shard (partitioned window, never global), which
+    is exactly how packing runs in production — shard-local, one
+    shuffle on source.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = toks.withColumn("prev_sum", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.groupBy(
+            "source",
+            F.expr(f"prev_sum div {PACK_CAPACITY}").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(PACK_CAPACITY)), 4).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
+VOCAB_SIZE = 64
+ENCODE_PREFIX = 16  # ids emitted per doc (output-size cap, not a scan cap)
+
+
+@query(
+    "doc_vocab_encode",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+             UNNEST(generate_series(1, len(ts))) AS u(i)
+    ),
+    vocab AS (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS token_id
+        FROM tok GROUP BY tok
+        QUALIFY token_id <= {VOCAB_SIZE}
+    ),
+    enc AS (
+        SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+        FROM tok t LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           (array_agg(tid ORDER BY pos))[1:{ENCODE_PREFIX}] AS id_prefix
+    FROM enc
+    GROUP BY doc_id
+    """,
+)
+def q_doc_vocab_encode(spark, sf_dir):
+    """Vocabulary build + numericalization: rank the corpus's top-64
+    words into a frequency vocabulary (deterministic alphabetical
+    tie-break, id 0 = OOV) and encode every document as token ids —
+    the tokenize-and-encode stage of a training-data pipeline, with
+    the first 16 ids per doc as the checkable prefix.
+
+    Scale shape: the vocabulary is one token-count shuffle + a TINY
+    top-k (vocab-sized) that broadcasts back onto the exploded token
+    stream; re-collecting ordered ids per doc reuses the doc_id
+    partitioning. The global vocab rank runs over distinct TOKENS
+    (vocabulary-scale, not corpus-scale), so the unpartitioned window
+    is bounded data.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= VOCAB_SIZE)
+        .select("tok", "token_id")
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).cast("long").alias("tid"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tid"))
+                    ),
+                    lambda s: s.getField("tid"),
+                ),
+                1,
+                ENCODE_PREFIX,
+            ).alias("id_prefix"),
+        )
+    )
