@@ -50,10 +50,37 @@ _PRIORITY = (
 )
 
 
+# Queries with a green driver row in round 1 — demoted to the end of
+# the registration order so any driver correctness cap spends its
+# budget on never-checked queries first (round-2 additions included).
+_ROUND1_GREEN = (
+    "funnel", "filter_status_revenue", "late_shipments", "dedup_full_rows",
+    "dedup_keyed_ordered", "empty_relation", "defensive_default_column",
+    "filter_header_rows", "masked_ship_kpis", "deterministic_segments",
+    "render_timestamps", "orders_last_event", "revenue_by_region",
+    "cross_join_matrix", "brand_performance", "date_sk_rollup",
+    "dim_date_build", "salted_join_revenue", "rollup_revenue", "cube_counts",
+    "monthly_revenue", "monthly_revenue_by_status", "avg_acctbal_by_segment",
+    "global_kpis", "top_customer_by_revenue", "mode_event_type",
+    "median_acctbal_by_nation", "conditional_counts", "status_value_counts",
+    "surrogate_keys_dense", "topk_orders", "bottomk_customers",
+    "limit_preview", "union_entities", "ship_delay_days",
+    "row_hash_customers", "null_fill_policy", "display_truncate",
+    "sk_continuation", "tumbling_daily_revenue", "event_id_dedup",
+    "sliding_weekly_revenue", "asof_last_click", "view_click_pairs_2h",
+    "approx_distinct_contract", "customers_with_orders_semi",
+)
+
+
 def _ordered(mapping: dict) -> dict:
     head = {k: mapping[k] for k in _PRIORITY if k in mapping}
-    tail = {k: v for k, v in mapping.items() if k not in head}
-    return {**head, **tail}
+    mid = {
+        k: v
+        for k, v in mapping.items()
+        if k not in head and k not in _ROUND1_GREEN
+    }
+    tail = {k: mapping[k] for k in _ROUND1_GREEN if k in mapping}
+    return {**head, **mid, **tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
