@@ -180,3 +180,68 @@ def test_tpch_q19_common_brand_filter_pushed(spark, sf_dir):
         if line.startswith("PushedFilters")
     )
     assert "In(p_brand" in pushed or "p_brand" in pushed, plan
+
+
+def test_tpch_q6_all_filters_pushed(spark, sf_dir):
+    """Q6 is the pure pushdown benchmark: date bounds, discount band,
+    and quantity cap must ALL reach the lineitem scan — the plan's only
+    job is to read as little as possible."""
+    plan = formatted_plan(spark, QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = "\n".join(
+        line for b in scan_blocks(plan) for line in b.splitlines()
+        if line.startswith("PushedFilters")
+    )
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed:\n{plan}"
+
+
+def test_tpch_q9_dims_broadcast_and_pruned(spark, sf_dir):
+    """Q9's part/supplier/nation chain must broadcast, and the lineitem
+    scan must not read columns the query never touches."""
+    plan = formatted_plan(spark, QUERIES["q9_product_type_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    li = [b for b in scan_blocks(plan) if "lineitem.parquet" in b]
+    assert li, plan
+    schema = next(
+        line for line in li[0].splitlines() if line.startswith("ReadSchema")
+    )
+    assert "l_shipdate" not in schema, schema
+    assert "l_returnflag" not in schema, schema
+
+
+def test_q21_single_pass_aggregation(spark, sf_dir):
+    """Q21's double-EXISTS decorrelation must stay ONE per-order
+    aggregation (collect_set x2), not a cascade of distinct frames and
+    semi joins — and no sort-merge join of the fact against itself."""
+    plan = simple_plan(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert "collect_set" in plan, plan
+    assert plan.count("collect_set") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_verify_is_array_intersect(spark, sf_dir):
+    """The near-dup verify stage must be the map-side array_intersect
+    over candidate-bounded hash arrays — a regression to per-shingle
+    join + groupBy would re-shuffle shingle-grain rows."""
+    plan = simple_plan(QUERIES["doc_minhash_near_dup"](spark, sf_dir))
+    assert "array_intersect" in plan, plan
+
+
+def test_map_side_marts_have_no_windows(spark, sf_dir):
+    """rfm_segments and cohort_retention are designed without ANY
+    window function (fixed-threshold scoring / groupBy-only cohorts):
+    a Window appearing here means someone reintroduced a global
+    rank/ntile funnel."""
+    for name in ("rfm_segments", "cohort_retention"):
+        plan = simple_plan(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, f"{name}:\n{plan}"
+
+
+def test_sequence_pack_window_is_partitioned(spark, sf_dir):
+    """doc_sequence_pack's running sum must window WITHIN source shards
+    — an empty partition spec would funnel the corpus through one
+    task."""
+    df = QUERIES["doc_sequence_pack"](spark, sf_dir)
+    plan = formatted_plan(spark, df)
+    assert "windowspecdefinition" in plan, plan
+    assert re.search(r"windowspecdefinition\(source", plan), plan
