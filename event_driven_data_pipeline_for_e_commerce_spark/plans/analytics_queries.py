@@ -11,6 +11,7 @@ same QUERIES/ORACLES registry (imported at the end of ``corpus.py``).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from .corpus import query
 from .tables import load_tables
@@ -280,4 +281,69 @@ def q_hll_rollup_contract(spark, sf_dir):
                 <= F.greatest(F.col("exact_users") * 0.05, F.lit(10.0))
             ).alias("rollup_ok"),
         )
+    )
+
+
+@query(
+    "daily_revenue_gapfill_ma7",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+               MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    cal AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS revenue
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY day
+    ),
+    filled AS (
+        SELECT c.day, COALESCE(d.revenue, 0.0) AS revenue
+        FROM cal c LEFT JOIN daily d USING (day)
+    )
+    SELECT day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+    FROM filled
+    """,
+)
+def q_daily_revenue_gapfill_ma7(spark, sf_dir):
+    """Time-series resample: daily revenue for one priority class with
+    CALENDAR GAP-FILL (every day between min and max exists, missing
+    days at 0.0) and a trailing 7-day moving average — the resample /
+    rolling-window pair every BI layer needs and pandas gives for free
+    (``.resample('D').sum().rolling(7)``).
+
+    Scale shape: the calendar spine is generated (``sequence()``), not
+    scanned; daily revenue is one partial-agg'd shuffle; the rolling
+    frame runs over the DATE-GRAIN series (bounded: one row per day —
+    a decade is ~3,650 rows), so the unpartitioned window is bounded
+    data by construction, never fact-grain.
+    """
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    daily = urgent.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    bounds = urgent.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    filled = cal.join(daily, "day", "left").select(
+        "day", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return filled.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
     )
