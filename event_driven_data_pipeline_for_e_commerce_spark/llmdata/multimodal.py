@@ -105,3 +105,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ms")
     )
+
+
+PCM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("mean_level", DoubleType()),
+    ]
+)
+
+
+def decode_pcm_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode path: interpret the binary payload as 16-bit
+    little-endian PCM and extract waveform statistics (sample count,
+    peak, RMS, mean level) — vectorized numpy inside Arrow-batched
+    ``mapInPandas``. Unlike ``decode_image_features`` this needs no
+    external media library, so the production path actually runs: the
+    byte buffer is reinterpreted with ``np.frombuffer`` and reduced
+    with array ops, exactly how a real featurizer would slot in.
+
+    A trailing odd byte is truncated (PCM frames are 2 bytes). At
+    scale the same notes as the image path apply: payloads stay
+    columnar, batches stream through Python via Arrow, zero shuffles.
+    """
+    import numpy as np
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_samples": [], "peak": [],
+                "rms": [], "mean_level": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                a = np.frombuffer(b[: 2 * (len(b) // 2)], dtype="<i2").astype(
+                    np.float64
+                )
+                out["media_id"].append(mid)
+                out["n_samples"].append(a.size)
+                if a.size:
+                    out["peak"].append(int(np.max(np.abs(a))))
+                    # numpy pairwise summation differs from a SQL AVG's
+                    # sequential fold by ~1e-10 relative — downstream
+                    # consumers round to 4dp, far above that noise
+                    out["rms"].append(float(np.sqrt(np.mean(a * a))))
+                    out["mean_level"].append(float(np.mean(a)))
+                else:
+                    out["peak"].append(0)
+                    out["rms"].append(0.0)
+                    out["mean_level"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=PCM_SCHEMA
+    )

@@ -1608,3 +1608,51 @@ def q_doc_vocab_encode(spark, sf_dir):
             ).alias("id_prefix"),
         )
     )
+
+
+@query(
+    "audio_pcm_stats",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, text, len(text) // 2 AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    samp AS (
+        SELECT doc_id,
+               CAST(ascii(substr(text, 2 * u.i - 1, 1))
+                    + 256 * ascii(substr(text, 2 * u.i, 1)) AS DOUBLE) AS v
+        FROM s, UNNEST(generate_series(1, n)) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           COUNT(*) AS n_samples,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           ROUND(SQRT(AVG(v * v)), 4) AS rms,
+           ROUND(AVG(v), 4) AS mean_level
+    FROM samp
+    GROUP BY doc_id
+    """,
+)
+def q_audio_pcm_stats(spark, sf_dir):
+    """REAL multimodal decode, end to end: the audio rows' binary
+    payloads are decoded as 16-bit little-endian PCM inside an
+    Arrow-batched mapInPandas (numpy frombuffer — no external media
+    library needed) and reduced to waveform statistics. The oracle
+    reconstructs the same samples arithmetically (payloads are ASCII
+    bytes, so sample i = ascii(2i) + 256*ascii(2i+1)), making the
+    Python decode path itself value-checked cross-engine — this is the
+    one place the engine's 'UDFs only where Spark genuinely cannot
+    express it' rule fires, and it still gets an oracle."""
+    from ..llmdata.multimodal import decode_pcm_features
+
+    t = load_tables(spark, sf_dir)
+    audio = ensure_parallelism(
+        _media_frame(t).filter(F.col("media_type") == "audio")
+    )
+    feats = decode_pcm_features(audio)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "peak",
+        F.round("rms", 4).alias("rms"),
+        F.round("mean_level", 4).alias("mean_level"),
+    )
