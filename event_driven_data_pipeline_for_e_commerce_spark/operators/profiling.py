@@ -1,0 +1,108 @@
+"""Column profiling: per-column data-quality statistics for any
+DataFrame — the profiling pass a warehouse runs before trusting a new
+feed (null rates, cardinality, range, dominant value). The reference
+does this by hand in its Silver run log (mutation accounting,
+``ecom_Silver_Layer.ipynb:14-108``); here it is one generic operator.
+
+Scale shape: ONE aggregation pass computes count/non-null/min/max for
+every profiled column simultaneously (Catalyst evaluates the column
+expressions side by side — no per-column scan). Distinct counts ride
+the same pass as approx_count_distinct (HLL++, mergeable partials);
+the dominant value per column is a per-column groupBy over only the
+columns requested (max-count filter + MIN-value tie-break, never a
+global sort). Output is one tidy row per column with TYPED min/max slots
+(numeric vs string) so no cross-engine float-to-string formatting can
+corrupt comparisons.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import NumericType
+
+
+def profile_table(
+    df: DataFrame, columns: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """One profile row per requested column:
+    (column, n_rows, n_nonnull, n_distinct, numeric_min, numeric_max,
+    string_min, string_max, top_value, top_count).
+
+    ``exact_distinct=True`` uses COUNT(DISTINCT) (exact, heavier);
+    False uses approx_count_distinct — the 100 TB default.
+    """
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact_distinct
+                else F.approx_count_distinct(c)
+            ).alias(f"nd_{c}")
+        )
+        if c in numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"smin_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"smax_{c}"))
+    base = df.agg(*aggs)
+
+    # dominant value per column: one narrow groupBy per profiled
+    # column, then max-count filter + MIN-value tie-break — two scalar
+    # aggregates over the (distinct-value)-sized count frame, no
+    # global window/sort of values
+    tops = None
+    for c in columns:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("top_value"))
+            .agg(F.count(F.lit(1)).alias("top_count"))
+        )
+        mx = counts.agg(F.max("top_count").alias("mx"))
+        vc = (
+            counts.crossJoin(F.broadcast(mx))
+            .filter(F.col("top_count") == F.col("mx"))
+            .agg(
+                F.min("top_value").alias("top_value"),
+                F.max("top_count").alias("top_count"),
+            )
+            .select(F.lit(c).alias("column"), "top_value", "top_count")
+        )
+        tops = vc if tops is None else tops.unionByName(vc)
+
+    rows = None
+    for c in columns:
+        row = base.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (
+                F.col(f"min_{c}")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias("numeric_min"),
+            (
+                F.col(f"max_{c}")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias("numeric_max"),
+            (
+                F.lit(None).cast("string")
+                if c in numeric
+                else F.col(f"smin_{c}")
+            ).alias("string_min"),
+            (
+                F.lit(None).cast("string")
+                if c in numeric
+                else F.col(f"smax_{c}")
+            ).alias("string_max"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.join(tops, "column", "left")

@@ -347,3 +347,128 @@ def q_daily_revenue_gapfill_ma7(spark, sf_dir):
         F.round("revenue", 2).alias("revenue"),
         F.round(F.avg("revenue").over(w), 2).alias("ma7"),
     )
+
+
+def _profile_col_sql(col: str, numeric: bool) -> str:
+    """Oracle fragment mirroring operators/profiling.profile_table for
+    one column of orders."""
+    if numeric:
+        mins = f"MIN(CAST({col} AS DOUBLE))", f"MAX(CAST({col} AS DOUBLE))"
+        smin = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    else:
+        mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        smin = f"MIN(CAST({col} AS VARCHAR))", f"MAX(CAST({col} AS VARCHAR))"
+    return f"""
+    SELECT '{col}' AS column,
+           COUNT(*) AS n_rows,
+           COUNT({col}) AS n_nonnull,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           {mins[0]} AS numeric_min, {mins[1]} AS numeric_max,
+           {smin[0]} AS string_min, {smin[1]} AS string_max,
+           (SELECT MIN(v) FROM (
+              SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c FROM orders
+              WHERE {col} IS NOT NULL GROUP BY v) t
+            WHERE c = (SELECT MAX(c) FROM (
+              SELECT COUNT(*) AS c FROM orders WHERE {col} IS NOT NULL
+              GROUP BY CAST({col} AS VARCHAR)) m)) AS top_value,
+           (SELECT MAX(c) FROM (
+              SELECT COUNT(*) AS c FROM orders WHERE {col} IS NOT NULL
+              GROUP BY CAST({col} AS VARCHAR)) m) AS top_count
+    FROM orders
+    """
+
+
+_PROFILE_COLS = [
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+]
+
+
+@query(
+    "orders_column_profile",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c, num) for c, num in _PROFILE_COLS
+    ),
+)
+def q_orders_column_profile(spark, sf_dir):
+    """Generic column profiling (operators/profiling.profile_table)
+    applied to orders: null counts, cardinality, typed min/max, and
+    the dominant value per column — the automated replacement for the
+    reference's hand-printed Silver mutation accounting
+    (ecom_Silver_Layer.ipynb:14-108).
+
+    Scale shape: one aggregation pass computes count/non-null/
+    distinct/min/max for ALL profiled columns simultaneously; the
+    dominant value adds one narrow per-column groupBy over the values
+    only, resolved with scalar max + MIN tie-break (no global sort,
+    no window).
+    """
+    from ..operators.profiling import profile_table
+
+    t = load_tables(spark, sf_dir)
+    return profile_table(t["orders"], [c for c, _ in _PROFILE_COLS])
+
+
+@query(
+    "customer_name_fuzzy_pairs",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               substr(c_name, 1, len(c_name) - 2) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY custkey_a, custkey_b
+    LIMIT 100
+    """,
+)
+def q_customer_name_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy matching (entity resolution): candidate customer
+    pairs whose names are within edit distance 1, generated WITHIN
+    prefix blocks — the dedup family between exact hashing and
+    MinHash, for typo-level variants.
+
+    Scale shape: blocking on all-but-last-2 characters turns the
+    O(n²) all-pairs Levenshtein into an equi-join on the block key
+    (each block is small by construction); the quadratic edit-distance
+    only runs inside blocks. The classic record-linkage architecture
+    (block -> compare -> link), with the compare step in native
+    codegen (levenshtein is a Catalyst expression).
+    """
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(dist <= 1)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("edit_distance"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+        .limit(100)
+    )
