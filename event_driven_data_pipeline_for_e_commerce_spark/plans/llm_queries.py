@@ -1214,8 +1214,11 @@ def q_doc_bigram_lm_score(spark, sf_dir):
     prob = cnt.join(uni, "w1").select(
         "w1", "w2", (F.col("c") * 1.0 / F.col("tot")).alias("p")
     )
+    # no broadcast hint: the model table is vocabulary^2-sized, small
+    # here but unbounded at corpus scale — AQE broadcasts it while it
+    # fits and falls back to a shuffle join when it doesn't
     return (
-        bg.join(F.broadcast(prob), ["w1", "w2"])
+        bg.join(prob, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

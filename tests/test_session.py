@@ -38,3 +38,20 @@ def test_hostile_timezone_does_not_shift_date_keys(hostile, sf_dir):
     rows = QUERIES["date_sk_rollup"](hostile, sf_dir).collect()
     assert all(19000101 < r["date_sk"] < 21000101 for r in rows)
     assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_loaded_timestamps_are_session_zone(spark):
+    """Regression guard for driver testdata schema drift: events.ts has
+    been TIMESTAMP(NANOS) (round 1) and timezone-less timestamp[us]
+    (round 2, read as TIMESTAMP_NTZ unless inference is disabled).
+    Whatever the parquet stores, load_tables must surface plain
+    session-zone TimestampType — every temporal operator
+    (unix_micros bucketing, watermarks, windows) depends on it."""
+    from pyspark.sql.types import TimestampType
+
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    assert isinstance(t["events"].schema["ts"].dataType, TimestampType)
+    assert isinstance(t["orders"].schema["o_orderdate"].dataType, TimestampType)
+    assert isinstance(t["lineitem"].schema["l_shipdate"].dataType, TimestampType)
