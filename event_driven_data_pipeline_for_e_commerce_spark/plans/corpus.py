@@ -1698,7 +1698,8 @@ def q_order_value_distribution(spark, sf_dir):
     "user_event_paths",
     oracle="""
     SELECT user_id,
-           (list(event_type ORDER BY ts, event_id))[1:20] AS path,
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '>')
+               AS path,
            count(*) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -1708,21 +1709,26 @@ def q_user_event_paths(spark, sf_dir):
     collect_list gives NO ordering guarantee under partial aggregation
     — the deterministic form collects (ts, event_id, type) structs,
     array_sorts locally, then projects the type, all map-side after one
-    key shuffle; the oracle is DuckDB's ordered list()."""
+    key shuffle; the oracle is DuckDB's ordered list(). The path is
+    RENDERED as a '>'-joined string on both sides so the external
+    comparison never has to hash a list-typed cell."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
         .groupBy("user_id")
         .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda s: s["event_type"],
                     ),
-                    lambda s: s["event_type"],
+                    1,
+                    20,
                 ),
-                1,
-                20,
+                ">",
             ).alias("path"),
             F.count(F.lit(1)).alias("n_events"),
         )

@@ -1553,7 +1553,8 @@ ENCODE_PREFIX = 16  # ids emitted per doc (output-size cap, not a scan cap)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           (array_agg(tid ORDER BY pos))[1:{ENCODE_PREFIX}] AS id_prefix
+           array_to_string((array_agg(tid ORDER BY pos))[1:{ENCODE_PREFIX}], ',')
+               AS id_prefix
     FROM enc
     GROUP BY doc_id
     """,
@@ -1563,7 +1564,8 @@ def q_doc_vocab_encode(spark, sf_dir):
     words into a frequency vocabulary (deterministic alphabetical
     tie-break, id 0 = OOV) and encode every document as token ids —
     the tokenize-and-encode stage of a training-data pipeline, with
-    the first 16 ids per doc as the checkable prefix.
+    the first 16 ids per doc (comma-rendered, list-free for the
+    external hasher) as the checkable prefix.
 
     Scale shape: the vocabulary is one token-count shuffle + a TINY
     top-k (vocab-sized) that broadcasts back onto the exploded token
@@ -1599,15 +1601,18 @@ def q_doc_vocab_encode(spark, sf_dir):
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tid"))
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tid"))
+                        ),
+                        lambda s: s.getField("tid"),
                     ),
-                    lambda s: s.getField("tid"),
+                    1,
+                    ENCODE_PREFIX,
                 ),
-                1,
-                ENCODE_PREFIX,
+                ",",
             ).alias("id_prefix"),
         )
     )

@@ -49,8 +49,9 @@ def test_vocab_encode_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r["n_oov"] <= r["n_tokens"]
-        assert len(r["id_prefix"]) == min(r["n_tokens"], ENCODE_PREFIX)
-        assert all(0 <= i <= VOCAB_SIZE for i in r["id_prefix"])
+        ids = [int(x) for x in r["id_prefix"].split(",") if x != ""]
+        assert len(ids) == min(r["n_tokens"], ENCODE_PREFIX)
+        assert all(0 <= i <= VOCAB_SIZE for i in ids)
 
 
 def test_kmeans_assignment_partitions_corpus(spark, sf_dir):
