@@ -472,3 +472,101 @@ def q_customer_name_fuzzy_pairs(spark, sf_dir):
         .orderBy("custkey_a", "custkey_b")
         .limit(100)
     )
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """3 unrolled power iterations over the co-purchase graph."""
+    prev = "r0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT n.part, {1 - PAGERANK_DAMPING} / (SELECT cnt FROM n_nodes)
+               + {PAGERANK_DAMPING} * COALESCE(SUM(p.rank / d.deg), 0.0) AS rank
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.part
+        LEFT JOIN {prev} p ON p.part = e.src
+        LEFT JOIN degrees d ON d.part = e.src
+        GROUP BY n.part
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY src, dst
+    ),
+    edges AS (SELECT src, dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS part FROM edges),
+    n_nodes AS (SELECT COUNT(*) AS cnt FROM nodes),
+    degrees AS (SELECT src AS part, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT part, 1.0 / (SELECT cnt FROM n_nodes) AS rank FROM nodes),
+    {",".join(iters)}
+    SELECT part AS l_partkey, ROUND(rank * 1000000, 4) AS rank_ppm
+    FROM {prev}
+    ORDER BY rank_ppm DESC, l_partkey
+    LIMIT 25
+    """
+
+
+@query("part_copurchase_pagerank", oracle=_pagerank_oracle())
+def q_part_copurchase_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (edges = parts bought
+    together in an order, both directions): 3 damped power iterations,
+    top 25 parts by rank — the iterative-algorithm shape (like the
+    dedup connected components) expressed as a driver-side loop of
+    distributed joins, scored against a fully unrolled SQL oracle.
+
+    Scale shape: the edge list shuffles once to build out-degrees;
+    each iteration is one join of the current rank vector (node-sized,
+    tiny next to edges) against the edge list plus a groupBy on dst —
+    the standard Pregel-on-DataFrames realization. Every part that
+    shares an order has out-degree >= 1, so no dangling-mass term is
+    needed. Ranks are scaled to parts-per-million before rounding so
+    the 4-decimal comparison keeps real precision.
+    """
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("part")).distinct()
+    n_nodes = nodes.count()  # scalar: graph node count (drives the teleport term)
+    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("part", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1 - PAGERANK_DAMPING) / n_nodes
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.part)
+            .join(degrees, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("dst").agg(F.sum("contrib").alias("mass")),
+                nodes.part == F.col("dst"),
+                "left",
+            )
+            .select(
+                "part",
+                (
+                    F.lit(teleport)
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("part").alias("l_partkey"),
+        F.round(F.col("rank") * 1000000, 4).alias("rank_ppm"),
+    ).orderBy(F.desc("rank_ppm"), "l_partkey").limit(25)
