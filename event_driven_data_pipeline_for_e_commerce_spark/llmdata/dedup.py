@@ -390,3 +390,53 @@ def duplicate_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: documents whose fingerprints are
+    within ``max_hamming`` bits. Candidates come from banding the
+    fingerprint into ``max_hamming + 1`` bit-groups — by pigeonhole,
+    any pair within the radius agrees exactly on at least one band, so
+    the search is an equi-join on (band, band_value), never all-pairs.
+    Verification is one ``bit_count(xor)`` per candidate (codegen).
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b. Hamming search
+    over fingerprints is the cheap sibling of MinHash: no shingle
+    state at all — one long per document — at the cost of coarser
+    similarity resolution (16 bits here; production uses 64).
+    """
+    n_bands = max_hamming + 1
+    base_width = bits // n_bands
+    fp = simhash(df, text_col, id_col, bits)
+    band_structs = []
+    lo = 0
+    for b in range(n_bands):
+        # equal-width bands; the last band absorbs the remainder bits
+        width = base_width if b < n_bands - 1 else bits - lo
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright(F.col("simhash"), lo).cast("long")
+                 % F.lit(2 ** width)).alias("band_key"),
+            )
+        )
+        lo += width
+    bands = fp.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
+    )
+    cands = lsh_candidate_pairs(bands, id_col)
+    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

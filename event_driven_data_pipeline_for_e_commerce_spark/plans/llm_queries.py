@@ -1664,3 +1664,64 @@ def q_audio_pcm_stats(spark, sf_dir):
         F.round("rms", 4).alias("rms"),
         F.round("mean_level", 4).alias("mean_level"),
     )
+
+
+@query(
+    "doc_simhash_near_dup",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+    ),
+    tb AS (
+        SELECT doc_id, md5(tok) AS h, b.b
+        FROM tok, UNNEST(generate_series(0, 15)) AS b(b)
+    ),
+    contrib AS (
+        SELECT doc_id, b,
+               CASE WHEN (CAST(FLOOR((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                          / CAST(POW(2, b % 4) AS BIGINT)) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END AS c
+        FROM tb
+    ),
+    per_bit AS (SELECT doc_id, b, SUM(c) AS s FROM contrib GROUP BY doc_id, b),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM per_bit GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, u.b AS band,
+               CASE u.b WHEN 0 THEN simhash % 32
+                        WHEN 1 THEN (simhash // 32) % 32
+                        ELSE simhash // 1024 END AS band_val
+        FROM fp, UNNEST(generate_series(0, 2)) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 2
+    """,
+)
+def q_doc_simhash_near_dup(spark, sf_dir):
+    """SimHash Hamming-radius near-dup search: pairs of documents
+    whose 16-bit fingerprints differ in at most 2 bits. Pigeonhole
+    banding (3 bit-groups for radius 2: any qualifying pair agrees
+    exactly on >= 1 band) turns the radius search into an equi-join on
+    (band, band_value); verification is one codegen bit_count(xor) per
+    candidate. The fingerprint-only sibling of doc_minhash_near_dup —
+    one long per document, no shingle state anywhere."""
+    from ..llmdata.dedup import simhash_near_duplicates
+
+    t = load_tables(spark, sf_dir)
+    return simhash_near_duplicates(
+        t["documents"], "text", "doc_id", bits=16, max_hamming=2
+    )
