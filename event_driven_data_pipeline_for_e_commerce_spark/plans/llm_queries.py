@@ -368,27 +368,38 @@ def q_doc_dup_clusters(spark, sf_dir):
 )
 def q_doc_ngram_jaccard_pairs(spark, sf_dir):
     """Plain n-gram Jaccard (3-gram) between consecutive doc pairs —
-    the exact-similarity primitive without LSH. The shingle frame is
-    persisted: three consumers (both join sides + sizes) would each
-    recompute the tokenize/shingle projection otherwise."""
+    the exact-similarity primitive without LSH. Per-doc distinct
+    shingle ARRAYS are built map-side and the consecutive-pair join is
+    one id equi-join carrying a single bounded-width array row per doc
+    (no shingle-grain shuffle, nothing persisted); the intersection is
+    a map-side array_intersect. Pairs with zero common shingles (and
+    docs too short to shingle — empty arrays) drop out exactly as the
+    oracle's match-requiring join does."""
+    from ..llmdata.dedup import shingle_array
+
     t = load_tables(spark, sf_dir)
-    sh = ngram_shingles(t["documents"], "text", "doc_id", n=3).persist()
-    pairs = (
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-        .join(
-            sh.select(F.col("doc_id").alias("__b"), F.col("shingle").alias("sh_b")),
-            (F.col("__b") == F.col("doc_a") + 1) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", F.col("__b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id", shingle_array("text", 3).alias("arr")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+    )
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        a.join(b, "doc_a")
+        .withColumn("n_common", n_common)
+        .filter(F.col("n_common") >= 1)
         .select(
-            "doc_a", "doc_b",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.size("arr_a") + F.size("arr_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
         )
     )
 
