@@ -138,3 +138,32 @@ def test_gapfill_calendar_is_dense(spark, sf_dir):
     for i in range(len(rows)):
         window = [r["revenue"] for r in rows[max(0, i - 6): i + 1]]
         assert abs(rows[i]["ma7"] - round(sum(window) / len(window), 2)) <= 0.011
+
+
+def test_simhash_banding_is_complete(spark, sf_dir):
+    """Pigeonhole banding is EXACT for Hamming search (unlike
+    probabilistic LSH): every pair within the radius shares a band, so
+    the banded result must equal the brute-force all-pairs answer."""
+    import pyspark.sql.functions as F
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    fp = simhash(docs, "text", "doc_id", bits=16)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    )
+    banded = simhash_near_duplicates(
+        docs, "text", "doc_id", bits=16, max_hamming=2
+    ).collect()
+    assert sorted(map(tuple, banded)) == sorted(map(tuple, brute))
