@@ -21,10 +21,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-1 driver run checked exactly the first 50 registered queries
 # (CORRECTNESS_r01.json), leaving 46 without a correctness row. Order
-# the corpus so the driver's window covers (a) everything unchecked in
-# round 1, then (b) the four round-1 reds whose fixes need a green row
-# (oracle HUGEINT casts, SCD2 sentinel stringify) — 50 exactly — then
-# the already-green remainder.
+# the corpus three-tier: (1) the 50 never-checked round-1 entries —
+# 46 unchecked + the four round-1 reds whose fixes need a green row
+# (oracle HUGEINT casts, SCD2 sentinel stringify); (2) everything
+# added since (round-2 queries, in registration order); (3) the
+# queries already green in round 1, demoted to the end.
 _PRIORITY = (
     "customers_without_orders_anti", "nations_both_sides_intersect",
     "nations_customers_only_except", "priority_status_pivot",
