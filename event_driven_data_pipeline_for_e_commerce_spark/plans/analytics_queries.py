@@ -570,3 +570,37 @@ def q_part_copurchase_pagerank(spark, sf_dir):
         F.col("part").alias("l_partkey"),
         F.round(F.col("rank") * 1000000, 4).alias("rank_ppm"),
     ).orderBy(F.desc("rank_ppm"), "l_partkey").limit(25)
+
+
+@query(
+    "segment_event_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           ROUND(SUM(e.value), 2) AS revenue,
+           COUNT(*) AS purchase_cnt
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_segment_event_revenue(spark, sf_dir):
+    """Purchase revenue per customer market segment: the batch twin of
+    streaming.streams.segment_revenue_stream (stream-static broadcast
+    enrich + aggregate). Events carry user ids that live in the
+    customer key space; the dimension broadcasts, the purchase filter
+    pushes into the scan, and the rollup is one small shuffle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("value"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("purchase_cnt"),
+        )
+    )

@@ -188,3 +188,42 @@ def scd2_foreach_batch(
         scd2_write(merged, target_path)
 
     return apply
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch probes the
+    static dimension (broadcast by AQE when small — the streaming form
+    of the J2/J5 dim enrich). The static side is re-resolved per
+    micro-batch, so a dimension REFRESH (overwrite of the table the
+    DataFrame reads) is picked up without restarting the query —
+    the standard slowly-refreshing-dimension pattern.
+    """
+    return events.withWatermark(ts_col, watermark).join(dim, join_expr, "left")
+
+
+def segment_revenue_stream(
+    events: DataFrame,
+    customer: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST2+J2 composed: purchase revenue per customer market segment,
+    computed as a stream-static broadcast enrich followed by a
+    streaming aggregate — the streaming twin of the
+    ``segment_event_revenue`` corpus query."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    enriched = enrich_stream(
+        events.filter(F.col("event_type") == "purchase"),
+        dim,
+        F.col("user_id") == F.col("c_custkey"),
+        watermark=watermark,
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.round(F.sum("value"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("purchase_cnt"),
+    )

@@ -232,3 +232,28 @@ def test_stream_stream_range_join_matches_batch(spark, sf_dir, event_source, tmp
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """Stream-static dim enrich + aggregate equals the batch twin
+    (segment_event_revenue corpus query) under Trigger.AvailableNow."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import QUERIES
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        segment_revenue_stream,
+    )
+
+    src, schema = event_source
+    stream = read_event_stream(spark, src, schema)
+    customer = load_tables(spark, sf_dir)["customer"]
+    _run_available_now(
+        segment_revenue_stream(stream, customer), tmp_path, "seg_rev"
+    )
+    got = {
+        (r["c_mktsegment"], r["revenue"], r["purchase_cnt"])
+        for r in spark.sql("SELECT * FROM seg_rev").collect()
+    }
+    want = {
+        (r["c_mktsegment"], r["revenue"], r["purchase_cnt"])
+        for r in QUERIES["segment_event_revenue"](spark, sf_dir).collect()
+    }
+    assert got == want
