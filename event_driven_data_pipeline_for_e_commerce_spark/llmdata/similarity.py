@@ -219,19 +219,23 @@ def cosine_near_duplicates(
     exact cosine and keep pairs ≥ threshold. Output: (id_a, id_b,
     cos_sim), id_a < id_b. The embedding-space sibling of the MinHash
     text near-dup — same candidate-then-verify shape."""
-    # candidate generation over BARE ids — the bucket join + pair dedup
-    # shuffle must not carry the vectors (128 doubles/pair); they are
+    # candidate generation over BARE ids — the bucket-collect pair
+    # unfold must not carry the vectors (128 doubles/pair); they are
     # re-attached afterwards from the slim per-vector frame (AQE
-    # broadcasts it when small, shuffle-joins at scale)
+    # broadcasts it when small, shuffle-joins at scale). Bucket-collect
+    # (one exchange + map-side pair expansion, shared with the MinHash
+    # pipeline) also means the signature projection runs ONCE, not per
+    # self-join side.
+    from .dedup import lsh_candidate_pairs
+
     b = lsh_bucket(embeddings, planes, n_tables, id_col, vec_col).select(
-        id_col, "tbl", "bucket"
+        id_col, "tbl", F.col("bucket")
     )
-    cands = (
-        b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-        .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
+    band_keys = b.select(
+        F.col(id_col), F.col("tbl").alias("band"), F.col("bucket").alias("band_key")
+    )
+    cands = lsh_candidate_pairs(band_keys, id_col).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     vecs = embeddings.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__v")
