@@ -1736,3 +1736,65 @@ def q_doc_simhash_near_dup(spark, sf_dir):
     return simhash_near_duplicates(
         t["documents"], "text", "doc_id", bits=16, max_hamming=2
     )
+
+
+# per-source keep rates for the mixing demo: 256ths of the corpus
+# (md5-byte thresholds), defaulting to 26/256 ~ 10%
+MIX_RATES_256 = {"src0": 256, "src1": 128, "src2": 64, "src3": 192}
+MIX_DEFAULT_256 = 26
+
+
+@query(
+    "doc_source_mixing",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) * 16
+               + CAST(strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                      AS BIGINT) AS u,
+               CASE source
+                 WHEN 'src0' THEN 256 WHEN 'src1' THEN 128
+                 WHEN 'src2' THEN 64  WHEN 'src3' THEN 192
+                 ELSE {MIX_DEFAULT_256} END AS keep_256
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < keep_256 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MAX(keep_256) / 256.0, 4) AS target_rate
+    FROM d GROUP BY source
+    """,
+)
+def q_doc_source_mixing(spark, sf_dir):
+    """Dataset mixing: per-source keep rates (a fixed mixture-weight
+    table, the Pile-style recipe) applied with a DETERMINISTIC
+    md5-derived uniform — stable across runs, engines, partitionings,
+    and re-executions, unlike sample()/randomSplit. Entirely map-side:
+    the keep decision is a projection, the per-source audit rollup is
+    the only shuffle. Upsampling (>1x weights) would repeat the same
+    construction with an epoch counter salt in the hash input."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+    )
+    keep_256 = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(v))
+            for s, v in MIX_RATES_256.items()
+        ],
+        F.lit(MIX_DEFAULT_256),
+    )
+    d = ensure_parallelism(t["documents"]).select(
+        "source", u.alias("u"), keep_256.alias("keep_256")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("keep_256"), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.round(F.max("keep_256") / 256.0, 4).alias("target_rate"),
+    )
