@@ -604,3 +604,153 @@ def q_segment_event_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("purchase_cnt"),
         )
     )
+
+
+@query(
+    "daily_conversion_rates",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        FROM events GROUP BY day
+    )
+    SELECT day, views, clicks, purchases,
+           ROUND(clicks * 100.0 / NULLIF(views, 0), 4) AS click_rate_pct,
+           ROUND(purchases * 100.0 / NULLIF(views, 0), 4) AS purchase_rate_pct
+    FROM daily
+    """,
+)
+def q_daily_conversion_rates(spark, sf_dir):
+    """Daily conversion-rate mart — the reference README's
+    gold_conversion_rates (README.md:83) materialized per day: stage
+    counts from one conditional-aggregate pass and view->click /
+    view->purchase percentages. Map-side day bucketing, one shuffle,
+    all three counters in a single aggregation (no per-stage scans);
+    NULL (not a crash, not a zero) when a day has no views."""
+    t = load_tables(spark, sf_dir)
+    cnt = lambda s: F.sum(F.when(F.col("event_type") == s, 1).otherwise(0))
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            cnt("view").alias("views"),
+            cnt("click").alias("clicks"),
+            cnt("purchase").alias("purchases"),
+        )
+    )
+    return daily.select(
+        "day",
+        "views",
+        "clicks",
+        "purchases",
+        F.round(
+            F.col("clicks") * 100.0 / F.nullif(F.col("views"), F.lit(0)), 4
+        ).alias("click_rate_pct"),
+        F.round(
+            F.col("purchases") * 100.0 / F.nullif(F.col("views"), F.lit(0)), 4
+        ).alias("purchase_rate_pct"),
+    )
+
+
+@query(
+    "order_value_quantile_bands",
+    oracle="""
+    SELECT c.c_mktsegment,
+           ROUND(quantile_disc(o.o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_disc(o.o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_disc(o.o_totalprice, 0.75), 2) AS p75,
+           ROUND(quantile_disc(o.o_totalprice, 0.90), 2) AS p90
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_order_value_quantile_bands(spark, sf_dir):
+    """Exact multi-quantile bands (p25/p50/p75/p90 of order value) per
+    market segment — the G10 exact-median semantics generalized to a
+    quantile vector. DISCRETE quantiles (smallest value at or above
+    the requested rank) rather than continuous: interpolated midpoints
+    differ between engines in the last float bit, which a 2-decimal
+    round can surface as a one-cent mismatch — discrete quantiles are
+    actual data values, bit-identical everywhere. Customer broadcast-
+    enriches orders before the rollup. Exact percentiles shuffle group
+    values by design — percentile_approx (KLL) is the 100 TB default
+    and approx_distinct_contract shows the contract pattern for it."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    pd_ = lambda p: F.expr(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    return base.groupBy("c_mktsegment").agg(
+        F.round(pd_(0.25), 2).alias("p25"),
+        F.round(pd_(0.50), 2).alias("p50"),
+        F.round(pd_(0.75), 2).alias("p75"),
+        F.round(pd_(0.90), 2).alias("p90"),
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS violation_cnt
+    UNION ALL
+    SELECT 'order_without_lineitem',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+    UNION ALL
+    SELECT 'order_without_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'event_user_without_customer',
+           (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    """,
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit: orphan counts across every FK edge
+    of the star schema (fact->dim and fact->fact both directions where
+    meaningful) — the automated form of the reference's FK dropna
+    hygiene (ecom_Gold_Layer.ipynb:128-133), reported instead of
+    silently dropped. Each check is a left_anti join (key columns
+    only, dims broadcast) reduced to one counter; the four checks
+    union into a tidy audit table."""
+    t = load_tables(spark, sf_dir)
+
+    def orphans(name, left, left_key, right, right_key):
+        cnt = (
+            left.select(left_key)
+            .join(
+                right.select(right_key),
+                F.col(left_key) == F.col(right_key),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("violation_cnt"))
+        )
+        return cnt.select(F.lit(name).alias("check_name"), "violation_cnt")
+
+    checks = [
+        orphans("lineitem_without_order", t["lineitem"], "l_orderkey",
+                t["orders"], "o_orderkey"),
+        orphans("order_without_lineitem", t["orders"], "o_orderkey",
+                t["lineitem"], "l_orderkey"),
+        orphans("order_without_customer", t["orders"], "o_custkey",
+                t["customer"], "c_custkey"),
+        orphans("event_user_without_customer", t["events"], "user_id",
+                t["customer"], "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
