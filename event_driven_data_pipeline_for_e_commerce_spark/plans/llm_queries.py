@@ -1798,3 +1798,62 @@ def q_doc_source_mixing(spark, sf_dir):
         ),
         F.round(F.max("keep_256") / 256.0, 4).alias("target_rate"),
     )
+
+
+def _consensus_oracle() -> str:
+    from .corpus import ORACLES
+
+    return f"""
+    WITH mh AS ({ORACLES["doc_minhash_near_dup"]}),
+    em AS ({ORACLES["emb_cosine_near_dup"]})
+    SELECT COALESCE(mh.doc_a, em.id_a) AS doc_a,
+           COALESCE(mh.doc_b, em.id_b) AS doc_b,
+           mh.jaccard,
+           em.cos_sim,
+           (mh.doc_a IS NOT NULL AND em.id_a IS NOT NULL) AS both_signals
+    FROM mh FULL OUTER JOIN em
+      ON mh.doc_a = em.id_a AND mh.doc_b = em.id_b
+    """
+
+
+@query("doc_near_dup_consensus", oracle=_consensus_oracle())
+def q_doc_near_dup_consensus(spark, sf_dir):
+    """Ensemble near-dup: the MinHash text signal and the embedding
+    cosine signal fused over aligned doc/vec ids — production dedup
+    pipelines ensemble lexical and semantic detectors exactly like
+    this (a pair caught by BOTH is a confident duplicate; a pair
+    caught by one is a review candidate). Full-outer join of the two
+    candidate-verified pair sets; each side keeps its own
+    LSH-candidate-bounded scale shape, and the fusion join moves only
+    (id, id, score) rows."""
+    from ..llmdata.dedup import minhash_near_duplicates
+    from ..llmdata.similarity import cosine_near_duplicates, hyperplanes
+
+    t = load_tables(spark, sf_dir)
+    mh = minhash_near_duplicates(
+        t["documents"], "text", "doc_id",
+        n=SHINGLE_N, num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    em = cosine_near_duplicates(
+        t["embeddings"], hyperplanes(EMB_DIM, N_PLANES, N_TABLES),
+        n_tables=N_TABLES, threshold=COSINE_DUP_THRESHOLD,
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("cos_sim")
+    )
+    return (
+        mh.join(
+            em,
+            (mh.doc_a == em.id_a) & (mh.doc_b == em.id_b),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("doc_a", "id_a").alias("doc_a"),
+            F.coalesce("doc_b", "id_b").alias("doc_b"),
+            "jaccard",
+            "cos_sim",
+            (F.col("doc_a").isNotNull() & F.col("id_a").isNotNull()).alias(
+                "both_signals"
+            ),
+        )
+    )
