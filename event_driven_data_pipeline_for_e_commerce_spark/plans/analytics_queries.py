@@ -754,3 +754,59 @@ def q_referential_integrity_audit(spark, sf_dir):
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "weekly_active_users",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    cal AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT c.day, COUNT(DISTINCT a.user_id) AS wau
+    FROM cal c
+    LEFT JOIN act a ON a.day BETWEEN c.day - INTERVAL 6 DAY AND c.day
+    GROUP BY c.day
+    """,
+)
+def q_weekly_active_users(spark, sf_dir):
+    """Trailing 7-day distinct active users per calendar day (WAU) —
+    rolling DISTINCT, which no window frame can express (frames
+    aggregate values, not sets).
+
+    Scale shape: instead of a range join of every day against every
+    activity row (non-equi — nested loop), each distinct (user, day)
+    activity row EXPLODES into the <=7 spine days it contributes to,
+    turning the rolling set union into a plain equi groupBy distinct —
+    shuffle volume is 7x the daily-distinct relation, independent of
+    window length in time units. The calendar spine re-attaches
+    zero-activity days.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("spine_day"),
+    )
+    per_day = contrib.groupBy("spine_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return cal.join(
+        per_day, cal.day == per_day.spine_day, "left"
+    ).select("day", F.coalesce("wau", F.lit(0)).alias("wau"))
