@@ -810,3 +810,80 @@ def q_weekly_active_users(spark, sf_dir):
     return cal.join(
         per_day, cal.day == per_day.spine_day, "left"
     ).select("day", F.coalesce("wau", F.lit(0)).alias("wau"))
+
+
+@query(
+    "funnel_by_segment",
+    oracle="""
+    WITH stages(stage_order, event_type) AS (
+        VALUES (1, 'view'), (2, 'click'), (3, 'signup'), (4, 'purchase')
+    ),
+    segs AS (SELECT DISTINCT c_mktsegment FROM customer),
+    counts AS (
+        SELECT c.c_mktsegment, e.event_type, COUNT(*) AS cnt
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment, e.event_type
+    )
+    SELECT s.c_mktsegment,
+           st.stage_order,
+           st.event_type,
+           COALESCE(x.cnt, 0) AS cnt,
+           ROUND(COALESCE(x.cnt, 0) * 100.0
+                 / NULLIF(FIRST_VALUE(COALESCE(x.cnt, 0)) OVER (
+                       PARTITION BY s.c_mktsegment ORDER BY st.stage_order), 0),
+                 4) AS conversion_pct
+    FROM segs s
+    CROSS JOIN stages st
+    LEFT JOIN counts x
+      ON x.c_mktsegment = s.c_mktsegment AND x.event_type = st.event_type
+    """,
+)
+def q_funnel_by_segment(spark, sf_dir):
+    """The flagship funnel cut by customer market segment — the
+    dashboard's per-dimension drill-down (app.py tab filters) done
+    properly: one enrich join (customer broadcast), one (segment,
+    stage) count shuffle, then stage alignment against the literal
+    stage frame per segment and conversion relative to each segment's
+    view count. The alignment cross join is |segments| x 4 rows —
+    constant-size driver-free scaffolding, exactly like the global
+    funnel's stage frame."""
+    t = load_tables(spark, sf_dir)
+    stages = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(["view", "click", "signup", "purchase"])],
+        ["stage_order", "event_type"],
+    )
+    segs = t["customer"].select("c_mktsegment").distinct()
+    counts = (
+        t["events"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    aligned = (
+        segs.crossJoin(F.broadcast(stages))
+        .join(counts, ["c_mktsegment", "event_type"], "left")
+        .select(
+            "c_mktsegment",
+            "stage_order",
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("stage_order")
+    return aligned.select(
+        "c_mktsegment",
+        "stage_order",
+        "event_type",
+        "cnt",
+        F.round(
+            F.col("cnt") * 100.0
+            / F.nullif(F.first("cnt").over(w), F.lit(0)),
+            4,
+        ).alias("conversion_pct"),
+    )
