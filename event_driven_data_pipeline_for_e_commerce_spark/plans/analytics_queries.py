@@ -887,3 +887,154 @@ def q_funnel_by_segment(spark, sf_dir):
             4,
         ).alias("conversion_pct"),
     )
+
+
+@query(
+    "snapshot_diff_reconciliation",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k,
+               md5(o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR))
+                   AS row_hash
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey AS k,
+               md5(CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                        ELSE o_orderstatus END
+                   || '|' ||
+                   CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS row_hash
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT change_type, CAST(cnt AS BIGINT) AS cnt FROM (
+        SELECT 'deleted' AS change_type, COUNT(*) AS cnt
+        FROM old LEFT JOIN new USING (k) WHERE new.k IS NULL
+        UNION ALL
+        SELECT 'changed', COUNT(*)
+        FROM old JOIN new USING (k)
+        WHERE old.row_hash <> new.row_hash
+        UNION ALL
+        SELECT 'unchanged', COUNT(*)
+        FROM old JOIN new USING (k)
+        WHERE old.row_hash = new.row_hash
+    ) t
+    """,
+)
+def q_snapshot_diff_reconciliation(spark, sf_dir):
+    """Snapshot reconciliation (CDC-style table diff): compare two
+    table versions by key + row hash and count deleted / changed /
+    unchanged rows — the audit that backs the SCD2 merge and any
+    incremental load (here the 'new' snapshot is a deterministic
+    mutation of orders: every 11th key deleted, every 7th status
+    changed). One full-outer-shaped key join carrying only (key,
+    32-char hash); the hash is computed map-side on each snapshot's
+    scan, so the diff never moves attribute data."""
+    t = load_tables(spark, sf_dir)
+
+    def hashed(df, status_col):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    status_col,
+                    F.round(F.col("o_totalprice"), 2).cast("string"),
+                )
+            ).alias("row_hash"),
+        )
+
+    old = hashed(t["orders"], F.col("o_orderstatus"))
+    new = hashed(
+        t["orders"].filter(F.col("o_orderkey") % 11 != 0),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    joined = old.join(
+        new.withColumnRenamed("row_hash", "new_hash").withColumnRenamed("k", "nk"),
+        F.col("k") == F.col("nk"),
+        "left",
+    )
+    counts = joined.agg(
+        F.sum(F.when(F.col("nk").isNull(), 1).otherwise(0)).alias("deleted"),
+        F.sum(
+            F.when(
+                F.col("nk").isNotNull() & (F.col("row_hash") != F.col("new_hash")), 1
+            ).otherwise(0)
+        ).alias("changed"),
+        F.sum(
+            F.when(
+                F.col("nk").isNotNull() & (F.col("row_hash") == F.col("new_hash")), 1
+            ).otherwise(0)
+        ).alias("unchanged"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("deleted").alias("change_type"), F.col("deleted").alias("cnt")),
+                F.struct(F.lit("changed").alias("change_type"), F.col("changed").alias("cnt")),
+                F.struct(F.lit("unchanged").alias("change_type"), F.col("unchanged").alias("cnt")),
+            )
+        ).alias("c")
+    ).select("c.change_type", "c.cnt")
+
+
+@query(
+    "winsorized_order_values",
+    oracle="""
+    WITH cuts AS (
+        SELECT c.c_mktsegment AS seg,
+               quantile_disc(o.o_totalprice, 0.01) AS lo,
+               quantile_disc(o.o_totalprice, 0.99) AS hi
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY seg
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice < t.lo
+                         OR o.o_totalprice > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS clipped_cnt,
+           ROUND(SUM(LEAST(GREATEST(o.o_totalprice, t.lo), t.hi)), 2)
+               AS winsorized_sum,
+           ROUND(SUM(o.o_totalprice), 2) AS raw_sum
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN cuts t ON t.seg = c.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_winsorized_order_values(spark, sf_dir):
+    """Winsorization (robust-statistics cleansing): clip order values
+    to each segment's [p01, p99] band and report clipped counts plus
+    winsorized vs raw sums — the outlier treatment the reference's
+    median-imputation policy (F20) belongs to, done per group.
+
+    Scale shape: cut points come from ONE exact-quantile aggregate per
+    segment (discrete quantiles — engine-exact data values, no
+    interpolation), broadcast back onto the fact rows; the clip is
+    map-side LEAST/GREATEST codegen and the rollup is one shuffle."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    pd_ = lambda p: F.expr(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    cuts = base.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        pd_(0.01).alias("lo"), pd_(0.99).alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        base.join(F.broadcast(cuts), F.col("c_mktsegment") == F.col("seg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).alias("clipped_cnt"),
+            F.round(F.sum(clipped), 2).alias("winsorized_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("raw_sum"),
+        )
+    )
