@@ -1038,3 +1038,71 @@ def q_winsorized_order_values(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("raw_sum"),
         )
     )
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+    SELECT s.s_name,
+           n.n_name,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l.l_partkey) AS distinct_parts,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(100.0 * SUM(CASE WHEN l.l_shipdate <= o.o_orderdate
+                                       + INTERVAL 30 DAY
+                                  THEN 1 ELSE 0 END) / COUNT(*), 4)
+               AS on_time_pct
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY s.s_name, n.n_name
+    ORDER BY revenue DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q_supplier_scorecard(spark, sf_dir):
+    """Supplier scorecard mart: volume, assortment breadth, revenue,
+    and on-time-ship rate (<=30 days after order) per supplier — the
+    seller-performance dashboard the reference models with dim_sellers
+    (SURVEY §1.1), computed from facts instead of stored attributes.
+    One fact-fact shuffle (lineitem x orders on orderkey) with
+    supplier/nation broadcast; all four measures including the
+    distinct-part count come from a single aggregation pass; top-25 is
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    on_time = F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
+                "l_discount", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_distinct("l_partkey").alias("distinct_parts"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(on_time, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("on_time_pct"),
+        )
+        .orderBy(F.desc("revenue"), "s_name")
+        .limit(25)
+    )
