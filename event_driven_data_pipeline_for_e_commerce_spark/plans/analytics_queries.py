@@ -1106,3 +1106,76 @@ def q_supplier_scorecard(spark, sf_dir):
         .orderBy(F.desc("revenue"), "s_name")
         .limit(25)
     )
+
+
+@query(
+    "cart_abandonment_daily",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags
+    ),
+    per_sess AS (
+        SELECT user_id, sid,
+               CAST(MIN(ts) AS DATE) AS day,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(has_click) AS BIGINT) AS clicked_sessions,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS abandoned_sessions,
+           ROUND(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                          THEN 1 ELSE 0 END) * 100.0
+                 / NULLIF(SUM(has_click), 0), 4) AS abandonment_pct
+    FROM per_sess
+    GROUP BY day
+    """,
+)
+def q_cart_abandonment_daily(spark, sf_dir):
+    """Cart abandonment per day: 30-minute-gap sessions that contain a
+    click but no purchase, as a share of clicked sessions — the
+    e-commerce health metric the reference's funnel approximates
+    globally, computed at true session grain.
+
+    Spark side uses the NATIVE session_window aggregate (one shuffle
+    on user_id with merging session state — exactly the streaming-
+    ready form; the oracle rewrites the same gap semantics with
+    lag/cumsum islands, an equivalence the session_windows query
+    already pins). Session flags are MAX(CASE) inside the same
+    aggregation; the daily rollup is a second small shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    flag = lambda s: F.max(
+        F.when(F.col("event_type") == s, 1).otherwise(0)
+    )
+    sess = (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(flag("click").alias("has_click"), flag("purchase").alias("has_purchase"))
+    )
+    abandoned = (F.col("has_click") == 1) & (F.col("has_purchase") == 0)
+    return (
+        sess.groupBy(F.to_date(F.col("w.start")).alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("has_click").alias("clicked_sessions"),
+            F.sum(F.when(abandoned, 1).otherwise(0)).alias("abandoned_sessions"),
+            F.round(
+                F.sum(F.when(abandoned, 1).otherwise(0)) * 100.0
+                / F.nullif(F.sum("has_click"), F.lit(0)),
+                4,
+            ).alias("abandonment_pct"),
+        )
+    )
