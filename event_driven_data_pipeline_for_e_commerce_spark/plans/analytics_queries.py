@@ -1179,3 +1179,51 @@ def q_cart_abandonment_daily(spark, sf_dir):
             ).alias("abandonment_pct"),
         )
     )
+
+
+@query(
+    "discount_quantity_stats",
+    oracle="""
+    SELECT p.p_type,
+           COUNT(*) AS n_lines,
+           ROUND(corr(l.l_discount, l.l_quantity), 4) AS disc_qty_corr,
+           ROUND(covar_samp(l.l_discount, l.l_quantity), 4) AS disc_qty_covar,
+           ROUND(stddev_samp(l.l_quantity), 4) AS qty_stddev,
+           ROUND(regr_slope(l.l_quantity, l.l_discount), 4) AS qty_per_discount
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+    """,
+)
+def q_discount_quantity_stats(spark, sf_dir):
+    """Statistical aggregates (the price-elasticity screening pass):
+    correlation, sample covariance, stddev, and the regression slope
+    of quantity on discount per part type. All five statistics are
+    single-pass mergeable moment aggregates (sum, sum-of-squares,
+    cross-products) — the same partial+final HashAggregate shape as a
+    plain SUM, no second scan, no window. Part broadcast-enriches the
+    fact; 4-decimal rounding sits far above cross-engine float-sum
+    noise on these O(1)-magnitude statistics."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_discount", "l_quantity")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.corr("l_discount", "l_quantity"), 4).alias("disc_qty_corr"),
+            F.round(F.covar_samp("l_discount", "l_quantity"), 4).alias(
+                "disc_qty_covar"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(
+                F.expr("regr_slope(l_quantity, l_discount)"), 4
+            ).alias("qty_per_discount"),
+        )
+        .orderBy("p_type")
+    )
