@@ -167,3 +167,50 @@ def test_simhash_banding_is_complete(spark, sf_dir):
         docs, "text", "doc_id", bits=16, max_hamming=2
     ).collect()
     assert sorted(map(tuple, banded)) == sorted(map(tuple, brute))
+
+
+def test_snapshot_diff_partitions_old_rows(spark, sf_dir):
+    """deleted + changed + unchanged must equal the old snapshot's row
+    count (every old row gets exactly one verdict)."""
+    t = load_tables(spark, sf_dir)
+    n_old = t["orders"].count()
+    rows = {r["change_type"]: r["cnt"]
+            for r in QUERIES["snapshot_diff_reconciliation"](spark, sf_dir).collect()}
+    assert set(rows) == {"deleted", "changed", "unchanged"}
+    assert sum(rows.values()) == n_old
+
+
+def test_wau_first_day_equals_dau(spark, sf_dir):
+    """On the first calendar day the trailing-7 window holds only that
+    day, so WAU(d0) must equal day-0 distinct users."""
+    t = load_tables(spark, sf_dir)
+    rows = sorted(
+        QUERIES["weekly_active_users"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    d0 = rows[0]["day"]
+    dau0 = (
+        t["events"]
+        .filter(F.to_date("ts") == F.lit(d0))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["wau"] == dau0
+
+
+def test_winsorize_clip_fraction_bounded(spark, sf_dir):
+    """Clipping to [p01, p99] can touch at most ~2% of rows per
+    segment (plus discrete-quantile tie slack)."""
+    for r in QUERIES["winsorized_order_values"](spark, sf_dir).collect():
+        assert r["clipped_cnt"] <= max(0.05 * r["n_orders"], 4), r
+
+
+def test_abandonment_counts_consistent(spark, sf_dir):
+    """Abandoned sessions are a subset of clicked sessions, which are
+    a subset of all sessions; the percentage matches the counts."""
+    for r in QUERIES["cart_abandonment_daily"](spark, sf_dir).collect():
+        assert r["abandoned_sessions"] <= r["clicked_sessions"] <= r["n_sessions"]
+        if r["clicked_sessions"]:
+            want = round(100.0 * r["abandoned_sessions"] / r["clicked_sessions"], 4)
+            assert abs(r["abandonment_pct"] - want) < 1e-6
