@@ -55,6 +55,8 @@ HEADLINE = [
     "doc_segment_dedup",       # segment-level dedup (map-side segmentation)
     "doc_bigram_lm_score",     # self-trained bigram LM scoring
     "emb_kmeans_assign",       # k-means Lloyd iteration (broadcast seeds)
+    "doc_dedup_survivors",     # full dedup pipeline: pairs -> CC -> keepers
+    "lead_time_trend_by_nation",  # fact-fact join + moment aggregates
 ]
 
 
@@ -108,18 +110,27 @@ def main() -> None:
             timings[name] = round(run(name), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "stream_events_per_sec": _stream_throughput(spark),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "stream_events_per_sec": 0.0,
+    }
+    # Emit the query timings BEFORE the streaming measure so a failure
+    # or wall-clock kill during the 15-second stream phase can never
+    # wipe the already-measured numbers (round-2 lesson: the official
+    # bench record came back empty because the stream phase outlived
+    # the driver). Both printed lines are complete, valid records; the
+    # second supersedes the first when the stream measure succeeds.
+    print(json.dumps(payload), flush=True)
+    try:
+        payload["stream_events_per_sec"] = _stream_throughput(spark)
+    except Exception:
+        pass
+    else:
+        print(json.dumps(payload), flush=True)
     spark.stop()
 
 

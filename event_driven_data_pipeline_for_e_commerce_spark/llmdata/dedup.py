@@ -161,21 +161,38 @@ def minhash_signatures(
     ).select(id_col, (F.col("pos") + 1).alias("hi"), "sig")
 
 
-def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    band_keys: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
     """Distinct candidate pairs sharing any band bucket. Input:
-    (id_col, band, band_key).
+    (id_col, band, band_key). REQUIRES high-entropy band keys (MinHash
+    signatures, hyperplane sketches) — for low-cardinality keys (e.g.
+    a 5-bit SimHash band, where every bucket holds a corpus fraction)
+    use :func:`lsh_candidate_pairs_join`, which distributes the
+    quadratic unfold across tasks instead of one row's array.
 
     Pair generation is bucket-collect, not self-join: one groupBy on
     (band, band_key) gathers each bucket's ids, and the within-bucket
-    pairs unfold map-side (ids sorted, so doc_a < doc_b by
-    construction). That's one exchange instead of a self-join's two,
-    and bucket sizes are small by LSH design — a bucket is only large
-    when its members really are near-identical, in which case the
-    self-join would have produced the same quadratic pair count
-    anyway."""
+    pairs unfold map-side (ids distinct-sorted, so doc_a < doc_b by
+    construction and duplicate (id, band, band_key) input rows cannot
+    emit (a, a) self-pairs). That's one exchange instead of a
+    self-join's two, and bucket sizes are small by LSH design — a
+    bucket is only large when its members really are near-identical.
+
+    ``max_bucket`` bounds the degenerate case (mass-duplicated
+    boilerplate collapsing into one giant bucket — common in web
+    crawls): buckets keep only their ``max_bucket`` smallest ids, so a
+    single task never unfolds more than max_bucket²/2 pairs. True
+    duplicate classes above the cap should be collapsed by the
+    :func:`exact_dedup` pre-pass before LSH; use
+    :func:`lsh_bucket_overflow` to audit how many buckets (if any)
+    were truncated. Pass ``max_bucket=None`` to disable."""
+    ids = F.array_distinct(F.sort_array(F.collect_list(id_col)))
+    if max_bucket is not None:
+        ids = F.slice(ids, 1, max_bucket)
     buckets = (
         band_keys.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pair_expr = (
@@ -187,6 +204,45 @@ def lsh_candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates()
+    )
+
+
+def lsh_candidate_pairs_join(band_keys: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing any band bucket, generated by
+    a shuffle equi-self-join on (band, band_key) — the right shape when
+    band keys have LOW entropy (e.g. SimHash pigeonhole bands: a 16-bit
+    fingerprint over 3 bands gives 5-6-bit keys, so every bucket holds
+    ~1/32 of the corpus). The pair count is the same as the
+    bucket-collect path, but the quadratic unfold is distributed across
+    the join's tasks instead of materializing a corpus-fraction id
+    array in a single row. doc_a < doc_b structurally excludes
+    self-pairs even under duplicate input rows."""
+    a = band_keys.select(
+        "band", "band_key", F.col(id_col).alias("doc_a")
+    ).dropDuplicates()
+    b = band_keys.select(
+        "band", "band_key", F.col(id_col).alias("doc_b")
+    ).dropDuplicates()
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def lsh_bucket_overflow(
+    band_keys: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Audit frame for the ``max_bucket`` cap in
+    :func:`lsh_candidate_pairs`: one row per truncated bucket with its
+    true size. Empty result == no candidate pair was dropped. Run (or
+    sink) alongside the dedup job when the corpus may contain
+    mass-duplicated boilerplate."""
+    return (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -430,7 +486,11 @@ def simhash_near_duplicates(
     bands = fp.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")).select(
         id_col, "bk.band", "bk.band_key"
     )
-    cands = lsh_candidate_pairs(bands, id_col)
+    # Pigeonhole bands over a 16-bit fingerprint are 5-6 bits wide —
+    # every bucket holds a corpus fraction, so candidate generation
+    # must be the distributed self-join, not the bucket-collect path
+    # (which would materialize ~corpus/32 ids in single rows).
+    cands = lsh_candidate_pairs_join(bands, id_col)
     fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -54,17 +54,27 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake 'decode': byte statistics of the payload."""
+    """Deterministic fake 'decode': byte statistics of the payload.
+
+    n_bytes/byte_mean are vectorized (`.str.len` works on a bytes
+    Series; the mean reduces one numpy buffer per row). head_hash is a
+    per-row md5 by necessity — a real decoder (PIL/cv2) is per-payload
+    anyway, so this stub matches the production batch shape."""
     import hashlib
 
+    import numpy as np
+
     payloads = pdf["payload"]
+    n_bytes = payloads.str.len().fillna(0).astype("int64")
     return pd.DataFrame(
         {
             "media_id": pdf["media_id"],
             "media_type": pdf["media_type"],
-            "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+            "n_bytes": n_bytes,
             "byte_mean": payloads.map(
-                lambda b: float(sum(b)) / len(b) if b else 0.0
+                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean())
+                if b
+                else 0.0
             ),
             "head_hash": payloads.map(
                 lambda b: hashlib.md5(bytes(b[:16]) if b else b"").hexdigest()

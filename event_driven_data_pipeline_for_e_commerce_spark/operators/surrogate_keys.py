@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, Window
 def with_surrogate_key_dense(
     df: DataFrame, order_col: str, sk_col: str, offset: int = 0
 ) -> DataFrame:
-    """W1: sk = row_number() over (order by order_col) + offset."""
+    """W1: sk = row_number() over (order by order_col) + offset.
+
+    GLOBAL WINDOW — every row funnels through one task. This is the
+    byte-faithful oracle-parity twin for DIMENSION-scale frames only;
+    NEVER call it from fact builds or anything corpus-sized. Fact and
+    SCD2 paths must use :func:`with_surrogate_key_ranged` (identical
+    dense semantics, shuffle-parallel) or
+    :func:`with_surrogate_key_scalable`."""
     w = Window.orderBy(order_col)
     return df.withColumn(sk_col, F.row_number().over(w) + F.lit(offset))
 

@@ -112,7 +112,7 @@ def q_cohort_retention(spark, sf_dir):
                CAST(date_diff('day', MAX(o_orderdate), (SELECT d FROM maxd))
                     AS BIGINT) AS recency_days,
                COUNT(*) AS frequency,
-               SUM(o_totalprice) AS monetary
+               ROUND(SUM(o_totalprice), 2) AS monetary
         FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -158,7 +158,10 @@ def q_rfm_segments(spark, sf_dir):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # rounded to cents BEFORE threshold banding: cross-engine
+            # float-summation-order differences must not flip a
+            # customer across an exact band boundary
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
         .crossJoin(F.broadcast(maxd))
         .withColumn(

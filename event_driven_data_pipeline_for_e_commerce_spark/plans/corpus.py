@@ -1840,3 +1840,7 @@ from . import tpch_queries  # noqa: E402,F401
 
 # analytics marts: cohort/RFM/basket/sketch-rollup (same registry)
 from . import analytics_queries  # noqa: E402,F401
+
+# round-3 additions: corpus statistics, dedup-survivor materialization,
+# retrieval, embedding QA, anomaly/cadence analytics (same registry)
+from . import round3_queries  # noqa: E402,F401

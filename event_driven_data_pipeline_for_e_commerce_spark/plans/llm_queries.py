@@ -1636,11 +1636,17 @@ def q_doc_vocab_encode(spark, sf_dir):
         SELECT doc_id, text, len(text) // 2 AS n
         FROM documents WHERE doc_id % 3 = 1
     ),
+    raw AS (
+        SELECT doc_id,
+               ascii(substr(text, 2 * u.i - 1, 1))
+               + 256 * ascii(substr(text, 2 * u.i, 1)) AS u16
+        FROM s, UNNEST(generate_series(1, n)) AS u(i)
+    ),
     samp AS (
         SELECT doc_id,
-               CAST(ascii(substr(text, 2 * u.i - 1, 1))
-                    + 256 * ascii(substr(text, 2 * u.i, 1)) AS DOUBLE) AS v
-        FROM s, UNNEST(generate_series(1, n)) AS u(i)
+               CAST(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END
+                    AS DOUBLE) AS v
+        FROM raw
     )
     SELECT doc_id AS media_id,
            COUNT(*) AS n_samples,
@@ -1656,18 +1662,21 @@ def q_audio_pcm_stats(spark, sf_dir):
     payloads are decoded as 16-bit little-endian PCM inside an
     Arrow-batched mapInPandas (numpy frombuffer — no external media
     library needed) and reduced to waveform statistics. The oracle
-    reconstructs the same samples arithmetically (payloads are ASCII
-    bytes, so sample i = ascii(2i) + 256*ascii(2i+1)), making the
-    Python decode path itself value-checked cross-engine — this is the
-    one place the engine's 'UDFs only where Spark genuinely cannot
-    express it' rule fires, and it still gets an oracle."""
+    reconstructs the same SIGNED samples arithmetically (sample i =
+    ascii(2i) + 256*ascii(2i+1), two's-complemented above 32767 —
+    byte-exact vs numpy's '<i2' for any payload, not just ASCII),
+    making the Python decode path itself value-checked cross-engine —
+    this is the one place the engine's 'UDFs only where Spark
+    genuinely cannot express it' rule fires, and it still gets an
+    oracle. Zero-sample media (empty / single-byte payloads) are
+    filtered out, matching the oracle's UNNEST producing no rows."""
     from ..llmdata.multimodal import decode_pcm_features
 
     t = load_tables(spark, sf_dir)
     audio = ensure_parallelism(
         _media_frame(t).filter(F.col("media_type") == "audio")
     )
-    feats = decode_pcm_features(audio)
+    feats = decode_pcm_features(audio).filter(F.col("n_samples") > 0)
     return feats.select(
         "media_id",
         "n_samples",

@@ -1,0 +1,497 @@
+"""Round-3 corpus additions: corpus-statistics / retrieval / anomaly
+operators a production training-data pipeline runs alongside dedup —
+PMI collocation mining, the end-to-end dedup survivor materialization,
+length percentiles, inverted-index keyword search, embedding dimension
+QA, event-volume anomaly detection, purchase-cadence analysis, and a
+lead-time trend regression.
+
+Every query is oracle-paired (ANSI SQL for DuckDB) and keeps the
+100 TB shape rules: map-side token work, broadcast for vocabulary- or
+dimension-sized frames, single-pass moment aggregates, windows only
+over post-aggregation (small) or per-key partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..operators.partitioning import ensure_parallelism
+from .corpus import query
+from .llm_queries import _MINHASH_CTES, JACCARD_THRESHOLD, NUM_HASHES, ROWS_PER_BAND, SHINGLE_N
+from .tables import load_tables
+
+# Collocation mining config: pairs rarer than this are noise at any
+# corpus size (and the absolute floor keeps output cardinality bounded
+# by the number of genuinely frequent pairs, not corpus size).
+PMI_MIN_COUNT = 30
+SEARCH_TERMS = ("join", "vector", "stream")
+
+
+@query(
+    "doc_pmi_collocations",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT t.tok, COUNT(*) AS c
+        FROM toks, UNNEST(w) AS t(tok)
+        GROUP BY t.tok
+    ),
+    n_uni AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+        SELECT w[i] AS tok_a, w[i + 1] AS tok_b, COUNT(*) AS c_ab
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 2
+        GROUP BY 1, 2
+    ),
+    n_bi AS (SELECT SUM(c_ab) AS n FROM bi)
+    SELECT b.tok_a, b.tok_b, b.c_ab AS pair_count,
+           ROUND(log2((b.c_ab * 1.0 / (SELECT n FROM n_bi))
+                      / ((ua.c * 1.0 / (SELECT n FROM n_uni))
+                         * (ub.c * 1.0 / (SELECT n FROM n_uni)))), 4) AS pmi
+    FROM bi b
+    JOIN uni ua ON ua.tok = b.tok_a
+    JOIN uni ub ON ub.tok = b.tok_b
+    WHERE b.c_ab >= {PMI_MIN_COUNT}
+    """,
+)
+def q_doc_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining over adjacent
+    token pairs — the corpus-statistics pass that finds multiword
+    expressions worth tokenizing as units.
+
+    Scale shape: bigrams unfold MAP-SIDE from the token array (one
+    zip_with of two offset slices, no positional explode+self-join),
+    unigram and bigram counts are two map-combined groupBys, and the
+    PMI join attaches the vocabulary-sized unigram table twice —
+    broadcast by AQE (a vocabulary is millions of rows at web scale;
+    the corpus-sized token stream is never joined). The absolute
+    min-count floor bounds output to the genuinely frequent pairs."""
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi_all = (
+        docs.select((F.size(toks) - 1).alias("k"))
+        .filter(F.col("k") >= 1)
+        .agg(F.sum("k").alias("n_bi"))
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = F.log2(
+        (F.col("c_ab") / F.col("n_bi"))
+        / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+    )
+    return (
+        bi.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_all))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").alias("pair_count"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "doc_dedup_survivors",
+    oracle=rf"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, s.cluster_size
+    FROM clusters c
+    JOIN csize s ON s.cluster_id = c.cluster_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+)
+def q_doc_dedup_survivors(spark, sf_dir):
+    """The END of the dedup pipeline: the retained training corpus.
+    Near-dup pairs (MinHash-LSH) → connected-component clusters → keep
+    each cluster's canonical document, annotated with how many
+    documents it absorbed. Exact duplicates collapse implicitly: at
+    Jaccard 1.0 they always pair, so an identical-text class lands in
+    one cluster and its min-id keeper survives.
+
+    Scale: pair generation and clustering are the audited bucketed /
+    O(log d)-round shapes (llmdata/dedup.py); the final join touches
+    the corpus ONCE to attach metadata to canonical ids (AQE
+    broadcasts the cluster-size frame, which has one row per cluster).
+    """
+    from ..llmdata.dedup import duplicate_clusters, minhash_near_duplicates
+
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id",
+        n=SHINGLE_N, num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    clusters = duplicate_clusters(pairs, docs.select("doc_id"))
+    csize = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.filter(F.col("is_canonical"))
+        .join(csize, "cluster_id")
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+    )
+
+
+@query(
+    "doc_length_percentiles",
+    oracle=r"""
+    WITH n AS (
+        SELECT lang,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99,
+           MAX(n_tokens) AS max_tokens
+    FROM n GROUP BY lang
+    """,
+)
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact interpolated token-length percentiles per language — the
+    length-distribution QA pass that sets truncation budgets before
+    training. Token counts are a map-side projection; `percentile`
+    computes all three quantiles in ONE aggregation pass per group
+    (shuffle keyed by language, partial-aggregated map-side)."""
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    pct = F.expr("percentile(n_tokens, array(0.5, 0.9, 0.99))")
+    return (
+        ensure_parallelism(t["documents"])
+        .select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p90"),
+            F.round(pct[2], 4).alias("p99"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_keyword_search",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, t.tok
+        FROM documents,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE t.tok IN {SEARCH_TERMS!r}
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_hits,
+           ROUND(SUM(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df)), 4)
+               AS score
+    FROM tf JOIN df ON df.tok = tf.tok
+    GROUP BY tf.doc_id
+    """,
+)
+def q_doc_keyword_search(spark, sf_dir):
+    """Inverted-index keyword retrieval: score every document matching
+    an OR-query by TF-IDF (tf × ln(N/df) summed over matched terms) —
+    the text sibling of the embedding top-k searches.
+
+    Scale: the term filter is pushed into the map-side token unfold
+    (only query-term postings survive — the classic inverted-index
+    slice), df is a terms-sized frame attached by broadcast, and N is
+    a 1-row broadcast. The corpus-sized token stream is never joined
+    or shuffled beyond the per-(doc, term) count."""
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").isin(*SEARCH_TERMS))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("n_hits"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 4
+            ).alias("score"),
+        )
+    )
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH v AS (
+        SELECT i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(AVG(val), 4) AS mean_val,
+           ROUND(stddev_samp(val), 4) AS std_val,
+           ROUND(MIN(val), 4) AS min_val,
+           ROUND(MAX(val), 4) AS max_val
+    FROM v GROUP BY dim
+    """,
+)
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/std/min/max) — the QA
+    pass that catches dead or exploding dimensions before they poison
+    an ANN index. posexplode fans each vector into (dim, value) rows;
+    the aggregate is one shuffle keyed by the (tiny) dimension count
+    with map-side partial moments — each map task reduces its vectors
+    to 64 partial rows, so the shuffle is executors × dims, not
+    corpus-sized."""
+    t = load_tables(spark, sf_dir)
+    v = ensure_parallelism(t["embeddings"]).select(
+        F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        v.select((F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 4).alias("std_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+    )
+
+
+@query(
+    "event_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT day, event_type, cnt,
+               ROUND((cnt - AVG(cnt) OVER (PARTITION BY event_type))
+                     / NULLIF(stddev_samp(cnt) OVER (PARTITION BY event_type), 0),
+                     4) AS z
+        FROM daily
+    )
+    SELECT day, event_type, cnt, z
+    FROM scored WHERE ABS(z) >= 2
+    """,
+)
+def q_event_volume_anomalies(spark, sf_dir):
+    """Daily event-volume anomaly detection: days whose count deviates
+    ≥ 2 sample standard deviations from that event type's mean — the
+    ops alert that catches tracking outages and bot floods.
+
+    The corpus-sized scan reduces FIRST (one map-combined groupBy to
+    days × types rows); the z-score window then runs over that tiny
+    aggregate, partitioned by type — a window over post-aggregation
+    data, never over raw events. Thresholding on the ROUNDED z keeps
+    the cross-engine boundary deterministic."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("cnt") - F.avg("cnt").over(w))
+        / F.nullif(F.stddev_samp("cnt").over(w), F.lit(0)),
+        4,
+    )
+    return (
+        daily.withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2)
+        .select("day", "event_type", "cnt", "z")
+    )
+
+
+@query(
+    "repeat_purchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_intervals,
+           ROUND(AVG(g.gap_days), 4) AS avg_gap_days,
+           ROUND(quantile_cont(g.gap_days, 0.5), 4) AS median_gap_days,
+           MAX(g.gap_days) AS max_gap_days
+    FROM gaps g
+    JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_repeat_purchase_intervals(spark, sf_dir):
+    """Purchase cadence: the distribution of days between a customer's
+    consecutive orders, rolled up per market segment — the input to
+    churn-risk ('overdue by k× their cadence') scoring.
+
+    The lag window is partitioned BY CUSTOMER (parallel across keys —
+    never a global window), with o_orderkey as the deterministic
+    tie-break for same-day orders so both engines pick identical
+    predecessors. The segment dimension broadcast-enriches the
+    per-interval rows; moments + one interpolated median aggregate in
+    a single pass."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+                "gap_days"
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    seg = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        gaps.join(F.broadcast(seg), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias(
+                "median_gap_days"
+            ),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
+@query(
+    "lead_time_trend_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_lines,
+           ROUND(AVG(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+               AS avg_lead_days,
+           ROUND(regr_slope(
+               date_diff('day', o.o_orderdate, l.l_shipdate),
+               year(o.o_orderdate) * 12 + month(o.o_orderdate)), 4)
+               AS lead_trend_per_month
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_lead_time_trend_by_nation(spark, sf_dir):
+    """Supplier lead-time trend: per supplier nation, the average
+    order→ship fulfillment time and its regression slope against order
+    month — 'is this nation's fulfillment getting slower?'. Both
+    statistics are single-pass mergeable moment aggregates (regr_slope
+    is covariance/variance of cross-moments), so the query is the
+    fact-fact shuffle join on orderkey (both sides pre-projected to
+    the join key + 1-2 columns), the broadcast supplier→nation dim,
+    and one 25-key aggregate with map-side partials."""
+    t = load_tables(spark, sf_dir)
+    dims = F.broadcast(
+        t["supplier"]
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            t["nation"].select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    lines = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ords = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    lead = F.datediff("l_shipdate", "o_orderdate")
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    return (
+        lines.join(ords, "l_orderkey")
+        .join(dims, "l_suppkey")
+        .select("n_name", lead.alias("lead_days"), month_idx.alias("m"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("lead_days"), 4).alias("avg_lead_days"),
+            F.round(F.expr("regr_slope(lead_days, m)"), 4).alias(
+                "lead_trend_per_month"
+            ),
+        )
+    )

@@ -152,6 +152,59 @@ def view_click_join_stream(
     )
 
 
+def cart_session_flags_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ST6 composed: per-session click/purchase flags — the streaming
+    twin of ``cart_abandonment_daily``'s heavy stateful stage. One
+    session_window aggregate per user with watermark-bounded state;
+    finalized sessions emit (append mode) with their start timestamp
+    and flags. The daily abandonment rollup over finalized sessions is
+    :func:`cart_abandonment_rollup` — a tiny batch (or foreachBatch)
+    aggregation, kept OUT of the stream because a chained streaming
+    aggregate can only re-key by time-window columns (session END via
+    ``window_time``), which would misdate sessions spanning midnight
+    relative to the batch day-of-session-START semantics."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    flag = lambda s: F.max(F.when(F.col("event_type") == s, 1).otherwise(0))
+    return (
+        df.groupBy("user_id", F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(flag("click").alias("has_click"), flag("purchase").alias("has_purchase"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "has_click",
+            "has_purchase",
+        )
+    )
+
+
+def cart_abandonment_rollup(sessions: DataFrame) -> DataFrame:
+    """Daily cart-abandonment rollup over per-session flag rows
+    (:func:`cart_session_flags_stream` output, replayed or sunk):
+    sessions with a click but no purchase as a share of clicked
+    sessions, keyed by day of session start — column-identical to the
+    ``cart_abandonment_daily`` corpus query."""
+    abandoned = (F.col("has_click") == 1) & (F.col("has_purchase") == 0)
+    return sessions.groupBy(
+        F.to_date("session_start").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_click").alias("clicked_sessions"),
+        F.sum(F.when(abandoned, 1).otherwise(0)).alias("abandoned_sessions"),
+        F.round(
+            F.sum(F.when(abandoned, 1).otherwise(0)) * 100.0
+            / F.nullif(F.sum("has_click"), F.lit(0)),
+            4,
+        ).alias("abandonment_pct"),
+    )
+
+
 def scd2_foreach_batch(
     target_path: str,
     key: str,

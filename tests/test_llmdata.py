@@ -70,6 +70,57 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
         assert -1.0 <= r["cos_sim"] <= 1.0
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """A mass-duplicated corpus (10k copies of one boilerplate text →
+    one giant LSH bucket) must complete with a BOUNDED per-task pair
+    unfold: the max_bucket cap keeps the bucket to its K smallest ids,
+    so the candidate count is K·(K-1)/2, not 10k²/2 ≈ 50M in one row."""
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        lsh_bucket_overflow,
+        lsh_candidate_pairs,
+    )
+
+    n, cap = 10_000, 100
+    band_keys = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("band"),
+        F.lit("boilerplate").alias("band_key"),
+    )
+    pairs = lsh_candidate_pairs(band_keys, "doc_id", max_bucket=cap)
+    assert pairs.count() == cap * (cap - 1) // 2
+    # kept ids are the cap smallest — deterministic truncation
+    assert pairs.agg(F.max("doc_b")).collect()[0][0] == cap - 1
+    # the audit frame reports exactly the truncated bucket and its size
+    over = lsh_bucket_overflow(band_keys, "doc_id", max_bucket=cap).collect()
+    assert [(r["band"], r["bucket_size"]) for r in over] == [(1, n)]
+
+
+def test_lsh_candidate_pairs_dedups_input_rows(spark):
+    """Duplicate (id, band, band_key) rows must not emit (a, a)
+    self-pairs — the collected bucket is array_distinct'ed."""
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_join,
+    )
+
+    rows = [(1, 0, "k"), (1, 0, "k"), (2, 0, "k"), (3, 0, "k")]
+    band_keys = spark.createDataFrame(
+        rows, "doc_id long, band int, band_key string"
+    )
+    want = {(1, 2), (1, 3), (2, 3)}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(band_keys, "doc_id").collect()
+    }
+    assert got == want
+    # the self-join variant (low-entropy-band path) agrees exactly
+    got_join = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs_join(band_keys, "doc_id").collect()
+    }
+    assert got_join == want
+
+
 def test_duplicate_clusters_chain_transitivity(spark):
     """a~b and b~c (but never a~c directly) must land in ONE cluster —
     the property pairwise keep-one dedup gets wrong."""

@@ -245,3 +245,35 @@ def test_sequence_pack_window_is_partitioned(spark, sf_dir):
     plan = formatted_plan(spark, df)
     assert "windowspecdefinition" in plan, plan
     assert re.search(r"windowspecdefinition\(source", plan), plan
+
+
+def test_round3_vocab_frames_broadcast(spark, sf_dir):
+    """doc_keyword_search / doc_pmi_collocations attach vocabulary- or
+    scalar-sized frames (df table, unigram counts, corpus totals) to
+    the token stream — every such join must be broadcast; a sort-merge
+    here would shuffle the corpus-sized token relation to meet a
+    3-row table."""
+    for name in ("doc_keyword_search", "doc_pmi_collocations"):
+        plan = simple_plan(QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+        assert "Broadcast" in plan, f"{name}:\n{plan}"
+
+
+def test_round3_lead_time_dims_broadcast(spark, sf_dir):
+    """lead_time_trend_by_nation: the supplier→nation dim must attach
+    by broadcast (the lineitem↔orders fact-fact join may shuffle —
+    that is its correct shape)."""
+    plan = simple_plan(QUERIES["lead_time_trend_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_round3_anomaly_window_is_post_aggregation(spark, sf_dir):
+    """event_volume_anomalies must aggregate the raw event scan BEFORE
+    the z-score window runs: the HashAggregate has to sit below the
+    Window in the plan tree (a window over raw events would shuffle
+    the corpus into per-type partitions)."""
+    plan = simple_plan(QUERIES["event_volume_anomalies"](spark, sf_dir))
+    assert "Window" in plan, plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan

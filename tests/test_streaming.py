@@ -234,6 +234,48 @@ def test_stream_stream_range_join_matches_batch(spark, sf_dir, event_source, tmp
     assert len(got) > 0
 
 
+def test_cart_abandonment_stream_matches_batch(spark, sf_dir, event_source, tmp_path):
+    """Streaming sessionization (session_window flags, append mode,
+    replayed to completion) + the daily rollup finisher must equal the
+    batch cart_abandonment_daily corpus query row-for-row."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import QUERIES
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        cart_abandonment_rollup,
+        cart_session_flags_stream,
+    )
+
+    src, schema = event_source
+    # Append-mode session aggregates only emit once the watermark
+    # passes the session end, so sessions open at end-of-replay would
+    # be withheld. Advance the watermark past everything with one
+    # far-future sentinel event (user_id -1, excluded below) — the
+    # standard flush pattern, keeping the stream itself in its
+    # production shape (append + watermark) for the parity check.
+    sentinel = (
+        spark.read.parquet(src)
+        .limit(1)
+        .withColumn("user_id", F.lit(-1).cast("long"))
+        .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
+    )
+    sentinel.write.mode("append").parquet(src)
+    stream = read_event_stream(spark, src, schema)
+    _run_available_now(
+        cart_session_flags_stream(stream), tmp_path, "cart_sessions",
+        output_mode="append",
+    )
+    daily = cart_abandonment_rollup(
+        spark.sql("SELECT * FROM cart_sessions WHERE user_id >= 0")
+    )
+    key = lambda r: (
+        str(r["day"]), r["n_sessions"], r["clicked_sessions"],
+        r["abandoned_sessions"], r["abandonment_pct"],
+    )
+    got = {key(r) for r in daily.collect()}
+    want = {key(r) for r in QUERIES["cart_abandonment_daily"](spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_static_enrich_matches_batch(spark, sf_dir, event_source, tmp_path):
     """Stream-static dim enrich + aggregate equals the batch twin
     (segment_event_revenue corpus query) under Trigger.AvailableNow."""
