@@ -495,3 +495,200 @@ def q_lead_time_trend_by_nation(spark, sf_dir):
             ),
         )
     )
+
+
+# Product quantization config: 64-dim vectors → 4 subspaces × 16 dims,
+# 16-entry codebook per subspace seeded from the first 16 vectors
+# (deterministic, training-free — a Lloyd refinement would slot in via
+# emb_kmeans_assign's broadcast-seed shape).
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 16
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH cb AS (
+        SELECT vec_id AS k, embedding AS cemb FROM embeddings
+        WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+        SELECT e.vec_id, m.m, c.k,
+               (SELECT SUM(POW(CAST(e.embedding[m.m * {PQ_SUB} + j.j] AS DOUBLE)
+                              - CAST(c.cemb[m.m * {PQ_SUB} + j.j] AS DOUBLE), 2))
+                FROM generate_series(1, {PQ_SUB}) AS j(j)) AS d2
+        FROM embeddings e, generate_series(0, {PQ_M - 1}) AS m(m), cb c
+    ),
+    mn AS (SELECT vec_id, m, MIN(d2) AS md FROM d GROUP BY vec_id, m),
+    best AS (
+        SELECT d.vec_id, d.m, MIN(d.k) AS code, ANY_VALUE(mn.md) AS d2
+        FROM d
+        JOIN mn ON mn.vec_id = d.vec_id AND mn.m = d.m AND d.d2 = mn.md
+        GROUP BY d.vec_id, d.m
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS c0,
+           CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS c1,
+           CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS c2,
+           CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS c3,
+           ROUND(SUM(d2) / 64, 4) AS mse
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_emb_pq_codes(spark, sf_dir):
+    """Product quantization: each 64-dim vector compresses to 4 bytes
+    (one codebook index per 16-dim subspace) plus its reconstruction
+    MSE — the memory layout every billion-vector ANN index (IVF-PQ)
+    uses to fit in RAM.
+
+    Scale shape: the codebook is PQ_K reference vectors (a kilobyte) —
+    broadcast; assignment explodes each vector into PQ_M subspace rows
+    and computes the PQ_K distances map-side via a zip_with/aggregate
+    fold over the subvector slices (the fold stays a primitive loop;
+    unrolled element_at trees fall out of codegen). argmin per
+    (vector, subspace) is a min_by struct aggregate — one shuffle of
+    PQ_M short rows per vector, then a map-side pivot back to one row
+    per vector. No corpus-sized join anywhere."""
+    t = load_tables(spark, sf_dir)
+    emb = ensure_parallelism(t["embeddings"])
+    cb = F.broadcast(
+        emb.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("k"), F.col("embedding").alias("cemb")
+        )
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "embedding",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB),
+            F.slice("cemb", F.col("m") * PQ_SUB + 1, PQ_SUB),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dists = sub.crossJoin(cb).select(
+        "vec_id", "m", "k", d2.alias("d2")
+    )
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min_by(F.struct("d2", "k"), F.struct("d2", "k")).alias("b")
+    ).select("vec_id", "m", F.col("b.k").alias("code"), F.col("b.d2").alias("d2"))
+    code = lambda m: F.max(F.when(F.col("m") == m, F.col("code"))).cast("bigint")
+    return best.groupBy("vec_id").agg(
+        code(0).alias("c0"),
+        code(1).alias("c1"),
+        code(2).alias("c2"),
+        code(3).alias("c3"),
+        F.round(F.sum("d2") / 64, 4).alias("mse"),
+    )
+
+
+@query(
+    "doc_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+               AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_doc_dedup_rate_by_source(spark, sf_dir):
+    """Dedup health mart: per ingestion source, how much of the corpus
+    is exact-duplicate text — the first number a crawl-quality review
+    asks for, and the gate for deciding which sources need the (more
+    expensive) near-dup pass. One groupBy over md5 hashes; the
+    count_distinct is a hash-only partial aggregate (text itself never
+    shuffles)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        ensure_parallelism(t["documents"])
+        .select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("h").alias("n_distinct_texts"),
+            F.round(
+                1.0 - F.count_distinct("h") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "customer_churn_risk",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days,
+               o_orderdate
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               COUNT(*) + 1 AS n_orders,
+               quantile_cont(gap_days, 0.5) AS median_gap_days,
+               MAX(o_orderdate) AS last_order
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           n_orders,
+           CAST(date_diff('day', last_order, (SELECT d FROM anchor))
+                AS BIGINT) AS days_since_last,
+           ROUND(median_gap_days, 4) AS median_gap_days,
+           date_diff('day', last_order, (SELECT d FROM anchor))
+               > 2 * median_gap_days AS churn_risk
+    FROM per_cust
+    WHERE n_orders >= 3
+    """,
+)
+def q_customer_churn_risk(spark, sf_dir):
+    """Cadence-relative churn flags: a customer is at risk when their
+    silence exceeds 2× their own median inter-order gap — the
+    per-entity-baseline alert pattern (global thresholds misfire on
+    naturally infrequent buyers). Requires ≥ 3 orders so the median is
+    a real cadence.
+
+    Shape: the lag window is per-customer (key-partitioned, parallel);
+    the median is one interpolated percentile in the same per-customer
+    aggregate; the dataset-max anchor attaches as a 1-row broadcast.
+    The 2×-median comparison is exact (integer days vs .0/.5-valued
+    medians), so the boolean is cross-engine deterministic."""
+    t = load_tables(spark, sf_dir)
+    anchor = t["orders"].agg(F.max("o_orderdate").alias("d"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+    per_cust = (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_orders"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+    days_since = F.datediff(F.col("d"), F.col("last_order")).cast("long")
+    return per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "n_orders",
+        days_since.alias("days_since_last"),
+        F.round("median_gap", 4).alias("median_gap_days"),
+        (days_since > 2 * F.col("median_gap")).alias("churn_risk"),
+    )
