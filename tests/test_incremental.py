@@ -1,0 +1,71 @@
+"""Incremental rollup maintenance (operators/incremental.py): the
+merged mart after N batches must equal the one-shot batch recompute,
+and key-refresh must replace exactly the recomputed groups."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from event_driven_data_pipeline_for_e_commerce_spark.operators.incremental import (
+    merge_rollup,
+    refresh_keys,
+    rollup_batch,
+)
+from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+MEASURES = {
+    "revenue": ("sum", "value"),
+    "n_events": ("count", "value"),
+    "max_value": ("max", "value"),
+    "first_seen": ("min", "ts"),
+}
+KEYS = ["event_type"]
+
+
+def _rows(df):
+    return {
+        r["event_type"]: (
+            round(r["revenue"], 6), r["n_events"], round(r["max_value"], 6),
+            r["first_seen"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    """Replaying the event log in 3 disjoint slices through
+    merge_rollup must land on the same mart as one full aggregation."""
+    events = load_tables(spark, sf_dir)["events"]
+    full = rollup_batch(events, KEYS, MEASURES)
+
+    mart = None
+    for i in range(3):
+        batch = events.filter(F.col("event_id") % 3 == i)
+        mart = merge_rollup(mart, rollup_batch(batch, KEYS, MEASURES), KEYS, MEASURES)
+    assert _rows(mart) == _rows(full)
+
+
+def test_refresh_keys_replaces_only_targeted_groups(spark, sf_dir):
+    events = load_tables(spark, sf_dir)["events"]
+    mart = rollup_batch(events, KEYS, MEASURES)
+    # simulate reprocessing 'purchase' with corrected (halved) values
+    corrected = rollup_batch(
+        events.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") / 2
+        ),
+        KEYS,
+        MEASURES,
+    )
+    out = _rows(refresh_keys(mart, corrected, KEYS))
+    base = _rows(mart)
+    assert out["purchase"][0] == pytest.approx(base["purchase"][0] / 2)
+    for k in base:
+        if k != "purchase":
+            assert out[k] == base[k]
+
+
+def test_non_mergeable_measures_rejected(spark):
+    df = spark.range(5).select(F.col("id"), F.lit("a").alias("k"))
+    with pytest.raises(ValueError, match="non-mergeable"):
+        rollup_batch(df, ["k"], {"med": ("median", "id")})
