@@ -105,9 +105,16 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         if name in queries:
-            timings[name] = round(run(name), 4)
+            # fault-isolated: one broken query must not take down the
+            # whole bench record (sibling rule to printing the JSON
+            # before the streaming measure)
+            try:
+                timings[name] = round(run(name), 4)
+            except Exception:
+                failed.append(name)
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -118,6 +125,8 @@ def main() -> None:
         "sf": sf,
         "stream_events_per_sec": 0.0,
     }
+    if failed:
+        payload["failed_queries"] = failed
     # Emit the query timings BEFORE the streaming measure so a failure
     # or wall-clock kill during the 15-second stream phase can never
     # wipe the already-measured numbers (round-2 lesson: the official
