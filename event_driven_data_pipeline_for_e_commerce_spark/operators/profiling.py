@@ -106,3 +106,44 @@ def profile_table(
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows.join(tops, "column", "left")
+
+
+def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Join-key skew diagnostic — the number you check BEFORE deciding
+    to salt a join or lean on AQE's skew splitter: the ``top`` heaviest
+    keys with their row share, plus the global skew factor
+    (heaviest-key count / mean rows-per-key; 1.0 = perfectly uniform).
+
+    Output (one row per heavy key, heaviest first):
+    (key_value, key_rows, share_pct, n_rows, n_keys, skew_factor).
+
+    Shape: one map-combined groupBy on the key, then the global stats
+    reduce the (n_keys)-row count frame to ONE broadcast row — the
+    top-k pick is TakeOrdered, never a global sort. At 100 TB the
+    count frame is keyspace-sized, not fact-sized.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("key_rows")
+    )
+    totals = counts.agg(
+        F.sum("key_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_rows").alias("max_rows"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "key_rows",
+            F.round(F.col("key_rows") * 100.0 / F.col("n_rows"), 4).alias(
+                "share_pct"
+            ),
+            "n_rows",
+            "n_keys",
+            F.round(
+                F.col("max_rows") * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("key_rows"), F.asc("key_value"))
+        .limit(top)
+    )

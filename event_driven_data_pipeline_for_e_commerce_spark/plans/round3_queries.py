@@ -751,3 +751,37 @@ def q_orders_quality_checks(spark, sf_dir):
         matches("o_orderpriority", "[1-5]-[A-Z ]+"),
     ]
     return run_checks(t["orders"], rules)
+
+
+@query(
+    "lineitem_suppkey_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey AS key_value, COUNT(*) AS key_rows
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    totals AS (
+        SELECT SUM(key_rows) AS n_rows, COUNT(*) AS n_keys,
+               MAX(key_rows) AS max_rows
+        FROM counts
+    )
+    SELECT c.key_value, c.key_rows,
+           ROUND(c.key_rows * 100.0 / t.n_rows, 4) AS share_pct,
+           t.n_rows, t.n_keys,
+           ROUND(t.max_rows * t.n_keys * 1.0 / t.n_rows, 4) AS skew_factor
+    FROM counts c, totals t
+    ORDER BY c.key_rows DESC, c.key_value
+    LIMIT 10
+    """,
+)
+def q_lineitem_suppkey_skew(spark, sf_dir):
+    """Join-key skew diagnostic on the lineitem→supplier key: the 10
+    heaviest suppliers with their row share and the global skew factor
+    — the pre-flight check that decides between a plain shuffle join,
+    salting (salted_join_revenue), and AQE's skew splitter. One
+    map-combined groupBy; global stats reduce the keyspace-sized count
+    frame to a single broadcast row; top-k is TakeOrdered."""
+    from ..operators.profiling import skew_profile
+
+    t = load_tables(spark, sf_dir)
+    return skew_profile(t["lineitem"], "l_suppkey", top=10)
