@@ -243,6 +243,40 @@ def scd2_foreach_batch(
     return apply
 
 
+def rollup_foreach_batch(
+    target_path: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> Callable[[DataFrame, int], None]:
+    """ST4 + incremental-mart maintenance composed: each micro-batch
+    folds into a persisted Parquet rollup via
+    ``operators.incremental.merge_rollup`` — the mart is re-aggregated
+    at GROUP grain only (union of old mart + batch partials), never by
+    rescanning event history. Exactly-once against replays comes from
+    the checkpointed source offsets, the same contract as the SCD2
+    foreachBatch. The write is the atomic snapshot swap, so readers
+    never see a half-merged mart."""
+    from ..operators.incremental import merge_rollup, rollup_batch
+    from ..operators.scd2 import scd2_write
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        delta = rollup_batch(batch, keys, measures)
+        mart = (
+            spark.read.parquet(target_path)
+            if os.path.exists(target_path)
+            else None
+        )
+        merged = merge_rollup(mart, delta, keys, measures)
+        scd2_write(merged, target_path)
+
+    return apply
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -69,3 +69,33 @@ def test_non_mergeable_measures_rejected(spark):
     df = spark.range(5).select(F.col("id"), F.lit("a").alias("k"))
     with pytest.raises(ValueError, match="non-mergeable"):
         rollup_batch(df, ["k"], {"med": ("median", "id")})
+
+
+def test_streaming_rollup_foreach_batch_matches_batch(spark, sf_dir, tmp_path):
+    """Replaying the event log as a stream through rollup_foreach_batch
+    (micro-batch merge into a Parquet mart) must land on the same mart
+    as one batch aggregation."""
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        read_event_stream,
+        rollup_foreach_batch,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_tables(spark, sf_dir)["events"]
+    # several files so availableNow may split micro-batches
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    target = str(tmp_path / "mart")
+
+    q = (
+        read_event_stream(spark, src, schema)
+        .writeStream.foreachBatch(rollup_foreach_batch(target, KEYS, MEASURES))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = _rows(spark.read.parquet(target))
+    want = _rows(rollup_batch(events, KEYS, MEASURES))
+    assert got == want
