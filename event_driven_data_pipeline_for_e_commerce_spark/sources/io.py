@@ -77,6 +77,19 @@ def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions
+    the footer schemas of every file, so batches written before a
+    column existed read back with NULLs instead of being silently
+    projected through the newest file's schema Spark happened to pick.
+
+    At 100 TB, schema merging reads every file FOOTER at planning time
+    (metadata-scale, not data-scale) — acceptable for an evolving
+    landing zone; compacted/curated zones should pin an explicit
+    schema instead."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -163,3 +163,24 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     assert n_after == 1
     back = spark.read.parquet(path)
     assert tuple(back.agg(F.sum("o_orderkey"), F.count(F.lit(1))).collect()[0]) == tuple(checksum)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Batches written before a column existed must read back with
+    NULLs in that column (mergeSchema), not get positionally projected
+    through whichever file's schema the scan picked."""
+    from event_driven_data_pipeline_for_e_commerce_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    rows = {r["id"]: r for r in read_parquet_evolving(spark, p).collect()}
+    assert set(read_parquet_evolving(spark, p).columns) == {"id", "name", "score"}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5

@@ -277,3 +277,11 @@ def test_round3_anomaly_window_is_post_aggregation(spark, sf_dir):
     assert "Window" in plan, plan
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:], plan
+
+
+def test_skew_profile_topk_is_take_ordered(spark, sf_dir):
+    """The skew diagnostic's heavy-key pick must be TakeOrdered over
+    the keyspace-grain count frame — a global Sort before the limit
+    would shuffle the whole keyspace to one task."""
+    plan = simple_plan(QUERIES["lineitem_suppkey_skew"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
