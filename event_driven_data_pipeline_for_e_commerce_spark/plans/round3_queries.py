@@ -504,12 +504,60 @@ def q_lead_time_trend_by_nation(spark, sf_dir):
 PQ_M = 4
 PQ_SUB = 16
 PQ_K = 16
+# PQ search query set: vec_ids [16, 24) — disjoint from the codebook
+# seeds so no query has a trivially-zero subspace distance everywhere.
+PQ_Q_LO, PQ_Q_HI = 16, 24
+PQ_TOPK = 5
 
 
-@query(
-    "emb_pq_codes",
-    oracle=f"""
-    WITH cb AS (
+def _pq_dists(vectors, codebook_src=None):
+    """(vec_id, m, k, d2): squared L2 from every vector's subspace m to
+    codebook entry k. Codebook broadcast; distances are a map-side
+    zip_with/aggregate fold over the subvector slices.
+
+    ``codebook_src`` supplies the frame the PQ_K codebook seeds are
+    drawn from (defaults to ``vectors``) — callers scoring a SLICE of
+    the corpus (e.g. the query set) must pass the full corpus here or
+    the codebook filter comes up empty."""
+    emb = vectors
+    cb = F.broadcast(
+        (codebook_src if codebook_src is not None else emb)
+        .filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), F.col("embedding").alias("cemb"))
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "embedding",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB),
+            F.slice("cemb", F.col("m") * PQ_SUB + 1, PQ_SUB),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return sub.crossJoin(cb).select("vec_id", "m", "k", d2.alias("d2"))
+
+
+def _pq_codes(emb):
+    """(vec_id, m, code, d2): per-subspace argmin codebook assignment
+    (min_by struct; smallest-k tie-break)."""
+    return (
+        _pq_dists(emb)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("d2", "k"), F.struct("d2", "k")).alias("b"))
+        .select(
+            "vec_id", "m", F.col("b.k").alias("code"), F.col("b.d2").alias("d2")
+        )
+    )
+
+
+# the shared distance/assignment CTE prefix for the PQ oracles
+_PQ_CTES = f"""cb AS (
         SELECT vec_id AS k, embedding AS cemb FROM embeddings
         WHERE vec_id < {PQ_K}
     ),
@@ -526,7 +574,13 @@ PQ_K = 16
         FROM d
         JOIN mn ON mn.vec_id = d.vec_id AND mn.m = d.m AND d.d2 = mn.md
         GROUP BY d.vec_id, d.m
-    )
+    )"""
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH {_PQ_CTES}
     SELECT vec_id,
            CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS c0,
            CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS c1,
@@ -552,32 +606,7 @@ def q_emb_pq_codes(spark, sf_dir):
     per vector. No corpus-sized join anywhere."""
     t = load_tables(spark, sf_dir)
     emb = ensure_parallelism(t["embeddings"])
-    cb = F.broadcast(
-        emb.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("k"), F.col("embedding").alias("cemb")
-        )
-    )
-    sub = emb.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-        "embedding",
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.slice("embedding", F.col("m") * PQ_SUB + 1, PQ_SUB),
-            F.slice("cemb", F.col("m") * PQ_SUB + 1, PQ_SUB),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dists = sub.crossJoin(cb).select(
-        "vec_id", "m", "k", d2.alias("d2")
-    )
-    best = dists.groupBy("vec_id", "m").agg(
-        F.min_by(F.struct("d2", "k"), F.struct("d2", "k")).alias("b")
-    ).select("vec_id", "m", F.col("b.k").alias("code"), F.col("b.d2").alias("d2"))
+    best = _pq_codes(emb)
     code = lambda m: F.max(F.when(F.col("m") == m, F.col("code"))).cast("bigint")
     return best.groupBy("vec_id").agg(
         code(0).alias("c0"),
@@ -785,3 +814,77 @@ def q_lineitem_suppkey_skew(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return skew_profile(t["lineitem"], "l_suppkey", top=10)
+
+
+@query(
+    "emb_pq_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    qt AS (
+        SELECT d.vec_id AS query_id, d.m, d.k, d.d2
+        FROM d
+        WHERE d.vec_id >= {PQ_Q_LO} AND d.vec_id < {PQ_Q_HI}
+    ),
+    score AS (
+        SELECT qt.query_id, b.vec_id AS neighbor_id, SUM(qt.d2) AS ad2
+        FROM best b
+        JOIN qt ON qt.m = b.m AND qt.k = b.code
+        WHERE b.vec_id != qt.query_id
+        GROUP BY qt.query_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, ad2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ad2, neighbor_id) AS rn
+        FROM score
+    )
+    SELECT query_id, neighbor_id, ROUND(ad2, 4) AS approx_d2
+    FROM ranked WHERE rn <= {PQ_TOPK}
+    """,
+)
+def q_emb_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k search — the query-time half of
+    IVF-PQ, completing emb_pq_codes: each query precomputes a
+    (subspace × codebook-entry) squared-distance TABLE against the
+    codebook, and every corpus vector is then scored by 4 table
+    lookups on its stored codes — no vector arithmetic per corpus row
+    at search time, which is why billion-vector indexes can afford
+    exhaustive scoring.
+
+    Scale shape: the distance tables are queries × PQ_M × PQ_K rows
+    (kilobytes) — broadcast; the corpus side is the CODES frame (PQ_M
+    shorts per vector, never the raw vectors), scored by one broadcast
+    equi-join on (m, code) and a (query, vector)-keyed partial-sum
+    aggregate; top-k is a per-query window over candidate grain."""
+    t = load_tables(spark, sf_dir)
+    emb = ensure_parallelism(t["embeddings"])
+    codes = _pq_codes(emb).select("vec_id", "m", "code")
+    qtab = (
+        _pq_dists(
+            emb.filter(
+                (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+            ),
+            codebook_src=emb,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            "k",
+            "d2",
+        )
+    )
+    scores = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("k")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("neighbor_id"))
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", F.round("ad2", 4).alias("approx_d2"))
+    )
