@@ -138,3 +138,31 @@ def test_duplicate_clusters_chain_transitivity(spark):
         10: (10, True), 11: (10, False), 30: (10, False),
         99: (99, True),
     }
+
+
+def test_minhash_pipeline_survives_mass_duplicated_corpus(spark):
+    """End-to-end minhash near-dup on a corpus that is ONE text copied
+    2000 times (the web-crawl boilerplate catastrophe): every document
+    lands in the same bucket in every band, and without the bucket cap
+    a single task would unfold ~2M pairs. With the cap the pipeline
+    completes, emits only capped-bucket pairs, and every surfaced pair
+    verifies at Jaccard 1.0."""
+    import pyspark.sql.functions as F
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        minhash_near_duplicates,
+    )
+
+    n, cap = 2000, 1000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated on every mirror page").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", n=2, num_hashes=12, rows_per_band=3,
+        threshold=0.4,
+    )
+    rows = pairs.collect()
+    assert len(rows) == cap * (cap - 1) // 2  # capped, not n*(n-1)/2
+    assert all(r["jaccard"] == 1.0 for r in rows[:100])

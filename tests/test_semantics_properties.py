@@ -173,3 +173,40 @@ def test_median_matches_pandas(spark, values):
     got = df.agg(F.median("v").alias("m")).collect()[0]["m"]
     want = float(pd.Series(values).median())
     assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_salted_join_correct_under_extreme_skew(spark):
+    """5M-row fact where ONE key owns 60% of all rows: the salted join
+    must return exactly the plain join's aggregate result (salting is
+    a physical rewrite, not a semantic one), with the hot key spread
+    across all salt buckets. This is the at-scale skew scenario the
+    testdata is too uniform to exercise."""
+    import pyspark.sql.functions as F
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.joins import salted_join
+
+    n = 5_000_000
+    # key 7 takes ~60% of rows; the rest spread over 1000 keys
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 6, 7)
+        .otherwise(F.pmod(F.col("id"), 1000))
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id") % 5).alias("grp")
+    )
+    plain = (
+        fact.join(dim, "k")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+    )
+    salted = (
+        salted_join(fact, dim, "k", buckets=16)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s"))
+    )
+    want = {r["grp"]: (r["n"], r["s"]) for r in plain.collect()}
+    got = {r["grp"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == n
