@@ -888,3 +888,100 @@ def q_emb_pq_topk(spark, sf_dir):
         .filter(F.col("__rn") <= PQ_TOPK)
         .select("query_id", "neighbor_id", F.round("ad2", 4).alias("approx_d2"))
     )
+
+
+@query(
+    "pit_status_at_ship",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate,
+               LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                   AS prev_status,
+               o_orderkey
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderstatus AS status,
+               o_orderdate AS valid_from, o_orderkey
+        FROM versions
+        WHERE prev_status IS NULL OR prev_status != o_orderstatus
+    ),
+    lines AS (
+        SELECT o.o_custkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    pit AS (
+        SELECT ln.o_custkey, ln.l_shipdate,
+               (SELECT c.status FROM changes c
+                WHERE c.o_custkey = ln.o_custkey
+                  AND c.valid_from <= ln.l_shipdate
+                ORDER BY c.valid_from DESC, c.o_orderkey DESC
+                LIMIT 1) AS status_at_ship
+        FROM lines ln
+    )
+    SELECT status_at_ship, COUNT(*) AS n_lines,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM pit
+    GROUP BY status_at_ship
+    """,
+)
+def q_pit_status_at_ship(spark, sf_dir):
+    """SCD2 CONSUMPTION, point-in-time: which customer status version
+    was in force when each line item shipped. The status-change history
+    (gaps-and-islands over each customer's orders) plays the versioned
+    dimension; every ship event then does an AS-OF lookup against it —
+    the query every SCD2 table exists to answer, here as the backward
+    as-of join (operators/temporal.asof_join: one union-sweep window
+    per key, no per-key cartesian, allow_exact for same-day shipping).
+
+    Shipments before a customer's first status version aggregate under
+    NULL — the honest answer for facts predating the dimension."""
+    from ..operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = (
+        t["orders"]
+        .select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    lines = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .select("o_custkey", "l_shipdate")
+    )
+    pit = asof_join(
+        lines,
+        versions,
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        payload=["status", "o_orderkey"],
+        tie_break="o_orderkey",
+        allow_exact=True,
+    )
+    return pit.groupBy(
+        F.col("asof_status").alias("status_at_ship")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
