@@ -985,3 +985,87 @@ def q_pit_status_at_ship(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.count_distinct("o_custkey").alias("n_customers"),
     )
+
+
+@query(
+    "ordered_funnel_conversions",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS viewed,
+           (SELECT COUNT(*) FROM c) AS clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS purchased_after_click,
+           ROUND((SELECT COUNT(*) FROM c) * 100.0
+                 / NULLIF((SELECT COUNT(*) FROM v), 0), 4) AS view_to_click_pct,
+           ROUND((SELECT COUNT(*) FROM p) * 100.0
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 4) AS click_to_purchase_pct
+    """,
+)
+def q_ordered_funnel_conversions(spark, sf_dir):
+    """STRICT-SEQUENCE funnel: a user converts a stage only by doing it
+    AFTER the previous stage (first view → first click after that view
+    → first purchase after that click). The stage-count funnel
+    (`funnel`) overcounts users who purchased before ever viewing;
+    this is the order-respecting version product analytics actually
+    wants.
+
+    Shape: three aggregation rounds over events, every one keyed by
+    user_id — the same hash partitioning reused, so stages 2 and 3
+    probe the (shrinking) qualified-user frames, which AQE broadcasts
+    as the funnel narrows. No per-user event arrays, no window over
+    raw events, no self-join explosion."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+    return counts.select(
+        "viewed",
+        "clicked_after_view",
+        "purchased_after_click",
+        F.round(
+            F.col("clicked_after_view") * 100.0
+            / F.nullif(F.col("viewed"), F.lit(0)),
+            4,
+        ).alias("view_to_click_pct"),
+        F.round(
+            F.col("purchased_after_click") * 100.0
+            / F.nullif(F.col("clicked_after_view"), F.lit(0)),
+            4,
+        ).alias("click_to_purchase_pct"),
+    )
