@@ -1844,3 +1844,7 @@ from . import analytics_queries  # noqa: E402,F401
 # round-3 additions: corpus statistics, dedup-survivor materialization,
 # retrieval, embedding QA, anomaly/cadence analytics (same registry)
 from . import round3_queries  # noqa: E402,F401
+
+# round-3 additions, batch 2: sketch frequency estimation, running
+# balances, conversion latency, drift monitoring, n-gram novelty
+from . import round3b_queries  # noqa: E402,F401

@@ -1,0 +1,367 @@
+"""Round-3 corpus additions, batch 2: mergeable-sketch frequency
+estimation (Count-Min), running-balance windows, conversion latency,
+distribution-drift monitoring, and cross-corpus n-gram novelty.
+
+Every query is oracle-paired (ANSI SQL for DuckDB) and keeps the
+100 TB shape rules: constant-size sketch shuffles with map-side
+combine, key-partitioned (never global) windows, broadcast for
+one-row or vocabulary-sized frames, exact integer arithmetic wherever
+a cross-engine float summation order could flip a rounded digit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from .corpus import query
+from .llm_queries import SHINGLE_N
+from .tables import load_tables
+
+# Count-Min sketch config: depth 4 rows x width 64 buckets. The
+# sketch is 256 counters total regardless of corpus size — the whole
+# point of the structure. Width 64 gives the classic eps = e/w ≈ 4%
+# of total stream length as the overestimate bound per row; taking
+# the min over 4 independent rows makes exceeding it exponentially
+# unlikely. Hashes are md5-derived so the DuckDB oracle can recompute
+# the identical sketch arithmetically.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOP_K = 20
+
+
+def _cms_bucket(row_col, key_col):
+    """Bucket in [0, CMS_WIDTH) from the first two hex digits of
+    md5('cms:<row>:<key>') — the same arithmetic the oracle uses."""
+    h = F.md5(F.concat_ws(":", F.lit("cms"), row_col, key_col))
+    return (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % CMS_WIDTH
+    ).alias("bucket")
+
+
+_CMS_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({r} AS VARCHAR)"
+    " || ':' || CAST({k} AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('cms:' || CAST({r} AS VARCHAR)"
+    " || ':' || CAST({k} AS VARCHAR)), 2, 1)) - 1) % "
+    f"{CMS_WIDTH}"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH base AS (SELECT l_suppkey AS k FROM lineitem),
+    hashed AS (
+        SELECT k, u.r, {_CMS_BUCKET_SQL.format(r='u.r', k='k')} AS bucket
+        FROM base, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, COUNT(*) AS c FROM hashed GROUP BY r, bucket
+    ),
+    exact AS (SELECT k, COUNT(*) AS exact_cnt FROM base GROUP BY k),
+    top_k AS (
+        SELECT k, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, k LIMIT {CMS_TOP_K}
+    ),
+    probes AS (
+        SELECT t.k, t.exact_cnt, u.r,
+               {_CMS_BUCKET_SQL.format(r='u.r', k='t.k')} AS bucket
+        FROM top_k t, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+    )
+    SELECT p.k AS suppkey, p.exact_cnt,
+           MIN(s.c) AS cms_est,
+           MIN(s.c) - p.exact_cnt AS overestimate
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.k, p.exact_cnt
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch frequency estimation, scored against exact
+    counts for the top-20 heaviest keys. The sketch is the mergeable
+    alternative to exact per-key counts when the keyspace itself is
+    too large to materialize (URLs, n-grams at 100 TB): each executor
+    folds its partition into a 4x64 counter grid map-side, the shuffle
+    moves at most 256 partial counters per partition, and grids merge
+    by cell-wise addition — the same contract-query shape as
+    ``hll_rollup_contract``. By construction ``cms_est >= exact_cnt``
+    (every occurrence lands in the probed cell); ``overestimate`` is
+    the collision inflation the width bounds.
+
+    Scale shape: one constant-volume shuffle for the sketch, one
+    keyed count for the exact side (only needed here to score the
+    sketch), TakeOrdered top-k, and a broadcast of the 256-row sketch
+    onto the 80 probe rows. Nothing grows with corpus size except the
+    map-side pass itself."""
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select(F.col("l_suppkey").alias("k"))
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r")
+    hashed = base.select("k", rows).select(
+        "k", "r", _cms_bucket(F.col("r"), F.col("k"))
+    )
+    sketch = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = base.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top_k = exact.orderBy(F.desc("exact_cnt"), F.asc("k")).limit(CMS_TOP_K)
+    probes = top_k.select("k", "exact_cnt", rows).select(
+        "k", "exact_cnt", "r", _cms_bucket(F.col("r"), F.col("k"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("k").alias("suppkey"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+@query(
+    "supplier_ship_cumulative",
+    oracle="""
+    WITH daily AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+               SUM(l_quantity) AS qty
+        FROM lineitem WHERE l_suppkey <= 10
+        GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+    )
+    SELECT l_suppkey, day, ROUND(qty, 2) AS qty,
+           ROUND(SUM(qty) OVER (
+               PARTITION BY l_suppkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_qty
+    FROM daily
+    """,
+)
+def q_supplier_ship_cumulative(spark, sf_dir):
+    """Running-balance window: per-supplier cumulative shipped
+    quantity by day — the inventory/backlog ledger shape (classic
+    cumulative SUM OVER). The supplier filter pushes into the parquet
+    scan before anything else runs.
+
+    Scale shape: pre-aggregate to (supplier, day) grain first — the
+    window then runs over day-grain series (bounded: one row per
+    supplier-day), partitioned by supplier, so no global sort and no
+    fact-grain window state. l_quantity is integer-valued, so the
+    cumulative double sums are exact and engine-order-independent."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["lineitem"]
+        .filter(F.col("l_suppkey") <= 10)
+        .groupBy("l_suppkey", F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "l_suppkey",
+        "day",
+        F.round("qty", 2).alias("qty"),
+        F.round(F.sum("qty").over(w), 2).alias("cum_qty"),
+    )
+
+
+@query(
+    "conversion_latency_histogram",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS first_view_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS first_purchase_us
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id, first_purchase_us - first_view_us AS latency_us
+        FROM per_user
+        WHERE first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+          AND first_purchase_us >= first_view_us
+    )
+    SELECT CAST(latency_us // 86400000000 AS BIGINT) AS latency_days,
+           COUNT(*) AS n_users,
+           ROUND(CAST(SUM(latency_us) AS DOUBLE) / COUNT(*) / 3600000000.0,
+                 4) AS avg_latency_hours
+    FROM lat GROUP BY 1
+    """,
+)
+def q_conversion_latency_histogram(spark, sf_dir):
+    """Time-to-convert distribution: per user, first 'view' to first
+    'purchase' latency, bucketed into whole days with the bucket's
+    average latency. The funnel's missing time axis (the reference's
+    funnel counts stages but never measures stage-to-stage delay).
+
+    Scale shape: one conditional-min aggregation per user (single
+    events shuffle, map-side combine), then a day-grain groupBy over
+    the user-grain frame. Latency is kept in exact integer
+    microseconds end-to-end; the one division happens after the exact
+    BIGINT sum, so no cross-engine float-summation-order drift."""
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase_us"),
+    )
+    lat = per_user.filter(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_view_us"))
+    ).select(
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias(
+            "latency_us"
+        )
+    )
+    day_us = 86_400_000_000
+    return (
+        lat.groupBy(
+            (F.col("latency_us") - F.col("latency_us") % day_us)
+            .cast("long")
+            .alias("_day_floor")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("latency_us").alias("_sum_us"),
+        )
+        .select(
+            (F.col("_day_floor") / day_us).cast("long").alias("latency_days"),
+            "n_users",
+            F.round(
+                F.col("_sum_us").cast("double")
+                / F.col("n_users")
+                / 3_600_000_000.0,
+                4,
+            ).alias("avg_latency_hours"),
+        )
+    )
+
+
+@query(
+    "priority_mix_drift",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    month_tot AS (SELECT month, SUM(c) AS mt FROM monthly GROUP BY month),
+    gl AS (
+        SELECT o_orderpriority, COUNT(*) AS g FROM orders GROUP BY 1
+    ),
+    glob_tot AS (SELECT SUM(g) AS gt FROM gl)
+    SELECT strftime(m.month, '%Y-%m') AS month,
+           ROUND(SUM(ABS(m.c * 1.0 / t.mt - g.g * 1.0 / (SELECT gt FROM glob_tot)))
+                 / 2, 6) AS tv_distance
+    FROM monthly m
+    JOIN month_tot t USING (month)
+    JOIN gl g USING (o_orderpriority)
+    GROUP BY m.month
+    """,
+)
+def q_priority_mix_drift(spark, sf_dir):
+    """Distribution-drift monitor: per month, the total-variation
+    distance between that month's order-priority mix and the global
+    mix — the data-quality alarm a pipeline fires when an upstream
+    producer changes behavior (0 = identical mix, 1 = disjoint).
+
+    Scale shape: aggregate first (month x priority grain — bounded by
+    calendar x 5 priorities), then join the 5-row global mix and the
+    1-row total broadcast-style; the TVD sum runs over <= 5 values per
+    month, far inside float determinism at 6 dp."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    month_tot = monthly.groupBy("month").agg(F.sum("c").alias("mt"))
+    glob = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("g"))
+    glob_tot = glob.agg(F.sum("g").alias("gt"))
+    return (
+        monthly.join(month_tot, "month")
+        .join(F.broadcast(glob), "o_orderpriority")
+        .crossJoin(F.broadcast(glob_tot))
+        .groupBy("month")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("c") / F.col("mt") - F.col("g") / F.col("gt")
+                    )
+                )
+                / 2,
+                6,
+            ).alias("tv_distance")
+        )
+        .select(F.date_format("month", "yyyy-MM").alias("month"), "tv_distance")
+    )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM toks, UNNEST(generate_series(1, len(w) - {SHINGLE_N - 1})) AS u(i)
+        WHERE len(w) >= {SHINGLE_N}
+    ),
+    firsts AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 100.0 / COUNT(*), 4) AS novelty_pct
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Cross-corpus n-gram novelty: per document, the share of its
+    distinct word-shingles (the MinHash ``SHINGLE_N`` config) that no
+    earlier document (by doc_id, the
+    ingest order) contains — the self-repetition signal a crawl
+    pipeline uses to spot boilerplate-heavy sources before near-dedup
+    even runs (novelty ~0 means the doc is assembled from seen text).
+
+    Scale shape: shingling is map-side (``shingle_array`` — the same
+    projection MinHash uses), first-occurrence is one groupBy(shingle)
+    min, and the per-doc rollup re-shuffles the (doc, shingle) frame
+    once on doc_id. Counts are exact integers; the only float is the
+    final rounded percentage."""
+    from ..llmdata.dedup import ngram_shingles
+
+    t = load_tables(spark, sf_dir)
+    sh = ngram_shingles(t["documents"], "text", "doc_id", n=SHINGLE_N)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") * 100.0 / F.col("n_shingles"), 4).alias(
+                "novelty_pct"
+            ),
+        )
+    )

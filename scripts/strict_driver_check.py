@@ -21,6 +21,19 @@ import __spark_entry__ as entry
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # Spark DateType -> pandas object(datetime.date) while DuckDB DATE ->
+    # datetime64; the real driver accepts that pairing (dim_date_build was
+    # green in r1), so coerce date-objects to datetime64 before comparing.
+    import datetime as _dt
+
+    for c in df.columns:
+        if df[c].dtype == object:
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                for v in nonnull
+            ):
+                df[c] = pd.to_datetime(df[c])
     df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(
         drop=True
     )
