@@ -365,3 +365,210 @@ def q_doc_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+# Z-order config: 8 bits per dimension interleaved into a 16-bit
+# z-value; the audit buckets on the top 6 bits (64 buckets).
+ZORDER_BITS = 8
+ZORDER_BUCKET_SHIFT = 10
+
+
+def _zvalue_spark(x, y):
+    """Bit-interleaved Morton code of two 8-bit ints: x in even bit
+    positions, y in odd — plain shift/mod arithmetic so it stays in
+    whole-stage codegen and has an exact SQL twin."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        bit_x = (F.shiftright(x, i) % 2).cast("long")
+        bit_y = (F.shiftright(y, i) % 2).cast("long")
+        terms.append(bit_x * (1 << (2 * i)) + bit_y * (1 << (2 * i + 1)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_locality_audit",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_custkey % 256 AS x,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) % 256 AS y
+        FROM orders
+    ),
+    z AS (
+        SELECT x, y, CAST(({_zvalue_sql('x', 'y')}) AS BIGINT) AS zvalue
+        FROM keyed
+    )
+    SELECT CAST(zvalue // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows,
+           MAX(x) - MIN(x) AS cust_span,
+           MAX(y) - MIN(y) AS day_span
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_locality_audit(spark, sf_dir):
+    """Z-order (Morton-curve) clustering audit: orders keyed by the
+    interleaved bits of (custkey mod 256, day-index mod 256), bucketed
+    by z-value prefix, reporting each bucket's key-range spans. This
+    is the layout computation behind multi-dimensional data skipping
+    (Delta/Iceberg OPTIMIZE ZORDER): writing files in z-value order
+    keeps BOTH dimensions' min/max ranges tight per file, so a filter
+    on either column prunes most files — a lexicographic sort only
+    prunes its leading column. The tight spans in the output (vs the
+    255 global span) are exactly the min/max statistics a scan planner
+    would skip on.
+
+    Scale shape: the z-value is pure map-side shift/mask arithmetic
+    (codegen, no UDF); the audit is one bounded groupBy (64 buckets).
+    In a real write path the same column feeds
+    ``df.repartitionByRange(N, 'zvalue').sortWithinPartitions(...)``
+    before the sink — see tests/test_round3b.py for the span-tightness
+    property this buys."""
+    t = load_tables(spark, sf_dir)
+    keyed = t["orders"].select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            % 256
+        ).alias("y"),
+    )
+    z = keyed.select(
+        "x", "y", _zvalue_spark(F.col("x"), F.col("y")).alias("zvalue")
+    )
+    return (
+        z.groupBy(
+            F.shiftright("zvalue", ZORDER_BUCKET_SHIFT).cast("long").alias(
+                "zbucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("cust_span"),
+            (F.max("y") - F.min("y")).alias("day_span"),
+        )
+    )
+
+
+@query(
+    "user_value_twap",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value, epoch_us(ts) AS t_us,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_us
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, value, next_us - t_us AS dt_us
+        FROM ordered WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap_value
+    FROM seg GROUP BY user_id HAVING SUM(dt_us) > 0
+    """,
+)
+def q_user_value_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by how long it remained the latest state — the correct
+    average for irregularly-sampled state series, where the plain AVG
+    over-weights bursts. The interval weights come from one LEAD
+    window per user; the last (open-ended) interval is excluded.
+
+    Scale shape: the window partitions by user_id (never global), and
+    the weighted rollup reuses the same user_id hash partitioning, so
+    the whole query is two stages over one shuffle of the events
+    fact. Interval lengths are exact integer microseconds; tie-order
+    under equal timestamps is pinned by event_id on both engines."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t["events"].select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    seg = ordered.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "value",
+        (F.col("next_us") - F.col("t_us")).alias("dt_us"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("value") * F.col("dt_us")).alias("_wsum"),
+            F.sum("dt_us").alias("_tsum"),
+        )
+        .filter(F.col("_tsum") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            F.round(F.col("_wsum") / F.col("_tsum"), 4).alias("twap_value"),
+        )
+    )
+
+
+@query(
+    "doc_zipf_slope",
+    oracle=r"""
+    WITH tok AS (
+        SELECT lang, t.tok
+        FROM documents,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+    ),
+    counts AS (
+        SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY c DESC, tok
+               ) AS rnk
+        FROM counts
+    )
+    SELECT lang,
+           COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(c), ln(rnk)), 4) AS zipf_slope
+    FROM ranked GROUP BY lang
+    """,
+)
+def q_doc_zipf_slope(spark, sf_dir):
+    """Zipf-law slope per language: the least-squares slope of
+    log-frequency vs log-rank over the term distribution. Natural
+    text sits near -1; corpora full of boilerplate, code, or spam
+    drift off it, so this is a cheap whole-corpus health gauge the
+    quality stack reads alongside repetition ratios.
+
+    Scale shape: one token-count shuffle (map-side combine), a rank
+    window over the VOCABULARY frame partitioned by language (term
+    counts, not corpus size), and a single-pass regr_slope moment
+    aggregate. Tie-ranking is pinned (count desc, token asc) so both
+    engines see identical (rank, count) points."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = counts.select("lang", "c", F.row_number().over(w).alias("rnk"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("c"), F.log("rnk")), 4).alias(
+            "zipf_slope"
+        ),
+    )

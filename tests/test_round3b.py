@@ -96,3 +96,64 @@ def test_conversion_latency_user_conservation(spark, sf_dir):
         .collect()[0][0]
     )
     assert got == expected
+
+
+def test_zorder_buckets_tighter_than_global_span(spark, sf_dir):
+    """The point of z-ordering: bucketing by z-value prefix bounds
+    BOTH dimensions' ranges per bucket. The bucket id keeps the top 6
+    interleaved bits — the top 3 bits of each dimension — leaving 5
+    free bits per dimension, so each span is at most 2^5 - 1 = 31,
+    far under the 255 global span a lexicographic sort leaves on its
+    trailing dimension."""
+    df = QUERIES["zorder_locality_audit"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.cust_span <= 31, r
+        assert r.day_span <= 31, r
+
+
+def test_zorder_counts_conserve_orders(spark, sf_dir):
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    df = QUERIES["zorder_locality_audit"](spark, sf_dir)
+    total = df.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == load_tables(spark, sf_dir)["orders"].count()
+
+
+def test_twap_constant_value_user_is_exact(spark, sf_dir):
+    """A synthetic sanity anchor: TWAP of a constant series equals the
+    constant regardless of interval spacing — checked by rebuilding
+    one user's series with the same operator shape."""
+    import pyspark.sql.functions as F2
+
+    rows = [(1, 10.0, "2024-01-01 00:00:00", 1),
+            (1, 10.0, "2024-01-03 07:00:00", 2),
+            (1, 10.0, "2024-01-10 00:00:00", 3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, value double, ts string, event_id long"
+    ).select("user_id", "value", F2.to_timestamp("ts").alias("ts"), "event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        df.select(
+            "user_id", "value",
+            F2.unix_micros("ts").alias("t"),
+            F2.lead(F2.unix_micros("ts")).over(w).alias("n"),
+        )
+        .filter(F2.col("n").isNotNull())
+        .select("user_id", "value", (F2.col("n") - F2.col("t")).alias("dt"))
+    )
+    got = seg.groupBy("user_id").agg(
+        (F2.sum(F2.col("value") * F2.col("dt")) / F2.sum("dt")).alias("twap")
+    ).collect()[0].twap
+    assert got == 10.0
+
+
+def test_zipf_slope_negative_for_natural_text(spark, sf_dir):
+    """Any natural-ish corpus has a decreasing rank-frequency curve;
+    the fitted log-log slope must be negative for every language."""
+    for r in QUERIES["doc_zipf_slope"](spark, sf_dir).collect():
+        assert r.zipf_slope < 0, r
+        assert r.n_terms > 0
