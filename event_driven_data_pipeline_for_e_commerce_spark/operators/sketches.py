@@ -1,0 +1,90 @@
+"""Count-Min sketch primitives: a fixed-size, mergeable frequency
+summary for keyspaces too large to count exactly (URLs, n-grams,
+join keys at 100 TB).
+
+The sketch is a depth x width counter grid held as a DataFrame of
+(r, bucket, c) cells — at most depth*width rows regardless of input
+size. Partition partials combine map-side, grids merge by cell-wise
+addition (the same mergeable-partial contract as
+``operators.incremental``), and a point query returns
+min over rows of the probed cell, which never underestimates the true
+count and overestimates by at most ~e/width of the stream length per
+the classic Cormode-Muthukrishnan analysis.
+
+Hashes are md5-derived (first two hex digits of ``md5('cms:<r>:<key>')``)
+so a SQL oracle can recompute the identical sketch arithmetically —
+see ``plans.round3b_queries.cms_heavy_hitters``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_bucket(row_col: Column, key_col: Column, width: int = CMS_WIDTH) -> Column:
+    """Bucket in [0, width) from the first two hex digits of
+    md5('cms:<row>:<key>') — plain codegen arithmetic, no UDF."""
+    h = F.md5(F.concat_ws(":", F.lit("cms"), row_col, key_col))
+    return (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % width).alias(
+        "bucket"
+    )
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Map-side projection of each input row to its ``depth`` grid
+    cells: (r, bucket) — one explode, no shuffle."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    return df.select(F.col(key_col).alias("k"), rows).select(
+        "r", cms_bucket(F.col("r"), F.col("k"), width)
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the (r, bucket, c) sketch for one input frame. The
+    groupBy's map-side combine means each partition ships at most
+    depth*width partial cells — constant shuffle volume."""
+    return (
+        cms_cells(df, key_col, depth, width)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame | None, b: DataFrame) -> DataFrame:
+    """Cell-wise addition of two sketches built with the same config.
+    ``a=None`` bootstraps (streaming first batch)."""
+    if a is None:
+        return b
+    return (
+        a.unionByName(b).groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: returns
+    (<key_col>, cms_est). The sketch side is depth*width rows —
+    always broadcast."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    probes = keys.select(F.col(key_col).alias("k"), rows).select(
+        "k", "r", cms_bucket(F.col("r"), F.col("k"), width)
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cms_est"))
+        .select(F.col("k").alias(key_col), "cms_est")
+    )

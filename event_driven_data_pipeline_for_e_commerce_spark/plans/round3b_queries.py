@@ -14,30 +14,19 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
 from .corpus import query
 from .llm_queries import SHINGLE_N
 from .tables import load_tables
 
-# Count-Min sketch config: depth 4 rows x width 64 buckets. The
-# sketch is 256 counters total regardless of corpus size — the whole
-# point of the structure. Width 64 gives the classic eps = e/w ≈ 4%
-# of total stream length as the overestimate bound per row; taking
-# the min over 4 independent rows makes exceeding it exponentially
-# unlikely. Hashes are md5-derived so the DuckDB oracle can recompute
-# the identical sketch arithmetically.
-CMS_DEPTH = 4
-CMS_WIDTH = 64
+# Count-Min sketch config (mirrors operators.sketches): depth 4 rows
+# x width 64 buckets — 256 counters total regardless of corpus size,
+# the whole point of the structure. Width 64 gives the classic
+# eps = e/w ≈ 4% of total stream length as the overestimate bound per
+# row; taking the min over 4 independent rows makes exceeding it
+# exponentially unlikely. Hashes are md5-derived so the DuckDB oracle
+# can recompute the identical sketch arithmetically.
 CMS_TOP_K = 20
-
-
-def _cms_bucket(row_col, key_col):
-    """Bucket in [0, CMS_WIDTH) from the first two hex digits of
-    md5('cms:<row>:<key>') — the same arithmetic the oracle uses."""
-    h = F.md5(F.concat_ws(":", F.lit("cms"), row_col, key_col))
-    return (
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % CMS_WIDTH
-    ).alias("bucket")
-
 
 _CMS_BUCKET_SQL = (
     "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({r} AS VARCHAR)"
@@ -93,28 +82,19 @@ def q_cms_heavy_hitters(spark, sf_dir):
     sketch), TakeOrdered top-k, and a broadcast of the 256-row sketch
     onto the 80 probe rows. Nothing grows with corpus size except the
     map-side pass itself."""
+    from ..operators.sketches import cms_estimate, cms_sketch
+
     t = load_tables(spark, sf_dir)
     base = t["lineitem"].select(F.col("l_suppkey").alias("k"))
-    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r")
-    hashed = base.select("k", rows).select(
-        "k", "r", _cms_bucket(F.col("r"), F.col("k"))
-    )
-    sketch = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    sketch = cms_sketch(base, "k", CMS_DEPTH, CMS_WIDTH)
     exact = base.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top_k = exact.orderBy(F.desc("exact_cnt"), F.asc("k")).limit(CMS_TOP_K)
-    probes = top_k.select("k", "exact_cnt", rows).select(
-        "k", "exact_cnt", "r", _cms_bucket(F.col("r"), F.col("k"))
-    )
-    return (
-        probes.join(F.broadcast(sketch), ["r", "bucket"])
-        .groupBy("k", "exact_cnt")
-        .agg(F.min("c").alias("cms_est"))
-        .select(
-            F.col("k").alias("suppkey"),
-            "exact_cnt",
-            "cms_est",
-            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
-        )
+    est = cms_estimate(sketch, top_k.select("k"), "k", CMS_DEPTH, CMS_WIDTH)
+    return top_k.join(est, "k").select(
+        F.col("k").alias("suppkey"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
     )
 
 

@@ -277,6 +277,39 @@ def rollup_foreach_batch(
     return apply
 
 
+def cms_foreach_batch(
+    target_path: str,
+    key_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming Count-Min sketch maintenance: each micro-batch's keys
+    fold into a persisted 4x64 counter grid (``operators.sketches``)
+    by cell-wise addition — the sketch twin of ``rollup_foreach_batch``
+    for keyspaces too large to hold an exact per-key mart. The
+    persisted state is depth*width rows FOREVER, no matter how many
+    events stream through; point queries (``cms_estimate``) run
+    against the parquet grid at any time without stopping the stream.
+    Exactly-once vs replays comes from the checkpointed source
+    offsets; the write is the atomic snapshot swap."""
+    from ..operators.scd2 import scd2_write
+    from ..operators.sketches import cms_merge, cms_sketch
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        delta = cms_sketch(batch, key_col)
+        prior = (
+            spark.read.parquet(target_path)
+            if os.path.exists(target_path)
+            else None
+        )
+        scd2_write(cms_merge(prior, delta), target_path)
+
+    return apply
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -157,3 +157,56 @@ def test_zipf_slope_negative_for_natural_text(spark, sf_dir):
     for r in QUERIES["doc_zipf_slope"](spark, sf_dir).collect():
         assert r.zipf_slope < 0, r
         assert r.n_terms > 0
+
+
+def test_streaming_cms_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Replaying events through cms_foreach_batch (micro-batch grid
+    merges) must land on exactly the batch-computed sketch — the
+    mergeability guarantee — and point estimates must agree."""
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        cms_foreach_batch,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_tables(spark, sf_dir)["events"]
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    target = str(tmp_path / "cms")
+
+    q = (
+        read_event_stream(spark, src, schema)
+        .writeStream.foreachBatch(cms_foreach_batch(target, "user_id"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r.r, r.bucket): r.c for r in spark.read.parquet(target).collect()
+    }
+    batch = {
+        (r.r, r.bucket): r.c
+        for r in cms_sketch(events, "user_id").collect()
+    }
+    assert streamed == batch
+
+    keys = events.select("user_id").distinct().limit(5)
+    got = {
+        r.user_id: r.cms_est
+        for r in cms_estimate(
+            spark.read.parquet(target), keys, "user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.cms_est
+        for r in cms_estimate(cms_sketch(events, "user_id"), keys, "user_id").collect()
+    }
+    assert got == want and got
