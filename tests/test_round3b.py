@@ -210,3 +210,15 @@ def test_streaming_cms_matches_batch_sketch(spark, sf_dir, tmp_path):
         for r in cms_estimate(cms_sketch(events, "user_id"), keys, "user_id").collect()
     }
     assert got == want and got
+
+
+def test_top_pc_is_unit_vector_with_positive_eigenvalue(spark, sf_dir):
+    """Power iteration must return a unit-norm direction (post-
+    normalization) and a positive eigenvalue for any non-degenerate
+    corpus; rounding at 4dp bounds the norm drift."""
+    rows = QUERIES["emb_top_principal_component"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm_sq = sum(r.loading ** 2 for r in rows)
+    assert abs(norm_sq - 1.0) < 1e-2, norm_sq
+    assert rows[0].eigenvalue > 0
+    assert len({r.eigenvalue for r in rows}) == 1  # one scalar, repeated
