@@ -656,3 +656,131 @@ def q_emb_top_principal_component(spark, sf_dir):
         F.round("v", 4).alias("loading"),
         F.round("nrm", 2).alias("eigenvalue"),
     )
+
+
+@query(
+    "user_event_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    totals AS (
+        SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
+        FROM counts GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(t.n AS BIGINT) AS n_events,
+           t.n_types,
+           ROUND(-SUM((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 4)
+               AS entropy_nats
+    FROM counts c JOIN totals t USING (user_id)
+    GROUP BY c.user_id, t.n, t.n_types
+    """,
+)
+def q_user_event_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bots hammer one event type, entropy
+    ~0; engaged users mix types). A standard information-theoretic
+    profiling column for segmentation and anomaly models.
+
+    Scale shape: two chained aggregations over the same user_id hash
+    partitioning (type counts, then totals), and the entropy sum runs
+    over at most |event types| terms per user — the 4-term float sum
+    is orders of magnitude inside 4dp determinism."""
+    t = load_tables(spark, sf_dir)
+    counts = t["events"].groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(totals, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            "entropy_nats",
+        )
+    )
+
+
+# Vocabulary-overlap config: compare each source pair on its top-N
+# most frequent tokens (ties broken lexically so both engines pick
+# identical sets).
+VOCAB_TOP_N = 200
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source, t.tok
+        FROM documents,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+    ),
+    counts AS (
+        SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    ),
+    topn AS (
+        SELECT source, tok FROM (
+            SELECT source, tok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY c DESC, tok
+                   ) AS rnk
+            FROM counts
+        ) WHERE rnk <= {VOCAB_TOP_N}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_terms,
+           ROUND(COUNT(*) * 1.0 / ({VOCAB_TOP_N} * 2 - COUNT(*)), 4)
+               AS jaccard
+    FROM topn a JOIN topn b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between corpus sources: Jaccard of
+    each source pair's top-200 term sets. Low overlap across supposed
+    same-domain sources (or high overlap across supposedly distinct
+    ones) is the first thing a data-mixing review looks at before
+    setting sampling weights (``doc_source_mixing``).
+
+    Scale shape: token counts are one shuffle with map-side combine;
+    the rank window runs over per-source VOCABULARY frames; the pair
+    join operates on |sources| x 200 rows — a broadcast-sized frame
+    no matter how big the corpus. Jaccard needs no per-source size
+    lookup because both sets are exactly top-N: |A∪B| = 2N - |A∩B|."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    counts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    topn = (
+        counts.select("source", "tok", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= VOCAB_TOP_N)
+        .select("source", "tok")
+    )
+    a = topn.select(F.col("source").alias("source_a"), "tok")
+    b = topn.select(F.col("source").alias("source_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_terms"))
+    )
+    union_n = VOCAB_TOP_N * 2 - F.col("shared_terms")
+    return shared.select(
+        "source_a",
+        "source_b",
+        "shared_terms",
+        F.round(F.col("shared_terms") / union_n, 4).alias("jaccard"),
+    )

@@ -222,3 +222,23 @@ def test_top_pc_is_unit_vector_with_positive_eigenvalue(spark, sf_dir):
     assert abs(norm_sq - 1.0) < 1e-2, norm_sq
     assert rows[0].eigenvalue > 0
     assert len({r.eigenvalue for r in rows}) == 1  # one scalar, repeated
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_types) for every user (uniform upper bound)."""
+    import math
+
+    for r in QUERIES["user_event_entropy"](spark, sf_dir).collect():
+        assert -1e-9 <= r.entropy_nats <= math.log(r.n_types) + 1e-6, r
+
+
+def test_vocab_overlap_symmetric_bounds(spark, sf_dir):
+    """Jaccard in (0, 1]; pairs emitted once with source_a < source_b."""
+    rows = QUERIES["source_vocab_overlap"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0.0 < r.jaccard <= 1.0, r
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
