@@ -784,3 +784,251 @@ def q_source_vocab_overlap(spark, sf_dir):
         "shared_terms",
         F.round(F.col("shared_terms") / union_n, 4).alias("jaccard"),
     )
+
+
+# Histogram-sketch config: $100-wide integer-cent bins. Mergeable
+# (bin counts add), bounded error (a quantile estimate is off by at
+# most one bin width), exact integer arithmetic end to end.
+QSKETCH_BIN_CENTS = 10_000 * 100
+QSKETCH_QUANTILES = (50, 90, 99)
+
+
+@query(
+    "qsketch_price_quantiles",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc FROM orders
+    ),
+    hist AS (
+        SELECT pc // {QSKETCH_BIN_CENTS} AS bin, COUNT(*) AS c
+        FROM cents GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum_c FROM hist
+    ),
+    n AS (SELECT COUNT(*) AS n FROM cents),
+    qs AS (SELECT u.q FROM UNNEST([{", ".join(str(q) for q in QSKETCH_QUANTILES)}]) AS u(q)),
+    est AS (
+        SELECT q.q,
+               MIN(c.bin) AS est_bin
+        FROM qs q JOIN cum c
+          ON c.cum_c * 100 >= q.q * (SELECT n FROM n)
+        GROUP BY q.q
+    ),
+    exact AS (
+        SELECT 50 AS q, (SELECT percentile_disc(0.5)
+                         WITHIN GROUP (ORDER BY pc) FROM cents) AS exact_pc
+        UNION ALL
+        SELECT 90, (SELECT percentile_disc(0.9)
+                    WITHIN GROUP (ORDER BY pc) FROM cents)
+        UNION ALL
+        SELECT 99, (SELECT percentile_disc(0.99)
+                    WITHIN GROUP (ORDER BY pc) FROM cents)
+    )
+    SELECT e.q AS quantile_pct,
+           CAST((e.est_bin + 1) * {QSKETCH_BIN_CENTS} AS BIGINT)
+               AS est_upper_cents,
+           CAST(x.exact_pc AS BIGINT) AS exact_cents,
+           ((e.est_bin + 1) * {QSKETCH_BIN_CENTS} - x.exact_pc)
+               BETWEEN 0 AND {QSKETCH_BIN_CENTS} AS within_bin_bound
+    FROM est e JOIN exact x USING (q)
+    """,
+)
+def q_qsketch_price_quantiles(spark, sf_dir):
+    """Histogram-sketch quantile estimation, scored against the exact
+    discrete percentile — the third mergeable sketch alongside HLL
+    (``hll_rollup_contract``, distinct) and Count-Min
+    (``cms_heavy_hitters``, frequency): fixed $100 bins over integer
+    cents count-add across partitions and batches, and any quantile
+    reads off the cumulative histogram with error bounded by one bin
+    width. This is how a 100 TB pipeline serves p50/p99 dashboards
+    without ever sorting the fact table.
+
+    Scale shape: one bounded-cardinality histogram shuffle (map-side
+    combine; bin count is price-range/100, not row count), the
+    cumulative window runs over the BIN frame, and the estimate probe
+    is bins x 3 quantiles. Everything is integer cents — bin edges
+    cannot drift between engines."""
+    t = load_tables(spark, sf_dir)
+    cents = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc")
+    )
+    hist = cents.groupBy(
+        (F.col("pc") - F.col("pc") % QSKETCH_BIN_CENTS)
+        .cast("long")
+        .alias("_bin_floor")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    hist = hist.select(
+        (F.col("_bin_floor") / QSKETCH_BIN_CENTS).cast("long").alias("bin"),
+        "c",
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    )
+    n = cents.agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in QSKETCH_QUANTILES])
+        ).alias("q")
+    )
+    est = (
+        qs.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cum),
+            F.col("cum_c") * 100 >= F.col("q") * F.col("n"),
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    exact_row = cents.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q / 100.0}) WITHIN GROUP (ORDER BY pc)"
+            ).alias(f"e{q}")
+            for q in QSKETCH_QUANTILES
+        ]
+    )
+    stack_args = ", ".join(f"{q}, e{q}" for q in QSKETCH_QUANTILES)
+    exact = exact_row.select(
+        F.expr(
+            f"stack({len(QSKETCH_QUANTILES)}, {stack_args}) AS (q, exact_pc)"
+        )
+    )
+    bound = QSKETCH_BIN_CENTS
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").alias("quantile_pct"),
+            ((F.col("est_bin") + 1) * bound).cast("long").alias(
+                "est_upper_cents"
+            ),
+            F.col("exact_pc").cast("long").alias("exact_cents"),
+            (
+                ((F.col("est_bin") + 1) * bound - F.col("exact_pc") >= 0)
+                & ((F.col("est_bin") + 1) * bound - F.col("exact_pc") <= bound)
+            ).alias("within_bin_bound"),
+        )
+    )
+
+
+@query(
+    "copurchase_triangle_census",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS n FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+                   AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+                   AS dst
+        FROM und e
+        JOIN deg du ON du.n = e.u
+        JOIN deg dv ON dv.n = e.v
+    ),
+    wedge AS (
+        SELECT o1.dst AS x, o2.dst AS y
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM wedge w JOIN und e
+          ON e.u = LEAST(w.x, w.y) AND e.v = GREATEST(w.x, w.y)
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT s.n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           s.n_wedges,
+           CAST(t.t AS BIGINT) AS n_triangles,
+           ROUND(3.0 * t.t / s.n_wedges, 6) AS global_clustering
+    FROM stats s, tri t
+    """,
+)
+def q_copurchase_triangle_census(spark, sf_dir):
+    """Triangle census of the part co-purchase graph: triangle count
+    and global clustering coefficient (3T / wedges) — the graph-
+    cohesion statistic recommendation and fraud pipelines monitor
+    (rising clustering = denser 'bought-together' communities).
+
+    Scale shape: the compact-forward algorithm — edges are ORIENTED
+    from the lower (degree, id) endpoint to the higher before the
+    wedge self-join, the standard trick that bounds each node's
+    out-degree by O(sqrt(edges)) and keeps the wedge expansion from
+    exploding on hub nodes (a raw wedge join on an unoriented hub is
+    quadratic in its degree). Wedge closure is one equi-join back to
+    the edge list on the (least, greatest) pair key. Every count is
+    an exact integer; the single float division is rounded at 6dp."""
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("k", F.col("p").alias("u"))
+    b = op.select("k", F.col("p").alias("v"))
+    und = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select("v"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("x"))
+    o2 = oriented.select("src", F.col("dst").alias("y"))
+    wedge = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    tri = wedge.join(
+        und,
+        (F.col("u") == F.least("x", "y")) & (F.col("v") == F.greatest("x", "y")),
+    ).agg(F.count(F.lit(1)).alias("t"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").cast("long").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

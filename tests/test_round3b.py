@@ -242,3 +242,57 @@ def test_vocab_overlap_symmetric_bounds(spark, sf_dir):
         assert 0.0 < r.jaccard <= 1.0, r
         assert (r.source_a, r.source_b) not in seen
         seen.add((r.source_a, r.source_b))
+
+
+def test_qsketch_always_within_bin_bound(spark, sf_dir):
+    """The histogram-sketch contract: every quantile estimate is
+    within one bin width above the exact discrete percentile."""
+    rows = QUERIES["qsketch_price_quantiles"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.within_bin_bound, r
+        assert 0 <= r.est_upper_cents - r.exact_cents, r
+
+
+def test_triangle_census_known_graph(spark):
+    """Degree-ordered wedge counting on K4 (4 triangles, clustering
+    coefficient exactly 1) — validates orientation + closure logic
+    independently of the co-purchase edge construction."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    und = spark.createDataFrame(edges, "u long, v long").persist()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select("v"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("x"))
+    o2 = oriented.select("src", F.col("dst").alias("y"))
+    wedge = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    t = wedge.join(
+        und,
+        (F.col("u") == F.least("x", "y")) & (F.col("v") == F.greatest("x", "y")),
+    ).count()
+    assert t == 4
+
+
+def test_triangle_census_consistency(spark, sf_dir):
+    """Clustering coefficient in [0, 1]; triangles cannot exceed
+    wedges / 3 of the closure bound."""
+    r = QUERIES["copurchase_triangle_census"](spark, sf_dir).collect()[0]
+    assert 0 <= r.global_clustering <= 1.0
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
