@@ -285,3 +285,62 @@ def test_skew_profile_topk_is_take_ordered(spark, sf_dir):
     would shuffle the whole keyspace to one task."""
     plan = simple_plan(QUERIES["lineitem_suppkey_skew"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_round3b_ship_filter_pushed(spark, sf_dir):
+    """supplier_ship_cumulative's supplier predicate must reach the
+    lineitem scan — the filter is the only thing keeping the window
+    input bounded."""
+    plan = formatted_plan(spark, QUERIES["supplier_ship_cumulative"](spark, sf_dir))
+    pushed = [
+        line for b in scan_blocks(plan) for line in b.splitlines()
+        if line.startswith("PushedFilters")
+    ]
+    assert any("LessThanOrEqual(l_suppkey" in line for line in pushed), plan
+
+
+def test_round3b_cms_sketch_joins_broadcast(spark, sf_dir):
+    """The 256-row sketch and 20-row top-k must broadcast; a shuffled
+    join on either would move the fact table for nothing."""
+    plan = simple_plan(QUERIES["cms_heavy_hitters"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_round3b_triangle_wedge_join_is_hash(spark, sf_dir):
+    """Wedge generation and closure are equi-joins — they must plan as
+    hash joins; nested-loop is only acceptable for the 1-row stat
+    crossJoins."""
+    plan = simple_plan(QUERIES["copurchase_triangle_census"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the two deliberate 1-row crossJoins are the only nested loops
+    assert plan.count("NestedLoop") <= 2, plan
+
+
+def test_round3b_qsketch_window_is_bin_grain(spark, sf_dir):
+    """The cumulative window must run over the aggregated BIN frame
+    (histogram first, window second) — a fact-grain cumulative window
+    would be a global sort of the fact table."""
+    plan = simple_plan(QUERIES["qsketch_price_quantiles"](spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    # simpleString prints top-down: the window sits ABOVE (before) at
+    # least one aggregate that feeds it
+    assert win_pos < plan.rindex("HashAggregate"), plan
+
+
+def test_round3b_no_python_eval(spark, sf_dir):
+    """All round-3b additions stay JVM-side."""
+    for name in [
+        "cms_heavy_hitters", "supplier_ship_cumulative",
+        "conversion_latency_histogram", "priority_mix_drift",
+        "doc_ngram_novelty", "zorder_locality_audit", "user_value_twap",
+        "doc_zipf_slope", "emb_top_principal_component",
+        "user_event_entropy", "source_vocab_overlap",
+        "qsketch_price_quantiles", "copurchase_triangle_census",
+    ]:
+        plan = simple_plan(QUERIES[name](spark, sf_dir))
+        assert not re.search(
+            r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas", plan
+        ), name
