@@ -57,6 +57,10 @@ HEADLINE = [
     "emb_kmeans_assign",       # k-means Lloyd iteration (broadcast seeds)
     "doc_dedup_survivors",     # full dedup pipeline: pairs -> CC -> keepers
     "lead_time_trend_by_nation",  # fact-fact join + moment aggregates
+    "cms_heavy_hitters",       # mergeable Count-Min sketch + probe
+    "emb_top_principal_component",  # power-iteration PCA (3 rounds)
+    "copurchase_triangle_census",   # degree-ordered triangle counting
+    "user_value_twap",         # key-partitioned interval-weighted window
 ]
 
 

@@ -88,6 +88,9 @@ def q_cms_heavy_hitters(spark, sf_dir):
     base = t["lineitem"].select(F.col("l_suppkey").alias("k"))
     sketch = cms_sketch(base, "k", CMS_DEPTH, CMS_WIDTH)
     exact = base.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # the 20-row top-k feeds BOTH the probe side and the final join;
+    # Spark's ReusedExchange dedups the TakeOrdered pass, so no
+    # explicit checkpoint is needed (measured: checkpointing is SLOWER)
     top_k = exact.orderBy(F.desc("exact_cnt"), F.asc("k")).limit(CMS_TOP_K)
     est = cms_estimate(sketch, top_k.select("k"), "k", CMS_DEPTH, CMS_WIDTH)
     return top_k.join(est, "k").select(
@@ -609,52 +612,67 @@ def q_emb_top_principal_component(spark, sf_dir):
     ANN recall can't see). Three iterations from the uniform start
     1/sqrt(64), mean-centered, eigenvalue = ||X_c^T X_c v||.
 
-    Scale shape: the corpus-sized frame is the exploded centered cell
-    table, persisted once and reused by all iterations; each
-    iteration is (a) a dot-product rollup keyed by vec_id — the same
-    hash partitioning every round — and (b) a 64-key dimension
-    rollup whose shuffle is executors x dims. The direction vector is
-    a 64-row frame, always broadcast; the norm is a 1-row broadcast,
-    never a driver-side collect of anything corpus-sized. DuckDB
+    Scale shape: the MLlib pattern — model parameters on the driver,
+    corpus passes distributed. The direction vector is 64 floats, so
+    it travels as a LITERAL array into each iteration's single
+    distributed pass: a map-side zip_with/aggregate dot fold per
+    vector (no join, no broadcast exchange), then a posexplode rollup
+    whose shuffle is executors x 64 partial cells; only those 64
+    partials are collected per iteration (the treeAggregate shape).
+    The centered vectors are computed map-side once and persisted in
+    ARRAY form — never an exploded corpus-sized cell table. DuckDB
     oracle unrolls the same three iterations as CTEs (the PageRank
     precedent)."""
+    import math
+
     from ..operators.partitioning import ensure_parallelism
 
     t = load_tables(spark, sf_dir)
-    raw = ensure_parallelism(t["embeddings"]).select(
-        "vec_id", F.posexplode("embedding").alias("pos", "fval")
-    ).select(
+    emb = ensure_parallelism(t["embeddings"]).select(
         "vec_id",
-        (F.col("pos") + 1).alias("dim"),
-        F.col("fval").cast("double").alias("val"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    mean = raw.groupBy("dim").agg(F.avg("val").alias("mu"))
-    cell = (
-        raw.join(F.broadcast(mean), "dim")
-        .select("vec_id", "dim", (F.col("val") - F.col("mu")).alias("val"))
-        .persist()
+    mean_rows = (
+        emb.select(F.posexplode("e").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mu"))
+        .collect()
     )
-    v = cell.select("dim").distinct().select("dim", F.lit(0.125).alias("v"))
-    norm = None
+    mu = [r.mu for r in sorted(mean_rows, key=lambda r: r.pos)]
+    dims = len(mu)
+    cent = emb.select(
+        "vec_id",
+        F.zip_with(
+            "e", F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
+        ).alias("c"),
+    ).persist()
+    v = [1.0 / math.sqrt(dims)] * dims
+    norm_val = 0.0
     for _ in range(PCA_ITERS):
-        dots = (
-            cell.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("val") * F.col("v")).alias("dot"))
+        v_lit = F.array(*[F.lit(x) for x in v])
+        dot = F.aggregate(
+            F.zip_with("c", v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        w = (
-            cell.join(dots, "vec_id")
-            .groupBy("dim")
+        w_rows = (
+            cent.select(dot.alias("dot"), F.posexplode("c").alias("pos", "val"))
+            .groupBy("pos")
             .agg(F.sum(F.col("dot") * F.col("val")).alias("w"))
+            .collect()
         )
-        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(norm)).select(
-            "dim", (F.col("w") / F.col("nrm")).alias("v")
-        )
-    return v.crossJoin(F.broadcast(norm)).select(
+        w = [r.w for r in sorted(w_rows, key=lambda r: r.pos)]
+        norm_val = math.sqrt(sum(x * x for x in w))
+        v = [x / norm_val for x in w]
+    cent.unpersist()
+    out = spark.createDataFrame(
+        [(i + 1, v[i], norm_val) for i in range(dims)],
+        "dim long, loading double, eigenvalue double",
+    )
+    return out.select(
         "dim",
-        F.round("v", 4).alias("loading"),
-        F.round("nrm", 2).alias("eigenvalue"),
+        F.round("loading", 4).alias("loading"),
+        F.round("eigenvalue", 2).alias("eigenvalue"),
     )
 
 
@@ -914,6 +932,9 @@ def q_qsketch_price_quantiles(spark, sf_dir):
     )
 
 
+MIN_COPURCHASE_SUPPORT = 2
+
+
 @query(
     "copurchase_triangle_census",
     oracle="""
@@ -921,8 +942,9 @@ def q_qsketch_price_quantiles(spark, sf_dir):
         SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
     ),
     und AS (
-        SELECT DISTINCT a.p AS u, b.p AS v
+        SELECT a.p AS u, b.p AS v
         FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
     ),
     deg AS (
         SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -967,7 +989,13 @@ def q_copurchase_triangle_census(spark, sf_dir):
     cohesion statistic recommendation and fraud pipelines monitor
     (rising clustering = denser 'bought-together' communities).
 
-    Scale shape: the compact-forward algorithm — edges are ORIENTED
+    Scale shape: the edge list is the support-thresholded
+    (>= 2 co-orders) market-basket graph, built with one basket
+    collect + map-side pair unfold (the ``basket_part_pairs`` shape —
+    one fact shuffle, no self-join); thresholding drops the
+    single-co-occurrence noise edges that make a random bipartite
+    projection quadratically dense. Then the compact-forward
+    algorithm — edges are ORIENTED
     from the lower (degree, id) endpoint to the higher before the
     wedge self-join, the standard trick that bounds each node's
     out-degree by O(sqrt(edges)) and keeps the wedge expansion from
@@ -976,16 +1004,23 @@ def q_copurchase_triangle_census(spark, sf_dir):
     the edge list on the (least, greatest) pair key. Every count is
     an exact integer; the single float division is rounded at 6dp."""
     t = load_tables(spark, sf_dir)
-    op = t["lineitem"].select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("k", F.col("p").alias("u"))
-    b = op.select("k", F.col("p").alias("v"))
+    baskets = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(parts, (a, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "b -> struct(a AS u, b AS v))))"
+    )
     und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_COPURCHASE_SUPPORT)
         .select("u", "v")
-        .distinct()
         .persist()
     )
     deg = (
