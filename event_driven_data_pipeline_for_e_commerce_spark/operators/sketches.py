@@ -26,10 +26,15 @@ CMS_WIDTH = 64
 
 
 def cms_bucket(row_col: Column, key_col: Column, width: int = CMS_WIDTH) -> Column:
-    """Bucket in [0, width) from the first two hex digits of
-    md5('cms:<row>:<key>') — plain codegen arithmetic, no UDF."""
-    h = F.md5(F.concat_ws(":", F.lit("cms"), row_col, key_col))
-    return (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % width).alias(
+    """Bucket in [0, width) for hash row r: hex digits (2r+1, 2r+2) of
+    ONE md5('cms:<key>') — plain codegen arithmetic, no UDF, and a
+    single digest per key no matter the depth (md5's digit pairs are
+    pairwise-independent enough for the CMS bound; one digest per row
+    would cost depth x the hash work for no measurable accuracy gain
+    at depth 4)."""
+    h = F.md5(F.concat_ws(":", F.lit("cms"), key_col))
+    pos = row_col * 2 + 1
+    return (F.conv(F.substring(h, pos, 2), 16, 10).cast("long") % width).alias(
         "bucket"
     )
 
@@ -38,10 +43,23 @@ def cms_cells(
     df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
     """Map-side projection of each input row to its ``depth`` grid
-    cells: (r, bucket) — one explode, no shuffle."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
-    return df.select(F.col(key_col).alias("k"), rows).select(
-        "r", cms_bucket(F.col("r"), F.col("k"), width)
+    cells: (r, bucket) — the md5 is computed ONCE per input row, then
+    exploded into depth (r, digit-pair-bucket) cells. No shuffle."""
+    h = F.md5(F.concat_ws(":", F.lit("cms"), F.col(key_col)))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return df.select(F.explode(cells).alias("cell")).select(
+        "cell.r", "cell.bucket"
     )
 
 

@@ -28,11 +28,13 @@ from .tables import load_tables
 # can recompute the identical sketch arithmetically.
 CMS_TOP_K = 20
 
+# hash row r reads hex digit pair (2r+1, 2r+2) of ONE md5 per key —
+# the exact arithmetic operators.sketches.cms_bucket compiles to
 _CMS_BUCKET_SQL = (
-    "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({r} AS VARCHAR)"
-    " || ':' || CAST({k} AS VARCHAR)), 1, 1)) - 1) * 16"
-    " + strpos('0123456789abcdef', substr(md5('cms:' || CAST({r} AS VARCHAR)"
-    " || ':' || CAST({k} AS VARCHAR)), 2, 1)) - 1) % "
+    "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS VARCHAR)),"
+    " 2 * {r} + 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS VARCHAR)),"
+    " 2 * {r} + 2, 1)) - 1) % "
     f"{CMS_WIDTH}"
 )
 
