@@ -1069,3 +1069,71 @@ def q_copurchase_triangle_census(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "selfjoin_size_estimate",
+    oracle=f"""
+    WITH base AS (SELECT l_partkey AS k FROM lineitem),
+    hashed AS (
+        SELECT k, u.r, {_CMS_BUCKET_SQL.format(r='u.r', k='k')} AS bucket
+        FROM base, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, COUNT(*) AS c FROM hashed GROUP BY r, bucket
+    ),
+    est AS (
+        SELECT MIN(row_f2) AS est_f2 FROM (
+            SELECT r, SUM(c * c) AS row_f2 FROM sketch GROUP BY r
+        )
+    ),
+    exact AS (
+        SELECT SUM(cnt * cnt) AS exact_f2 FROM (
+            SELECT COUNT(*) AS cnt FROM base GROUP BY k
+        )
+    )
+    SELECT CAST(x.exact_f2 AS BIGINT) AS exact_f2,
+           CAST(e.est_f2 AS BIGINT) AS est_f2,
+           CAST(e.est_f2 - x.exact_f2 AS BIGINT) AS overestimate,
+           ROUND(e.est_f2 * 1.0 / x.exact_f2, 4) AS inflation_ratio
+    FROM est e, exact x
+    """,
+)
+def q_selfjoin_size_estimate(spark, sf_dir):
+    """Join-size estimation from the Count-Min grid: the self-join
+    cardinality of lineitem on l_partkey (= the F2 second frequency
+    moment, sum of squared key counts) estimated as the min over hash
+    rows of the row's sum of squared cell counts — the AMS/CMS
+    inner-product estimator. This is the pre-flight check a planner
+    (or a pipeline about to run a pair-expansion like the LSH verify
+    join) uses to predict output size WITHOUT running the join: the
+    sketch is 256 counters, the answer is one arithmetic pass over it,
+    and the estimate can only overestimate (bucket collisions merge
+    counts before squaring).
+
+    Scale shape: identical to ``cms_heavy_hitters`` — one
+    constant-volume sketch shuffle; the exact side (needed here only
+    to score the contract) is one keyed count plus a scalar rollup."""
+    from ..operators.sketches import cms_sketch
+
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select(F.col("l_partkey").alias("k"))
+    sketch = cms_sketch(base, "k", CMS_DEPTH, CMS_WIDTH)
+    est = (
+        sketch.groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("row_f2"))
+        .agg(F.min("row_f2").alias("est_f2"))
+    )
+    exact = (
+        base.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_f2",
+        "est_f2",
+        (F.col("est_f2") - F.col("exact_f2")).alias("overestimate"),
+        F.round(F.col("est_f2") / F.col("exact_f2"), 4).alias(
+            "inflation_ratio"
+        ),
+    )

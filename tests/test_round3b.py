@@ -296,3 +296,15 @@ def test_triangle_census_consistency(spark, sf_dir):
     assert 0 <= r.global_clustering <= 1.0
     assert 3 * r.n_triangles <= r.n_wedges
     assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+
+
+def test_selfjoin_estimate_contract(spark, sf_dir):
+    """The AMS/CMS F2 estimator can only overestimate, and the true
+    self-join size is bounded below by n (every row matches itself)."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    r = QUERIES["selfjoin_size_estimate"](spark, sf_dir).collect()[0]
+    assert r.overestimate >= 0
+    assert r.inflation_ratio >= 1.0
+    n = load_tables(spark, sf_dir)["lineitem"].count()
+    assert r.exact_f2 >= n
