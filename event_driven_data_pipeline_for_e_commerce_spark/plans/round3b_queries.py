@@ -1137,3 +1137,131 @@ def q_selfjoin_size_estimate(spark, sf_dir):
             "inflation_ratio"
         ),
     )
+
+
+@query(
+    "emb_pairwise_sim_histogram",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT CAST(FLOOR(sim * 20) AS BIGINT) AS sim_bin,
+           COUNT(*) AS n_pairs,
+           ROUND(MIN(sim), 6) AS min_sim,
+           ROUND(MAX(sim), 6) AS max_sim
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_emb_pairwise_sim_histogram(spark, sf_dir):
+    """Embedding-space health histogram: cosine similarity of id-
+    consecutive vector pairs, bucketed at 0.05 width. A healthy
+    embedding space puts random pairs near 0; a collapsed space (all
+    vectors on one ray — the failure ``emb_top_principal_component``'s
+    eigenvalue flags) piles every pair at ~1. Consecutive ids are an
+    unbiased deterministic stand-in for random sampling — reproducible
+    across engines, unlike rand().
+
+    Scale shape: ONE equi-join on adjacent ids (no pair explosion —
+    exactly n-1 candidate pairs), cosine as the zip_with/aggregate
+    fold (the codegen-budget-safe form), then a bounded 41-bin
+    rollup."""
+    from ..llmdata.similarity import _as_double, cosine
+    from ..operators.partitioning import ensure_parallelism
+
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "vec_id").select(
+        cosine(F.col("va"), F.col("vb")).alias("sim")
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("sim") * 20).cast("long").alias("sim_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )
+
+
+@query(
+    "monthly_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+        -- exact integer cents: the monthly totals are true 2-decimal
+        -- sums, so ROUND(x*100) recovers the exact integer both
+        -- engines agree on; everything after is integer arithmetic
+        -- (a trailing average of cent-rounded DOUBLES can land
+        -- exactly on a half-cent — sum/12 = x.505 — where float
+        -- summation order decides the rounding)
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT month, cents,
+               SUM(cents) OVER (
+                   ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW
+               ) AS w_cents,
+               COUNT(*) OVER (
+                   ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW
+               ) AS w_n
+        FROM monthly
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           ROUND(cents / 100.0, 2) AS revenue,
+           CAST(w_cents // w_n AS BIGINT) AS trailing_avg_cents,
+           ROUND(cents * w_n * 1.0 / w_cents, 4) AS seasonal_index
+    FROM win
+    """,
+)
+def q_monthly_seasonal_index(spark, sf_dir):
+    """Seasonal index: each month's revenue as a ratio of its trailing
+    12-month average — the deseasonalization input every demand
+    forecast starts from (index > 1 = seasonal high).
+
+    Scale shape: aggregate to month grain FIRST (one shuffle, map-side
+    combine); the trailing window then runs over the bounded calendar
+    frame — a decade is 120 rows, so the unpartitioned window is
+    bounded data by construction (the ``daily_revenue_gapfill_ma7``
+    rule). The window runs in exact integer cents: a cent-rounded
+    DOUBLE average can land exactly on a half-cent (sum/12 = x.505),
+    where engines' float summation orders disagree on the rounding —
+    integer sums cannot."""
+    t = load_tables(spark, sf_dir)
+    monthly = t["orders"].groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("month").rowsBetween(-11, Window.currentRow)
+    win = monthly.select(
+        "month",
+        "cents",
+        F.sum("cents").over(w).alias("w_cents"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    return win.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.floor(F.col("w_cents") / F.col("w_n")).cast("long").alias(
+            "trailing_avg_cents"
+        ),
+        F.round(
+            F.col("cents") * F.col("w_n") / F.col("w_cents"), 4
+        ).alias("seasonal_index"),
+    )

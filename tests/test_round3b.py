@@ -308,3 +308,23 @@ def test_selfjoin_estimate_contract(spark, sf_dir):
     assert r.inflation_ratio >= 1.0
     n = load_tables(spark, sf_dir)["lineitem"].count()
     assert r.exact_f2 >= n
+
+
+def test_sim_histogram_conserves_pairs(spark, sf_dir):
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    df = QUERIES["emb_pairwise_sim_histogram"](spark, sf_dir)
+    total = df.agg(F.sum("n_pairs")).collect()[0][0]
+    n = load_tables(spark, sf_dir)["embeddings"].count()
+    assert total == n - 1  # consecutive ids: exactly n-1 pairs
+    for r in df.collect():
+        assert -1.0 - 1e-9 <= r.min_sim <= r.max_sim <= 1.0 + 1e-9
+
+
+def test_seasonal_index_first_month_is_one(spark, sf_dir):
+    """Month 1's trailing window is just itself — index exactly 1."""
+    rows = QUERIES["monthly_seasonal_index"](spark, sf_dir).collect()
+    first = min(rows, key=lambda r: r.month)
+    assert first.seasonal_index == 1.0
+    for r in rows:
+        assert r.trailing_avg_cents > 0
