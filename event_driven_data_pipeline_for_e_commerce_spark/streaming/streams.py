@@ -310,6 +310,54 @@ def cms_foreach_batch(
     return apply
 
 
+def first_touch_foreach_batch(
+    target_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming first-touch attribution state: each micro-batch folds
+    per-user first-view / first-purchase timestamps (exact integer
+    microseconds) into a persisted keyed mart via the mergeable-MIN
+    rollup — the streaming twin of ``conversion_latency_histogram``'s
+    per-user conditional-min stage. 'First touch ever' cannot be a
+    watermarked in-memory aggregate (the state never expires); the
+    mergeable mart bounds state at USER grain on disk instead, which
+    is exactly how a 100 TB pipeline keeps lifetime-scoped state out
+    of stream memory. MIN merges are idempotent per value and
+    exactly-once vs replays via checkpointed offsets."""
+    from ..operators.incremental import merge_rollup, rollup_batch
+    from ..operators.scd2 import scd2_write
+
+    keys = ["user_id"]
+    measures = {
+        "first_view_us": ("min", "view_us"),
+        "first_purchase_us": ("min", "purchase_us"),
+    }
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        proj = batch.select(
+            "user_id",
+            F.when(
+                F.col("event_type") == "view", F.unix_micros("ts")
+            ).alias("view_us"),
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            ).alias("purchase_us"),
+        )
+        delta = rollup_batch(proj, keys, measures)
+        mart = (
+            spark.read.parquet(target_path)
+            if os.path.exists(target_path)
+            else None
+        )
+        scd2_write(merge_rollup(mart, delta, keys, measures), target_path)
+
+    return apply
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

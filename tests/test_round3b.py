@@ -328,3 +328,48 @@ def test_seasonal_index_first_month_is_one(spark, sf_dir):
     assert first.seasonal_index == 1.0
     for r in rows:
         assert r.trailing_avg_cents > 0
+
+
+def test_streaming_first_touch_matches_batch(spark, sf_dir, tmp_path):
+    """Replaying events through the mergeable-MIN first-touch mart
+    must reproduce the batch per-user conditional minima exactly."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        first_touch_foreach_batch,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_tables(spark, sf_dir)["events"]
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    target = str(tmp_path / "first_touch")
+
+    q = (
+        read_event_stream(spark, src, schema)
+        .writeStream.foreachBatch(first_touch_foreach_batch(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.user_id: (r.first_view_us, r.first_purchase_us)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.first_view_us, r.first_purchase_us)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("first_view_us"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("first_purchase_us"),
+        )
+        .collect()
+    }
+    assert got == want and got
