@@ -1265,3 +1265,62 @@ def q_monthly_seasonal_index(spark, sf_dir):
             F.col("cents") * F.col("w_n") / F.col("w_cents"), 4
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "supplier_momentum_ewm",
+    oracle="""
+    WITH monthly AS (
+        SELECT l_suppkey,
+               YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS m,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    anchor AS (SELECT MAX(m) AS max_m FROM monthly),
+    weighted AS (
+        SELECT l_suppkey, qty,
+               POW(0.5, (SELECT max_m FROM anchor) - m) AS wt
+        FROM monthly
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS months_active,
+           ROUND(SUM(qty * wt) / SUM(wt), 4) AS ewm_qty,
+           ROUND(SUM(qty) * 1.0 / COUNT(*), 4) AS avg_qty,
+           ROUND((SUM(qty * wt) / SUM(wt)) / (SUM(qty) * 1.0 / COUNT(*)), 4)
+               AS momentum
+    FROM weighted GROUP BY l_suppkey
+    """,
+)
+def q_supplier_momentum_ewm(spark, sf_dir):
+    """Recency-weighted supplier activity: exponentially-weighted mean
+    of monthly shipped quantity (half-life one month, anchored at the
+    corpus's newest month) against the plain mean — ``momentum`` > 1
+    means the supplier is ramping, < 1 fading. The decay base 0.5 is
+    deliberate: 0.5^age is an exact power of two, and integer-quantity
+    x power-of-two products are exact doubles, so the only
+    cross-engine float effect is benign summation-order noise far
+    inside the 4dp rounding.
+
+    Scale shape: aggregate to (supplier, month) grain first — one fact
+    shuffle with map-side combine; the anchor month is a 1-row
+    broadcast; the EWM rollup runs over the bounded supplier-month
+    frame."""
+    t = load_tables(spark, sf_dir)
+    monthly = t["lineitem"].groupBy(
+        "l_suppkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+    ).agg(F.sum("l_quantity").cast("long").alias("qty"))
+    anchor = monthly.agg(F.max("m").alias("max_m"))
+    weighted = monthly.crossJoin(F.broadcast(anchor)).select(
+        "l_suppkey",
+        "qty",
+        F.pow(F.lit(0.5), F.col("max_m") - F.col("m")).alias("wt"),
+    )
+    ewm = F.sum(F.col("qty") * F.col("wt")) / F.sum("wt")
+    avg = F.sum("qty") / F.count(F.lit(1))
+    return weighted.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("months_active"),
+        F.round(ewm, 4).alias("ewm_qty"),
+        F.round(avg, 4).alias("avg_qty"),
+        F.round(ewm / avg, 4).alias("momentum"),
+    )

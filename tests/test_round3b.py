@@ -373,3 +373,25 @@ def test_streaming_first_touch_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_ewm_constant_supplier_momentum_is_one(spark):
+    """EWM of a constant monthly series equals the plain mean — the
+    momentum ratio must be exactly 1 (power-of-two weights are exact,
+    so this holds with == not approx)."""
+    import pyspark.sql.functions as F2
+
+    monthly = spark.createDataFrame(
+        [(1, m, 100) for m in range(24000, 24012)],
+        "l_suppkey long, m long, qty long",
+    )
+    anchor = monthly.agg(F2.max("m").alias("max_m"))
+    weighted = monthly.crossJoin(F2.broadcast(anchor)).select(
+        "l_suppkey", "qty",
+        F2.pow(F2.lit(0.5), F2.col("max_m") - F2.col("m")).alias("wt"),
+    )
+    r = weighted.groupBy("l_suppkey").agg(
+        (F2.sum(F2.col("qty") * F2.col("wt")) / F2.sum("wt")).alias("ewm"),
+        (F2.sum("qty") / F2.count(F2.lit(1))).alias("avg"),
+    ).collect()[0]
+    assert r.ewm == r.avg == 100.0
