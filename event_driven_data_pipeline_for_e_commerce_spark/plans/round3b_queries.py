@@ -1324,3 +1324,71 @@ def q_supplier_momentum_ewm(spark, sf_dir):
         F.round(avg, 4).alias("avg_qty"),
         F.round(ewm / avg, 4).alias("momentum"),
     )
+
+
+@query(
+    "weekly_conversion_sla",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    viewers AS (
+        SELECT date_trunc('week', fv) AS week, fv, fp
+        FROM per_user WHERE fv IS NOT NULL
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week_start,
+           COUNT(*) AS n_viewers,
+           CAST(SUM(CASE WHEN fp >= fv
+                          AND epoch_us(fp) - epoch_us(fv) <= 604800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
+           ROUND(SUM(CASE WHEN fp >= fv
+                           AND epoch_us(fp) - epoch_us(fv) <= 604800000000
+                          THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+               AS conversion_pct_7d
+    FROM viewers GROUP BY week
+    """,
+)
+def q_weekly_conversion_sla(spark, sf_dir):
+    """Time-bounded funnel: of the users whose FIRST view fell in a
+    given week, how many purchased within the 7-day SLA window — the
+    cohorted, deadline-constrained variant of the flagship funnel
+    (plain stage counts can't tell a 2-day conversion from a 2-month
+    one; ``conversion_latency_histogram`` gives the distribution, this
+    gives the business threshold).
+
+    Scale shape: one conditional-min aggregation per user (single
+    events shuffle), then a week-grain rollup of the user-grain frame.
+    The SLA test is exact integer microseconds; counts are exact; the
+    one division is rounded last."""
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    week_us = 7 * 86_400_000_000
+    converted = (
+        F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+        & (F.unix_micros("fp") - F.unix_micros("fv") <= week_us)
+    )
+    return (
+        per_user.filter(F.col("fv").isNotNull())
+        .groupBy(F.date_trunc("week", "fv").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted_7d"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+            "n_viewers",
+            "n_converted_7d",
+            F.round(
+                F.col("n_converted_7d") * 100.0 / F.col("n_viewers"), 4
+            ).alias("conversion_pct_7d"),
+        )
+    )
