@@ -1,0 +1,132 @@
+"""Declarative metric layer: named measures + conformed dimensions
+compiled into single-pass DataFrame plans over the star schema.
+
+The reference ships its metric definitions hard-wired into dashboard
+callbacks (``app.py:237-530`` — funnel counts, monthly revenue, status
+mixes, each re-written per chart); this module is the engine-side
+generalization a replacement needs: one registry of measures and
+dimensions, one compiler, any grain combination on demand — the
+semantic-layer contract (metrics defined once, queried at any grain).
+
+Compilation rules (the 100 TB shape):
+- ONE aggregation pass per request: all requested measures fold in a
+  single ``groupBy(dims).agg(...)`` — never one scan per measure.
+- Dimension tables join via the star's FK graph, resolved hop-by-hop
+  and ALWAYS broadcast (dimension frames are catalog-sized).
+- Derived (ratio) measures compute from their component aggregates
+  AFTER the fold, so they add zero scan cost.
+- Measures/dimensions are SQL expression strings -> Catalyst columns:
+  pushdown/pruning/codegen all apply untouched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.tables import load_tables
+
+
+@dataclass(frozen=True)
+class Measure:
+    """An aggregate over the fact table (``expr`` is a SQL aggregate),
+    or a post-aggregation ratio of two registered measures
+    (``ratio_of`` = (numerator, denominator), rounded to ``scale``)."""
+
+    expr: str | None = None
+    ratio_of: tuple[str, str] | None = None
+    scale: int | None = None
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """A grouping expression. ``path`` lists the FK hops (joined
+    tables, in order) needed before ``expr`` can evaluate; an empty
+    path means the expression reads the fact table directly."""
+
+    expr: str
+    path: tuple[str, ...] = field(default_factory=tuple)
+
+
+# FK graph of the star: joined-table -> (left key on the accumulated
+# frame, right key on the joined table). Hops must be joined in the
+# order a Dimension's path lists them.
+ORDERS_STAR_JOINS = {
+    "customer": ("o_custkey", "c_custkey"),
+    "nation": ("c_nationkey", "n_nationkey"),
+    "region": ("n_regionkey", "r_regionkey"),
+}
+
+ORDERS_MEASURES = {
+    "revenue": Measure(expr="ROUND(SUM(o_totalprice), 2)"),
+    "order_cnt": Measure(expr="COUNT(*)"),
+    "customer_cnt": Measure(expr="COUNT(DISTINCT o_custkey)"),
+    "max_order_value": Measure(expr="ROUND(MAX(o_totalprice), 2)"),
+    "avg_order_value": Measure(ratio_of=("revenue", "order_cnt"), scale=4),
+    "orders_per_customer": Measure(
+        ratio_of=("order_cnt", "customer_cnt"), scale=4
+    ),
+}
+
+ORDERS_DIMENSIONS = {
+    "month": Dimension(expr="date_format(o_orderdate, 'yyyy-MM')"),
+    "quarter": Dimension(
+        expr="concat(year(o_orderdate), '-Q', quarter(o_orderdate))"
+    ),
+    "priority": Dimension(expr="o_orderpriority"),
+    "status": Dimension(expr="o_orderstatus"),
+    "segment": Dimension(expr="c_mktsegment", path=("customer",)),
+    "nation": Dimension(expr="n_name", path=("customer", "nation")),
+    "region": Dimension(
+        expr="r_name", path=("customer", "nation", "region")
+    ),
+}
+
+
+def compile_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    measures: list[str],
+    dimensions: list[str],
+    where: str | None = None,
+) -> DataFrame:
+    """Compile a metric request into one aggregation pass over the
+    orders star. Output columns: the dimensions (by name, request
+    order) then the measures (by name, request order)."""
+    t = load_tables(spark, sf_dir)
+    frame = t["orders"]
+    if where:
+        frame = frame.filter(F.expr(where))
+    joined: set[str] = set()
+    for d in dimensions:
+        for hop in ORDERS_DIMENSIONS[d].path:
+            if hop in joined:
+                continue
+            lk, rk = ORDERS_STAR_JOINS[hop]
+            frame = frame.join(
+                F.broadcast(t[hop]), F.col(lk) == F.col(rk)
+            )
+            joined.add(hop)
+
+    dim_cols = [
+        F.expr(ORDERS_DIMENSIONS[d].expr).alias(d) for d in dimensions
+    ]
+    base = [m for m in measures if ORDERS_MEASURES[m].expr is not None]
+    derived = [m for m in measures if ORDERS_MEASURES[m].ratio_of]
+    # ratio components must be aggregated even if not requested
+    needed = set(base)
+    for m in derived:
+        needed.update(ORDERS_MEASURES[m].ratio_of)
+    agg_cols = [F.expr(ORDERS_MEASURES[m].expr).alias(m) for m in sorted(needed)]
+    out = frame.groupBy(*dim_cols).agg(*agg_cols)
+    for m in derived:
+        num, den = ORDERS_MEASURES[m].ratio_of
+        out = out.withColumn(
+            m,
+            F.round(
+                F.col(num) / F.col(den), ORDERS_MEASURES[m].scale
+            ),
+        )
+    return out.select(*dimensions, *measures)

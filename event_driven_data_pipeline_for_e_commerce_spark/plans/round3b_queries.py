@@ -1392,3 +1392,71 @@ def q_weekly_conversion_sla(spark, sf_dir):
             ).alias("conversion_pct_7d"),
         )
     )
+
+
+@query(
+    "metric_cube_quarter_segment",
+    oracle="""
+    SELECT concat(YEAR(o_orderdate), '-Q', QUARTER(o_orderdate)) AS quarter,
+           c.c_mktsegment AS segment,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS order_cnt,
+           ROUND(ROUND(SUM(o_totalprice), 2) * 1.0 / COUNT(*), 4)
+               AS avg_order_value,
+           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT o_custkey), 4)
+               AS orders_per_customer
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_metric_cube_quarter_segment(spark, sf_dir):
+    """Semantic-layer request: revenue / order count / AOV / orders-
+    per-customer at (quarter x market segment) grain, COMPILED from
+    the declarative metric registry (``metrics.py``) rather than
+    handwritten — the definition-once-query-any-grain contract the
+    reference's dashboard hard-wires per chart (app.py:237-530).
+
+    Scale shape (by compiler construction): one aggregation pass for
+    all measures, the customer dimension hop broadcast, ratios derived
+    post-fold. The oracle is the hand-expanded SQL of the same
+    request."""
+    from ..metrics import compile_metrics
+
+    return compile_metrics(
+        spark,
+        sf_dir,
+        ["revenue", "order_cnt", "avg_order_value", "orders_per_customer"],
+        ["quarter", "segment"],
+    )
+
+
+@query(
+    "metric_cube_region_priority",
+    oracle="""
+    SELECT r.r_name AS region,
+           o.o_orderpriority AS priority,
+           COUNT(*) AS order_cnt,
+           ROUND(MAX(o_totalprice), 2) AS max_order_value,
+           COUNT(DISTINCT o_custkey) AS customer_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    """,
+)
+def q_metric_cube_region_priority(spark, sf_dir):
+    """Second semantic-layer request exercising the multi-hop FK path
+    (orders -> customer -> nation -> region, all broadcast) plus a
+    request-level filter — grains and filters compose without any new
+    query code."""
+    from ..metrics import compile_metrics
+
+    return compile_metrics(
+        spark,
+        sf_dir,
+        ["order_cnt", "max_order_value", "customer_cnt"],
+        ["region", "priority"],
+        where="o_orderstatus <> 'F'",
+    )

@@ -395,3 +395,46 @@ def test_ewm_constant_supplier_momentum_is_one(spark):
         (F2.sum("qty") / F2.count(F2.lit(1))).alias("avg"),
     ).collect()[0]
     assert r.ewm == r.avg == 100.0
+
+
+def test_metric_layer_matches_handwritten_monthly_revenue(spark, sf_dir):
+    """The compiled (month, revenue) request must equal the
+    handwritten monthly_revenue corpus query row-for-row."""
+    from event_driven_data_pipeline_for_e_commerce_spark.metrics import compile_metrics
+
+    compiled = {
+        (r.month, r.revenue)
+        for r in compile_metrics(
+            spark, sf_dir, ["revenue"], ["month"]
+        ).collect()
+    }
+    hand = {
+        tuple(r) for r in QUERIES["monthly_revenue"](spark, sf_dir).collect()
+    }
+    assert compiled == hand and compiled
+
+
+def test_metric_layer_single_aggregation_pass(spark, sf_dir):
+    """All measures of a request must fold in ONE aggregate (two
+    HashAggregate nodes = partial + final; distinct adds its expand
+    pass but never a second scan) with every dimension hop broadcast."""
+    from event_driven_data_pipeline_for_e_commerce_spark.metrics import compile_metrics
+
+    df = compile_metrics(
+        spark, sf_dir, ["revenue", "order_cnt", "avg_order_value"],
+        ["quarter", "segment"],
+    )
+    plan = df._jdf.queryExecution().simpleString()
+    assert plan.count("Scan parquet") == 2, plan  # orders + customer, once each
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_metric_layer_unknown_names_raise(spark, sf_dir):
+    from event_driven_data_pipeline_for_e_commerce_spark.metrics import compile_metrics
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        compile_metrics(spark, sf_dir, ["nope"], ["month"])
+    with _pytest.raises(KeyError):
+        compile_metrics(spark, sf_dir, ["revenue"], ["nope"])
