@@ -85,6 +85,47 @@ ORDERS_DIMENSIONS = {
 }
 
 
+def _compile(
+    tables: dict[str, DataFrame],
+    fact: str,
+    joins: dict[str, tuple[str, str]],
+    measures_reg: dict[str, Measure],
+    dimensions_reg: dict[str, Dimension],
+    measures: list[str],
+    dimensions: list[str],
+    where: str | None,
+) -> DataFrame:
+    frame = tables[fact]
+    if where:
+        frame = frame.filter(F.expr(where))
+    joined: set[str] = set()
+    for d in dimensions:
+        for hop in dimensions_reg[d].path:
+            if hop in joined:
+                continue
+            lk, rk = joins[hop]
+            frame = frame.join(
+                F.broadcast(tables[hop]), F.col(lk) == F.col(rk)
+            )
+            joined.add(hop)
+
+    dim_cols = [F.expr(dimensions_reg[d].expr).alias(d) for d in dimensions]
+    base = [m for m in measures if measures_reg[m].expr is not None]
+    derived = [m for m in measures if measures_reg[m].ratio_of]
+    # ratio components must be aggregated even if not requested
+    needed = set(base)
+    for m in derived:
+        needed.update(measures_reg[m].ratio_of)
+    agg_cols = [F.expr(measures_reg[m].expr).alias(m) for m in sorted(needed)]
+    out = frame.groupBy(*dim_cols).agg(*agg_cols)
+    for m in derived:
+        num, den = measures_reg[m].ratio_of
+        out = out.withColumn(
+            m, F.round(F.col(num) / F.col(den), measures_reg[m].scale)
+        )
+    return out.select(*dimensions, *measures)
+
+
 def compile_metrics(
     spark: SparkSession,
     sf_dir: str,
@@ -95,38 +136,60 @@ def compile_metrics(
     """Compile a metric request into one aggregation pass over the
     orders star. Output columns: the dimensions (by name, request
     order) then the measures (by name, request order)."""
-    t = load_tables(spark, sf_dir)
-    frame = t["orders"]
-    if where:
-        frame = frame.filter(F.expr(where))
-    joined: set[str] = set()
-    for d in dimensions:
-        for hop in ORDERS_DIMENSIONS[d].path:
-            if hop in joined:
-                continue
-            lk, rk = ORDERS_STAR_JOINS[hop]
-            frame = frame.join(
-                F.broadcast(t[hop]), F.col(lk) == F.col(rk)
-            )
-            joined.add(hop)
+    return _compile(
+        load_tables(spark, sf_dir),
+        "orders",
+        ORDERS_STAR_JOINS,
+        ORDERS_MEASURES,
+        ORDERS_DIMENSIONS,
+        measures,
+        dimensions,
+        where,
+    )
 
-    dim_cols = [
-        F.expr(ORDERS_DIMENSIONS[d].expr).alias(d) for d in dimensions
-    ]
-    base = [m for m in measures if ORDERS_MEASURES[m].expr is not None]
-    derived = [m for m in measures if ORDERS_MEASURES[m].ratio_of]
-    # ratio components must be aggregated even if not requested
-    needed = set(base)
-    for m in derived:
-        needed.update(ORDERS_MEASURES[m].ratio_of)
-    agg_cols = [F.expr(ORDERS_MEASURES[m].expr).alias(m) for m in sorted(needed)]
-    out = frame.groupBy(*dim_cols).agg(*agg_cols)
-    for m in derived:
-        num, den = ORDERS_MEASURES[m].ratio_of
-        out = out.withColumn(
-            m,
-            F.round(
-                F.col(num) / F.col(den), ORDERS_MEASURES[m].scale
-            ),
-        )
-    return out.select(*dimensions, *measures)
+
+# ---------------------------------------------------------------------------
+# Events star (second fact): same compiler, event-stream measures.
+# events.user_id joins the customer dimension (the
+# ``segment_event_revenue`` precedent).
+# ---------------------------------------------------------------------------
+
+EVENTS_STAR_JOINS = {
+    "customer": ("user_id", "c_custkey"),
+}
+
+EVENTS_MEASURES = {
+    "event_cnt": Measure(expr="COUNT(*)"),
+    "active_users": Measure(expr="COUNT(DISTINCT user_id)"),
+    "purchase_revenue": Measure(
+        expr="ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value "
+        "ELSE 0 END), 2)"
+    ),
+    "events_per_user": Measure(ratio_of=("event_cnt", "active_users"), scale=4),
+}
+
+EVENTS_DIMENSIONS = {
+    "day": Dimension(expr="date_format(ts, 'yyyy-MM-dd')"),
+    "event_type": Dimension(expr="event_type"),
+    "segment": Dimension(expr="c_mktsegment", path=("customer",)),
+}
+
+
+def compile_event_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    measures: list[str],
+    dimensions: list[str],
+    where: str | None = None,
+) -> DataFrame:
+    """``compile_metrics`` over the events star."""
+    return _compile(
+        load_tables(spark, sf_dir),
+        "events",
+        EVENTS_STAR_JOINS,
+        EVENTS_MEASURES,
+        EVENTS_DIMENSIONS,
+        measures,
+        dimensions,
+        where,
+    )

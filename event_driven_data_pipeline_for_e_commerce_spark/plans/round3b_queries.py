@@ -1460,3 +1460,75 @@ def q_metric_cube_region_priority(spark, sf_dir):
         ["region", "priority"],
         where="o_orderstatus <> 'F'",
     )
+
+
+@query(
+    "activity_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 2) AS purchase_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_activity_heatmap(spark, sf_dir):
+    """Day-of-week x hour activity heatmap (events, distinct users,
+    purchase value) — the load-pattern mart behind capacity planning
+    and send-time optimization, and the one dashboard grid the
+    reference's four tabs don't have.
+
+    Scale shape: one aggregation keyed by a 7x24-bounded grid;
+    distinct users adds the expand pass but the output stays 168
+    rows at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            # Spark dayofweek is 1=Sunday..7; normalize to the 0=Sunday..6
+            # convention (DuckDB/ISO-adjacent) the mart publishes
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+    )
+
+
+@query(
+    "metric_events_type_segment",
+    oracle="""
+    SELECT e.event_type,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS event_cnt,
+           COUNT(DISTINCT e.user_id) AS active_users,
+           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT e.user_id), 4)
+               AS events_per_user
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_metric_events_type_segment(spark, sf_dir):
+    """Semantic-layer request on the SECOND star (events): the same
+    compiler serves both fact tables — measure/dimension registries
+    are per-star data, not per-star code."""
+    from ..metrics import compile_event_metrics
+
+    return compile_event_metrics(
+        spark,
+        sf_dir,
+        ["event_cnt", "active_users", "events_per_user"],
+        ["event_type", "segment"],
+    )
