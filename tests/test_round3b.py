@@ -438,3 +438,57 @@ def test_metric_layer_unknown_names_raise(spark, sf_dir):
         compile_metrics(spark, sf_dir, ["nope"], ["month"])
     with _pytest.raises(KeyError):
         compile_metrics(spark, sf_dir, ["revenue"], ["nope"])
+
+
+def test_inverted_index_matches_inline_search(spark, sf_dir, tmp_path):
+    """Searching the materialized index must reproduce the inline
+    doc_keyword_search results exactly, and the term probe must push
+    into the postings scan."""
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.index import (
+        build_inverted_index,
+        search_index,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.round3_queries import (
+        SEARCH_TERMS,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    path = str(tmp_path / "idx")
+    build_inverted_index(load_tables(spark, sf_dir)["documents"], path)
+
+    got = search_index(spark, path, SEARCH_TERMS)
+    want = {tuple(r) for r in QUERIES["doc_keyword_search"](spark, sf_dir).collect()}
+    assert {tuple(r) for r in got.collect()} == want and want
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters" in plan and "In(tok" in plan, plan
+
+
+def test_inverted_index_postings_sorted_by_token(spark, sf_dir, tmp_path):
+    """Row groups must cover tight token ranges: within every index
+    file the postings are token-sorted (the min/max-skipping
+    precondition)."""
+    import pyspark.sql.functions as F2
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.index import (
+        build_inverted_index,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    path = str(tmp_path / "idx")
+    build_inverted_index(load_tables(spark, sf_dir)["documents"], path)
+    post = spark.read.parquet(f"{path}/postings").select(
+        F2.input_file_name().alias("f"), "tok"
+    )
+    # max(min over other files) style check: files partition the token
+    # range, so per-file [min, max] intervals must not interleave except
+    # at boundaries
+    spans = post.groupBy("f").agg(
+        F2.min("tok").alias("lo"), F2.max("tok").alias("hi")
+    ).collect()
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
