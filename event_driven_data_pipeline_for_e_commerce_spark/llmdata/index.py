@@ -85,3 +85,90 @@ def search_index(
             ).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF (ANN) index: the partitionBy(list_id) serving layout
+# the inline ``similarity.ivf_topk`` docstring prescribes for 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF structure: ``centroids/`` (the coarse
+    quantizer) and ``lists/`` — every corpus vector in its nearest
+    centroid's inverted list, PARTITIONED BY list_id so a probe reads
+    only its lists' directories (partition pruning, the file-layout
+    twin of the inverted-index row-group skip)."""
+    from .similarity import _as_double, _assign_lists, ivf_centroids
+
+    cents = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus = ensure_parallelism(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
+        )
+    )
+    inv = _assign_lists(corpus, cents, "neighbor_id", "v", nprobe=1)
+    inv.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized IVF index: rank centroids per query,
+    read ONLY the probed list partitions (the probed list ids are a
+    queries x nprobe scalar set, collected and inlined as a literal
+    predicate so Catalyst prunes partitions at planning), then
+    exact-rerank candidates. Same output contract as
+    ``similarity.ivf_topk``."""
+    from .similarity import _as_double, _assign_lists, dot
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = _assign_lists(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        nprobe=nprobe,
+    )
+    probe_lists = sorted(
+        {r.list_id for r in probes.select("list_id").distinct().collect()}
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probe_lists)
+    )
+    cands = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "v", "qv", "n_v", "n_qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cands.withColumn(
+        "sim", dot(F.col("v"), F.col("qv")) / (F.col("n_v") * F.col("n_qv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"))
+    )

@@ -492,3 +492,35 @@ def test_inverted_index_postings_sorted_by_token(spark, sf_dir, tmp_path):
     spans = sorted([(r.lo, r.hi) for r in spans])
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_ivf_index_matches_inline_topk(spark, sf_dir, tmp_path):
+    """Searching the persisted IVF index must reproduce the inline
+    ivf_topk results, and the probe must prune list partitions."""
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.similarity import (
+        ivf_topk,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_lists=16)
+
+    got = search_ivf_index(spark, path, queries, nprobe=4, k=3)
+    want = {
+        tuple(r) for r in ivf_topk(emb, queries, n_lists=16, nprobe=4, k=3).collect()
+    }
+    assert {tuple(r) for r in got.collect()} == want and want
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
