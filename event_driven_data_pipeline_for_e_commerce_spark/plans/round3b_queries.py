@@ -1532,3 +1532,97 @@ def q_metric_events_type_segment(spark, sf_dir):
         ["event_cnt", "active_users", "events_per_user"],
         ["event_type", "segment"],
     )
+
+
+@query(
+    "corpus_quality_report",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, lang, source, md5(text) AS h,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g')) AS punct_cnt
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang, source, h,
+               len(toks) AS n_tokens, n_chars, punct_cnt,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','and','of','to','in','is'], t))) AS stop_cnt
+        FROM f
+    ),
+    dup AS (SELECT h, COUNT(*) AS copies FROM g GROUP BY h),
+    scored AS (
+        SELECT g.lang, g.source, g.n_tokens,
+               CASE WHEN d.copies > 1 THEN 1 ELSE 0 END AS is_dup,
+               ROUND(0.4 * LEAST(g.n_tokens / 100.0, 1.0)
+                     + 0.3 * (g.stop_cnt * 1.0 / g.n_tokens)
+                     + 0.3 * (1 - g.punct_cnt * 1.0 / g.n_chars), 4)
+                   AS quality_score
+        FROM g JOIN dup d ON d.h = g.h
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
+           CAST(SUM(CAST(ROUND(quality_score * 10000) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS avg_quality_e4,
+           CAST(SUM(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short_docs
+    FROM scored GROUP BY lang, source
+    """,
+)
+def q_corpus_quality_report(spark, sf_dir):
+    """The corpus health one-pager: per (language, source) — document
+    and exact-duplicate counts, token volume, mean quality score, and
+    short-document count. This is the mart a data-curation review
+    reads FIRST, composed from the engine's own signal operators
+    (``quality_features``, the md5 exact-dup hash) in one pass + one
+    hash rollup — the signals stay consistent with their standalone
+    queries (``doc_quality_scores``, ``doc_exact_dedup``) because the
+    expressions are shared, not re-implemented.
+
+    Scale shape: feature extraction is map-side codegen; the dup
+    membership is one hash-keyed count joined back on the hash (bare
+    md5 strings, never text); the report rollup is keyed by the
+    bounded (lang, source) grid. The per-doc quality scores are
+    4dp-rounded BEFORE averaging, so the group sums are sums of
+    identical quantized values on both engines."""
+    from ..llmdata.text import quality_features
+
+    t = load_tables(spark, sf_dir)
+    from ..operators.partitioning import ensure_parallelism
+
+    feats = quality_features("text")
+    g = ensure_parallelism(t["documents"]).select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    scored = g.join(dup, "h").select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.when(F.col("copies") > 1, 1).otherwise(0).alias("is_dup"),
+        "quality_score",
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_tokens"),
+        F.floor(
+            F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+            / F.count(F.lit(1))
+        ).cast("long").alias("avg_quality_e4"),
+        F.sum(F.when(F.col("n_tokens") < 30, 1).otherwise(0)).alias(
+            "n_short_docs"
+        ),
+    )
