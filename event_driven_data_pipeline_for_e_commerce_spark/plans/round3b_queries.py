@@ -1626,3 +1626,214 @@ def q_corpus_quality_report(spark, sf_dir):
             "n_short_docs"
         ),
     )
+
+
+# Benford expected first-digit shares (log10(1 + 1/d) * 100), inlined
+# as identical literals on both engines.
+_BENFORD_PCT = {
+    1: 30.103, 2: 17.6091, 3: 12.4939, 4: 9.691, 5: 7.9181,
+    6: 6.6947, 7: 5.7992, 8: 5.1153, 9: 4.5757,
+}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PCT.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT digit,
+           COUNT(*) AS n_orders,
+           ROUND(COUNT(*) * 10000.0 / (SELECT n FROM n)) / 100
+               AS observed_pct,
+           {_BENFORD_SQL_CASE} AS benford_pct,
+           ROUND(ABS(ROUND(COUNT(*) * 10000.0 / (SELECT n FROM n)) / 100
+                     - {_BENFORD_SQL_CASE}), 4) AS abs_dev
+    FROM digits GROUP BY digit
+    """,
+)
+def q_benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order values — the
+    classic forensic data-quality screen (fabricated or truncated
+    monetary data drifts from the log10(1+1/d) distribution). The
+    leading digit comes from the DECIMAL STRING of exact integer
+    cents, never from log10/pow arithmetic, whose floor at exact
+    powers of ten is engine-dependent.
+
+    Scale shape: map-side digit extraction, 9-key rollup, 1-row total
+    broadcast. Observed shares are rounded via an integer-basis-point
+    intermediate so both engines quantize identically."""
+    t = load_tables(spark, sf_dir)
+    digits = t["orders"].select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.create_map(
+        *[F.lit(x) for d, p in _BENFORD_PCT.items() for x in (d, p)]
+    )[F.col("digit")]
+    obs_pct = F.round(F.col("n_orders") * 10000.0 / F.col("n")) / 100
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_orders",
+            obs_pct.alias("observed_pct"),
+            benford.alias("benford_pct"),
+            F.round(F.abs(obs_pct - benford), 4).alias("abs_dev"),
+        )
+    )
+
+
+@query(
+    "part_recommendations",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.p AS src, b.p AS dst, COUNT(*) AS support
+        FROM op a JOIN op b ON a.k = b.k AND a.p <> b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    )
+    SELECT src AS l_partkey, dst AS recommended_part, support, rk AS rank
+    FROM (
+        SELECT src, dst, support,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY support DESC, dst
+               ) AS rk
+        FROM pairs
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_part_recommendations(spark, sf_dir):
+    """'Customers also bought': top-3 co-purchased parts per part by
+    co-order support (>= 2 orders — the same signal threshold as the
+    triangle census) — the item-to-item collaborative-filtering mart
+    recommendation carousels read.
+
+    Scale shape: basket-collect pair generation in BOTH directions
+    (one fact shuffle, map-side unfold), support rollup, then a rank
+    window partitioned by source part over the thresholded
+    (signal-sized, not corpus-sized) pair frame."""
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") > 1)
+    )
+    # ordered pairs, both directions: for each element, pair it with
+    # every OTHER element of the basket
+    pair_expr = (
+        "flatten(transform(parts, a -> "
+        "transform(filter(parts, b -> b != a), "
+        "b -> struct(a AS src, b AS dst))))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .groupBy("pr.src", "pr.dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_COPURCHASE_SUPPORT)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("support"), F.asc("dst"))
+    return (
+        pairs.select("src", "dst", "support", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("src").alias("l_partkey"),
+            F.col("dst").alias("recommended_part"),
+            "support",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@query(
+    "customer_pareto_abc",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               SUM(cents) OVER (
+                   ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents,
+               (SELECT SUM(cents) FROM per_cust) AS total_cents
+        FROM per_cust
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                    WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           ROUND(SUM(cents) * 100.0
+                 / (SELECT SUM(cents) FROM per_cust), 4) AS revenue_share_pct
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q_customer_pareto_abc(spark, sf_dir):
+    """Pareto / ABC analysis: customers ranked by lifetime revenue and
+    classed A (first 80% of cumulative revenue), B (to 95%), C (tail)
+    — the concentration mart behind account-tiering decisions.
+
+    Scale shape: the fact aggregates to CUSTOMER grain first; the
+    cumulative window then runs over the dimension-grain frame — the
+    documented dimension-scale global-window class (same contract as
+    ``with_surrogate_key_dense``: fine at catalog scale, never on
+    facts; a 1e9-customer deployment would band by a revenue
+    histogram first). Classification thresholds compare exact integer
+    cents cross-multiplied (cum * 100 <= total * 80), so no division
+    touches the boundary."""
+    t = load_tables(spark, sf_dir)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = per_cust.agg(F.sum("cents").alias("total_cents"))
+    ranked = per_cust.select(
+        "cents", F.sum("cents").over(w).alias("cum_cents")
+    ).crossJoin(F.broadcast(total))
+    classed = ranked.select(
+        "cents",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "total_cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("class_cents"),
+        F.round(
+            F.sum("cents") * 100.0 / F.first("total_cents"), 4
+        ).alias("revenue_share_pct"),
+    )

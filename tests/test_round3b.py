@@ -524,3 +524,38 @@ def test_ivf_index_matches_inline_topk(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan.split(
         "PartitionFilters", 1
     )[1][:200], plan
+
+
+def test_benford_shares_sum_to_100(spark, sf_dir):
+    rows = QUERIES["benford_first_digit_audit"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_pct for r in rows) - 100.0) < 0.1
+
+
+def test_part_recommendations_ranked_and_symmetric_support(spark, sf_dir):
+    df = QUERIES["part_recommendations"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.l_partkey, []).append(r)
+    for src, rs in by_src.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sups = [x.support for x in sorted(rs, key=lambda x: x.rank)]
+        assert sups == sorted(sups, reverse=True)
+
+
+def test_pareto_classes_partition_customers(spark, sf_dir):
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    rows = {r.abc_class: r for r in QUERIES["customer_pareto_abc"](spark, sf_dir).collect()}
+    n_cust = (
+        load_tables(spark, sf_dir)["orders"].select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows.values()) == n_cust
+    share = sum(r.revenue_share_pct for r in rows.values())
+    assert abs(share - 100.0) < 0.01
+    if "A" in rows and "C" in rows:
+        # concentration: A customers are fewer but carry more revenue
+        assert rows["A"].class_cents > rows["C"].class_cents
