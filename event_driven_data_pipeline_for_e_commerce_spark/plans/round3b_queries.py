@@ -1837,3 +1837,62 @@ def q_customer_pareto_abc(spark, sf_dir):
             F.sum("cents") * 100.0 / F.first("total_cents"), 4
         ).alias("revenue_share_pct"),
     )
+
+
+@query(
+    "media_exact_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS BIGINT)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS media_type,
+               md5(text) AS payload_hash
+        FROM documents
+    ),
+    m AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT media_id + 1000000, media_type, payload_hash FROM base
+    )
+    SELECT media_type, payload_hash,
+           COUNT(*) AS copies,
+           MIN(media_id) AS keeper_media_id
+    FROM m GROUP BY media_type, payload_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_media_exact_dedup(spark, sf_dir):
+    """Exact duplicate detection on BINARY media payloads — the
+    multimodal twin of ``doc_exact_dedup``: content-hash the payload
+    bytes (no decode needed, so this is a REAL path in any container),
+    group per media type, keep the lowest id — exercised here under a
+    simulated re-crawl (every payload re-arrives under a fresh id). At 100 TB this is the
+    first pass of every media pipeline: byte-identical re-crawls and
+    re-uploads collapse before a single decoder runs.
+
+    Scale shape: md5 over the binary column map-side; the shuffle
+    carries (type, 32-char hash), never payload bytes."""
+    from .llm_queries import _media_frame
+
+    t = load_tables(spark, sf_dir)
+    base = _media_frame(t).select(
+        "media_id", "media_type", F.md5("payload").alias("payload_hash")
+    )
+    # simulate an at-least-once re-crawl: same payload bytes arrive
+    # again under fresh ids — dedup must collapse them to the original
+    m = base.unionAll(
+        base.select(
+            (F.col("media_id") + 1_000_000).alias("media_id"),
+            "media_type",
+            "payload_hash",
+        )
+    )
+    return (
+        m.groupBy("media_type", "payload_hash")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.min("media_id").alias("keeper_media_id"),
+        )
+        .filter(F.col("copies") > 1)
+    )
