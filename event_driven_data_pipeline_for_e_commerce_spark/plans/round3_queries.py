@@ -796,7 +796,7 @@ def q_orders_quality_checks(spark, sf_dir):
     )
     SELECT c.key_value, c.key_rows,
            ROUND(c.key_rows * 100.0 / t.n_rows, 4) AS share_pct,
-           t.n_rows, t.n_keys,
+           CAST(t.n_rows AS BIGINT) AS n_rows, t.n_keys,
            ROUND(t.max_rows * t.n_keys * 1.0 / t.n_rows, 4) AS skew_factor
     FROM counts c, totals t
     ORDER BY c.key_rows DESC, c.key_value
