@@ -1896,3 +1896,73 @@ def q_media_exact_dedup(spark, sf_dir):
         )
         .filter(F.col("copies") > 1)
     )
+
+
+@query(
+    "minhash_precision_stats",
+    oracle=None,  # set below: needs llm_queries' shared CTE block
+)
+def q_minhash_precision_stats(spark, sf_dir):
+    """LSH quality contract: of the candidate pairs MinHash banding
+    surfaces (any shingle overlap), what share survives the exact
+    Jaccard threshold — the measured PRECISION of the band
+    configuration, the companion number to the recall s-curve
+    documented on ``minhash_near_duplicates``. Run this before
+    retuning bands on a new corpus: low precision means the verify
+    stage is drowning in false candidates (add rows per band), not
+    that dedup is broken.
+
+    Scale shape: identical to ``doc_minhash_near_dup`` (whose verify
+    join is already candidate-bounded) plus one scalar rollup; the
+    mean Jaccard is summed in integer ten-thousandths."""
+    from ..llmdata.dedup import minhash_near_duplicates
+    from .llm_queries import JACCARD_THRESHOLD, NUM_HASHES, ROWS_PER_BAND
+
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        t["documents"], "text", "doc_id",
+        n=SHINGLE_N, num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=0.0,
+    ).filter(F.col("jaccard") > 0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+        ).alias("n_survivors"),
+        F.round(
+            F.sum(
+                F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+            )
+            * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("precision_pct"),
+        F.sum(F.round(F.col("jaccard") * 10000).cast("long")).alias(
+            "sum_jaccard_e4"
+        ),
+    )
+
+
+from .llm_queries import _MINHASH_CTES as _MHC  # noqa: E402
+from .llm_queries import JACCARD_THRESHOLD as _JT  # noqa: E402
+from .corpus import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["minhash_precision_stats"] = rf"""
+    WITH {_MHC},
+    scored AS (
+        SELECT ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common > 0
+    )
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN jaccard >= {_JT} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           ROUND(SUM(CASE WHEN jaccard >= {_JT} THEN 1 ELSE 0 END) * 100.0
+                 / COUNT(*), 4) AS precision_pct,
+           CAST(SUM(CAST(ROUND(jaccard * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_jaccard_e4
+    FROM scored
+"""
