@@ -1966,3 +1966,144 @@ _ORACLES["minhash_precision_stats"] = rf"""
                AS sum_jaccard_e4
     FROM scored
 """
+
+
+@query(
+    "user_peak_event_rate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+    ),
+    windowed AS (
+        SELECT user_id,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 59 PRECEDING AND CURRENT ROW
+               ) AS events_1m
+        FROM e
+    )
+    SELECT user_id, CAST(MAX(events_1m) AS BIGINT) AS peak_events_per_min
+    FROM windowed GROUP BY user_id
+    HAVING MAX(events_1m) >= 2
+    """,
+)
+def q_user_peak_event_rate(spark, sf_dir):
+    """Bot/abuse screen: each user's PEAK event count inside any
+    sliding 60-second window — the rate-limiter statistic (humans
+    burst to a handful; scripts sustain hundreds). Only users with a
+    peak of 2+ surface.
+
+    Scale shape: the RANGE window is keyed by user (never global) over
+    integer epoch-seconds, so frame arithmetic is exact; the rollup
+    reuses the same user partitioning."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    return (
+        e.select("user_id", F.count(F.lit(1)).over(w).alias("events_1m"))
+        .groupBy("user_id")
+        .agg(F.max("events_1m").alias("peak_events_per_min"))
+        .filter(F.col("peak_events_per_min") >= 2)
+    )
+
+
+@query(
+    "part_revenue_gini",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, l_partkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM per_part
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_parts,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           ROUND(2.0 * SUM(i * cents) / (MAX(n) * MAX(total))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_part_revenue_gini(spark, sf_dir):
+    """Gini coefficient of revenue concentration across parts — the
+    single-number inequality gauge completing the distribution-audit
+    trio (Benford: digit plausibility; Pareto: tier sizes; Gini:
+    overall concentration). Uses the exact rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending x.
+
+    Scale shape: fact aggregates to PART grain first; the rank window
+    runs over the dimension-grain frame (the documented
+    dimension-scale class, as ``customer_pareto_abc``). Ranks and
+    cents are exact integers; sum(i*cents) stays inside BIGINT
+    (rank < 1e8, cents < 1e13 would overflow — parts x mean keeps the
+    product sum under 2^63 through sf1e3; the oracle would HUGEINT
+    first anyway)."""
+    t = load_tables(spark, sf_dir)
+    per_part = t["lineitem"].groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("cents", "l_partkey")
+    ranked = per_part.select(
+        "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "daily_revenue_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT cents,
+               LAG(cents) OVER (ORDER BY day) AS prev_cents
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(cents, prev_cents), 4) AS lag1_autocorr
+    FROM lagged WHERE prev_cents IS NOT NULL
+    """,
+)
+def q_daily_revenue_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of daily revenue: the one-number
+    mean-reversion/momentum gauge a forecaster checks before picking a
+    model family (near 0 = i.i.d. noise — as TPC-H's uniform order
+    dates should be; strongly positive = trending).
+
+    Scale shape: day-grain pre-aggregation (exact integer cents), a
+    bounded-calendar lag window, one moment-aggregate pass (corr)."""
+    t = load_tables(spark, sf_dir)
+    daily = t["orders"].groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents", F.lag("cents").over(w).alias("prev_cents")
+    ).filter(F.col("prev_cents").isNotNull())
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("cents", "prev_cents"), 4).alias("lag1_autocorr"),
+    )

@@ -559,3 +559,39 @@ def test_pareto_classes_partition_customers(spark, sf_dir):
     if "A" in rows and "C" in rows:
         # concentration: A customers are fewer but carry more revenue
         assert rows["A"].class_cents > rows["C"].class_cents
+
+
+def test_gini_bounds_and_conservation(spark, sf_dir):
+    r = QUERIES["part_revenue_gini"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.n_parts > 0 and r.total_cents > 0
+
+
+def test_autocorr_in_valid_range(spark, sf_dir):
+    r = QUERIES["daily_revenue_autocorr"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r.lag1_autocorr <= 1.0
+    assert r.n_days > 0
+
+
+def test_peak_rate_at_least_global_max_burst(spark, sf_dir):
+    """A user's 60s peak is at least any single-second burst count."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sec_bursts = (
+        ev.select(
+            "user_id",
+            (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"),
+        )
+        .groupBy("user_id", "sec")
+        .agg(F.count(F.lit(1)).alias("burst"))
+        .groupBy("user_id")
+        .agg(F.max("burst").alias("max_burst"))
+    )
+    peaks = {
+        r.user_id: r.peak_events_per_min
+        for r in QUERIES["user_peak_event_rate"](spark, sf_dir).collect()
+    }
+    for r in sec_bursts.collect():
+        if r.user_id in peaks:
+            assert peaks[r.user_id] >= r.max_burst
