@@ -2107,3 +2107,72 @@ def q_daily_revenue_autocorr(spark, sf_dir):
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.corr("cents", "prev_cents"), 4).alias("lag1_autocorr"),
     )
+
+
+# Functional-dependency candidates to audit: (table, determinant,
+# dependent). A dependency holds iff every determinant value maps to
+# exactly one dependent value.
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),  # expected to FAIL
+    ("lineitem", "l_orderkey", "l_suppkey"),     # expected to FAIL
+)
+
+
+def _fd_oracle_block(table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{det}' AS determinant,
+           '{dep}' AS dependent,
+           COUNT(*) AS n_det_values,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (
+        SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep
+        FROM {table} GROUP BY {det}
+    )
+    """
+
+
+@query(
+    "functional_dependency_audit",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_block(t, a, b) for t, a, b in _FD_CANDIDATES
+    ),
+)
+def q_functional_dependency_audit(spark, sf_dir):
+    """Functional-dependency profiler: for each candidate determinant
+    -> dependent pair, the count of determinant values mapping to
+    MORE than one dependent value (0 violations = the FD holds). This
+    is how a schema-inference/data-contract pass discovers real keys
+    and denormalization opportunities — and catches upstream breakage
+    when a 'guaranteed' FD starts violating.
+
+    Scale shape: per candidate, one (determinant)-keyed distinct
+    count — map-side partial, bounded output; candidates run as a
+    union of independent aggregates over pruned two-column scans."""
+    t = load_tables(spark, sf_dir)
+    frames = []
+    for table, det, dep in _FD_CANDIDATES:
+        per_det = t[table].groupBy(det).agg(
+            F.count_distinct(dep).alias("n_dep")
+        )
+        frames.append(
+            per_det.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_det_values"),
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).alias(
+                    "n_violations"
+                ),
+            ).select(
+                "*", (F.col("n_violations") == 0).alias("holds")
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

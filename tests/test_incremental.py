@@ -99,3 +99,27 @@ def test_streaming_rollup_foreach_batch_matches_batch(spark, sf_dir, tmp_path):
     got = _rows(spark.read.parquet(target))
     want = _rows(rollup_batch(events, KEYS, MEASURES))
     assert got == want
+
+
+def test_high_water_mark_ingest_idempotent(spark, sf_dir, tmp_path):
+    """Split ingest equals full ingest; re-running ingests nothing."""
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.incremental import (
+        high_water_mark,
+        ingest_increment,
+    )
+
+    events = load_tables(spark, sf_dir)["events"]
+    cutoff = events.agg(
+        F.percentile_approx("ts", 0.5).alias("c")
+    ).collect()[0][0]
+    mart = str(tmp_path / "events_mart")
+
+    n1 = ingest_increment(events.filter(F.col("ts") <= cutoff), mart, "ts")
+    n2 = ingest_increment(events, mart, "ts")
+    assert n1 + n2 == events.count()
+    assert spark.read.parquet(mart).count() == events.count()
+    # replay: nothing new
+    assert ingest_increment(events, mart, "ts") == 0
+    assert high_water_mark(mart, spark, "ts") == events.agg(
+        F.max("ts")
+    ).collect()[0][0]
