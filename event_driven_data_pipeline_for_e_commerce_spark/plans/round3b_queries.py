@@ -2176,3 +2176,84 @@ def q_functional_dependency_audit(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@query(
+    "customer_entity_clusters",
+    oracle="""
+    WITH RECURSIVE c AS (
+        SELECT c_custkey, c_name,
+               substr(c_name, 1, len(c_name) - 2) AS blk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT ka AS a, kb AS b FROM pairs
+        UNION SELECT kb, ka FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labeled AS (
+        SELECT node AS c_custkey, MIN(label) AS entity_id
+        FROM reach GROUP BY node
+    )
+    SELECT entity_id,
+           COUNT(*) AS n_records,
+           MIN(c_custkey) AS canonical_custkey
+    FROM labeled GROUP BY entity_id HAVING COUNT(*) > 1
+    """,
+)
+def q_customer_entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution: blocked fuzzy matching
+    (``customer_name_fuzzy_pairs``' block -> levenshtein link step)
+    COMPOSED with the connected-components operator the doc-dedup
+    pipeline uses (``duplicate_clusters``) — typo-variant customer
+    records collapse into entities even through match CHAINS
+    (A~B, B~C but A!~C). Output: multi-record entities with their
+    canonical (lowest) key.
+
+    Scale shape: the match graph comes from the block equi-join
+    (never all-pairs); clustering is the same O(log diameter)
+    min-label propagation; the rollup is keyed by entity. The
+    cross-domain reuse is the point: pair generation and closure are
+    orthogonal operators."""
+    from ..llmdata.dedup import duplicate_clusters
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), "blk")
+    b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("ka", "kb")
+    )
+    clusters = duplicate_clusters(
+        pairs, t["customer"].select("c_custkey"),
+        id_col="c_custkey", a_col="ka", b_col="kb",
+    )
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("c_custkey").alias("canonical_custkey"),
+        )
+        .filter(F.col("n_records") > 1)
+        .select(
+            F.col("cluster_id").alias("entity_id"),
+            "n_records",
+            "canonical_custkey",
+        )
+    )
