@@ -1634,9 +1634,11 @@ _BENFORD_PCT = {
     1: 30.103, 2: 17.6091, 3: 12.4939, 4: 9.691, 5: 7.9181,
     6: 6.6947, 7: 5.7992, 8: 5.1153, 9: 4.5757,
 }
-_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+# CAST to DOUBLE: DuckDB types a CASE over decimal literals as
+# DECIMAL, which would mismatch Spark's double column
+_BENFORD_SQL_CASE = "CAST(CASE digit " + " ".join(
     f"WHEN {d} THEN {p}" for d, p in _BENFORD_PCT.items()
-) + " END"
+) + " END AS DOUBLE)"
 
 
 @query(
