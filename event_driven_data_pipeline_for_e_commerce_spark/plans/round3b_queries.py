@@ -2085,7 +2085,7 @@ def q_part_revenue_gini(spark, sf_dir):
         FROM daily
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(corr(cents, prev_cents), 4) AS lag1_autocorr
+           ROUND(corr(cents, prev_cents), 4) + 0.0 AS lag1_autocorr
     FROM lagged WHERE prev_cents IS NOT NULL
     """,
 )
@@ -2107,7 +2107,9 @@ def q_daily_revenue_autocorr(spark, sf_dir):
     ).filter(F.col("prev_cents").isNotNull())
     return lagged.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.corr("cents", "prev_cents"), 4).alias("lag1_autocorr"),
+        (F.round(F.corr("cents", "prev_cents"), 4) + 0.0).alias(
+            "lag1_autocorr"
+        ),
     )
 
 
@@ -2258,4 +2260,122 @@ def q_customer_entity_clusters(spark, sf_dir):
             "n_records",
             "canonical_custkey",
         )
+    )
+
+
+# Heaps'-law audit: vocabulary growth sampled at N_BUCKETS checkpoints
+# of the ingest order (doc_id), so the cumulative frame is bounded at
+# any corpus size.
+HEAPS_BUCKETS = 20
+
+
+@query(
+    "doc_heaps_law_fit",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, t.tok
+        FROM documents,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+    ),
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    bucketed AS (
+        SELECT doc_id,
+               LEAST(CAST((doc_id - (SELECT lo FROM bounds))
+                          * {HEAPS_BUCKETS}
+                          / ((SELECT hi FROM bounds)
+                             - (SELECT lo FROM bounds) + 1) AS BIGINT),
+                     {HEAPS_BUCKETS - 1}) AS bucket
+        FROM documents
+    ),
+    tok_b AS (
+        SELECT b.bucket, t.tok FROM tok t JOIN bucketed b USING (doc_id)
+    ),
+    first_seen AS (
+        SELECT tok, MIN(bucket) AS first_bucket FROM tok_b GROUP BY tok
+    ),
+    new_types AS (
+        SELECT first_bucket AS bucket, COUNT(*) AS new_v
+        FROM first_seen GROUP BY first_bucket
+    ),
+    tokens_per AS (
+        SELECT bucket, COUNT(*) AS n_tok FROM tok_b GROUP BY bucket
+    ),
+    cum AS (
+        SELECT t.bucket,
+               SUM(t.n_tok) OVER (ORDER BY t.bucket) AS cum_tokens,
+               SUM(COALESCE(n.new_v, 0)) OVER (ORDER BY t.bucket)
+                   AS cum_types
+        FROM tokens_per t LEFT JOIN new_types n USING (bucket)
+    )
+    SELECT CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_types) AS BIGINT) AS vocab_size,
+           -- + 0.0 folds IEEE negative zero (a flat vocabulary curve
+           -- gives slope ~ -1e-18, whose rounded sign depends on the
+           -- engine's parallel sum order) onto +0.0
+           ROUND(regr_slope(ln(cum_types), ln(cum_tokens)), 4) + 0.0
+               AS heaps_beta
+    FROM cum
+    """,
+)
+def q_doc_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit: vocabulary size V(N) ~ K * N^beta as token
+    count N grows through the ingest order, with beta estimated as
+    the log-log regression slope over checkpointed growth points.
+    Natural corpora sit near beta ~ 0.4-0.6; beta drifting toward 0
+    means the crawl is exhausting its vocabulary (mounting
+    duplication), toward 1 means token soup — the corpus-growth
+    health gauge next to ``doc_zipf_slope``'s static snapshot.
+
+    Scale shape: docs bucket into {HEAPS_BUCKETS} ingest-order
+    checkpoints map-side; each token's FIRST bucket is one
+    groupBy(token) min; per-bucket new-type and token counts reduce
+    to a {HEAPS_BUCKETS}-row frame, where the cumulative window and
+    the regression moments run. Nothing cumulative ever touches
+    corpus-sized data."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "text",
+        F.least(
+            (
+                (F.col("doc_id") - F.col("lo"))
+                * HEAPS_BUCKETS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+            F.lit(HEAPS_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    tok_b = bucketed.select(
+        "bucket",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    first_seen = tok_b.groupBy("tok").agg(F.min("bucket").alias("first_bucket"))
+    new_types = first_seen.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_v"))
+    tokens_per = tok_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tokens_per.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_v", F.lit(0))).over(w).alias("cum_types"),
+        )
+    )
+    return cum.agg(
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_types").alias("vocab_size"),
+        (
+            F.round(
+                F.regr_slope(F.log("cum_types"), F.log("cum_tokens")), 4
+            )
+            + 0.0
+        ).alias("heaps_beta"),
     )
