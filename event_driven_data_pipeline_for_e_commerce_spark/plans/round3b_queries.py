@@ -2379,3 +2379,59 @@ def q_doc_heaps_law_fit(spark, sf_dir):
             + 0.0
         ).alias("heaps_beta"),
     )
+
+
+@query(
+    "doc_compressibility_proxy",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               substr(lower(trim(text)), i.i, 4) AS g
+        FROM documents,
+             UNNEST(generate_series(1, len(lower(trim(text))) - 3)) AS i(i)
+        WHERE len(lower(trim(text))) >= 4
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT g) AS n_distinct,
+           ROUND(COUNT(DISTINCT g) * 1.0 / COUNT(*), 4) AS uniqueness
+    FROM grams GROUP BY doc_id
+    """,
+)
+def q_doc_compressibility_proxy(spark, sf_dir):
+    """Compression-ratio proxy: distinct / total character 4-grams per
+    document — the dictionary-coder redundancy estimate quality
+    filters use (Gopher-style): highly repetitive boilerplate
+    compresses well and scores near 0; natural prose stays high. A
+    byte-exact stand-in for running an actual compressor, with no
+    library dependency and an exact SQL twin.
+
+    Scale shape: the gram unfold is a map-side ``sequence`` +
+    ``substr`` projection (one row per character — the same linear
+    budget as tokenization); counts are one doc-keyed aggregation
+    with map-side distinct partials."""
+    from ..operators.partitioning import ensure_parallelism
+
+    t = load_tables(spark, sf_dir)
+    norm_text = F.lower(F.trim(F.col("text")))
+    grams = (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", norm_text.alias("nt"))
+        .filter(F.length("nt") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(nt) - 3), "
+                    "i -> substr(nt, i, 4))"
+                )
+            ).alias("g"),
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct("g").alias("n_distinct"),
+        F.round(F.count_distinct("g") / F.count(F.lit(1)), 4).alias(
+            "uniqueness"
+        ),
+    )
