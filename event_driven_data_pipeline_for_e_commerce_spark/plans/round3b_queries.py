@@ -2435,3 +2435,83 @@ def q_doc_compressibility_proxy(spark, sf_dir):
             "uniqueness"
         ),
     )
+
+
+def _lsh_purity_oracle() -> str:
+    from ..llmdata.similarity import hyperplanes
+    from .llm_queries import EMB_DIM, N_PLANES, _planes_sql_literal
+
+    planes = hyperplanes(EMB_DIM, N_PLANES, 1)
+    lits = _planes_sql_literal(planes)
+    return f"""
+    WITH planes AS (
+        SELECT i, p
+        FROM (SELECT UNNEST({lits}) AS p,
+                     UNNEST(generate_series(1, {N_PLANES})) AS i)
+    ),
+    e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT e.vec_id, e.label,
+               string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY pl.i)
+                   AS bucket
+        FROM e, planes pl GROUP BY e.vec_id, e.label
+    ),
+    bl AS (
+        SELECT bucket, label, COUNT(*) AS c FROM sig GROUP BY bucket, label
+    ),
+    bstats AS (
+        SELECT bucket, SUM(c) AS n, MAX(c) AS dom
+        FROM bl GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(dom AS BIGINT) AS dominant_label_cnt,
+           ROUND(dom * 100.0 / n, 4) AS purity_pct
+    FROM bstats
+    """
+
+
+@query("emb_lsh_bucket_label_purity", oracle=None)
+def q_emb_lsh_bucket_label_purity(spark, sf_dir):
+    """Partition-quality audit for hyperplane LSH: per bucket (table
+    0's 4-bit sign pattern), the share of vectors carrying the
+    bucket's dominant label. High purity means the hash respects the
+    label geometry (buckets are usable as cheap shard keys for
+    label-local work); purity near the global label mix means the
+    planes are label-blind. The diagnostic to run before trusting
+    LSH buckets for anything beyond candidate generation.
+
+    Scale shape: bucket signs are map-side plane dots (the same
+    ``lsh_bucket`` projection the search path uses), then two bounded
+    aggregations — (bucket, label) grain, 2^planes x labels rows."""
+    from ..llmdata.similarity import hyperplanes, lsh_bucket
+    from ..operators.partitioning import ensure_parallelism
+    from .llm_queries import EMB_DIM, N_PLANES
+
+    t = load_tables(spark, sf_dir)
+    emb = ensure_parallelism(t["embeddings"])
+    planes = hyperplanes(EMB_DIM, N_PLANES, 1)
+    sig = lsh_bucket(emb, planes, n_tables=1).select("vec_id", "bucket")
+    labeled = sig.join(emb.select("vec_id", "label"), "vec_id")
+    bl = labeled.groupBy("bucket", "label").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bl.groupBy("bucket")
+        .agg(F.sum("c").alias("n_vectors"), F.max("c").alias("dominant_label_cnt"))
+        .select(
+            "bucket",
+            "n_vectors",
+            "dominant_label_cnt",
+            F.round(
+                F.col("dominant_label_cnt") * 100.0 / F.col("n_vectors"), 4
+            ).alias("purity_pct"),
+        )
+    )
+
+
+from .corpus import ORACLES as _ORACLES2  # noqa: E402
+
+_ORACLES2["emb_lsh_bucket_label_purity"] = _lsh_purity_oracle()
