@@ -27,6 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding near-dup; vectorized fake media stub; dedup module).
 # Everything green in r1/r2 is demoted behind any new registrations so
 # future rounds spend the 50-row window on never-checked queries first.
+#
+# ROUND-4 ROTATION NOTE: the 42 queries registered during round 3 land
+# in the "mid" section below (after this head, before _PRIOR_GREEN) and
+# have never had a driver row — they are already sf0.01-verified by
+# scripts/strict_driver_check.py AND tests/test_corpus_oracle.py.
+# Round 4 should move them (the whole mid section, in registration
+# order: round3_queries.py's 16 from dedup-survivors through
+# emb_pq_topk/pit/ordered-funnel, then round3b_queries.py's additions
+# from cms_heavy_hitters through emb_lsh_bucket_label_purity) into the
+# head, demote this round's 50 greens to _PRIOR_GREEN, and use any
+# leftover window slots for round-4 additions.
 _PRIORITY = (
     "doc_segment_dedup", "doc_bigram_lm_score", "doc_clean_normalize",
     "emb_exact_dedup", "emb_kmeans_assign", "emb_int8_quantize",
