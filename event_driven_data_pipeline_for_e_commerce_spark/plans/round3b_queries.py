@@ -2515,3 +2515,123 @@ def q_emb_lsh_bucket_label_purity(spark, sf_dir):
 from .corpus import ORACLES as _ORACLES2  # noqa: E402
 
 _ORACLES2["emb_lsh_bucket_label_purity"] = _lsh_purity_oracle()
+
+
+@query(
+    "doc_sentence_stats",
+    oracle=r"""
+    WITH sents AS (
+        SELECT doc_id, trim(s.s) AS sent
+        FROM documents,
+             UNNEST(string_split_regex(text, '[.!?]+')) AS s(s)
+        WHERE trim(s.s) <> ''
+    ),
+    lens AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(sent), '\s+')) AS BIGINT)
+                   AS n_words
+        FROM sents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_sentence_words,
+           ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4)
+               AS avg_sentence_words
+    FROM lens GROUP BY doc_id
+    """,
+)
+def q_doc_sentence_stats(spark, sf_dir):
+    """Sentence segmentation statistics: count, total/max/mean words
+    per sentence, from a punctuation-boundary splitter — the
+    readability / degenerate-text signal (wall-of-text docs have one
+    giant 'sentence'; listicles have hundreds of 3-word ones) that
+    chunkers and quality filters read before deciding split points.
+
+    Scale shape: regexp split + explode map-side, one doc-keyed
+    aggregation; word counts are exact integers and the mean divides
+    the exact sum once."""
+    from ..operators.partitioning import ensure_parallelism
+
+    t = load_tables(spark, sf_dir)
+    sents = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("sent"),
+        )
+        .select("doc_id", F.trim("sent").alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    lens = sents.select(
+        "doc_id",
+        F.size(F.split(F.col("sent"), r"\s+")).cast("long").alias("n_words"),
+    )
+    return lens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("n_words").alias("total_words"),
+        F.max("n_words").alias("max_sentence_words"),
+        F.round(
+            F.sum("n_words").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_sentence_words"),
+    )
+
+
+@query(
+    "part_type_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_type, l.l_suppkey,
+               CAST(ROUND(SUM(l.l_extendedprice) * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (
+        SELECT p_type, SUM(cents) AS total_cents, COUNT(*) AS n_suppliers
+        FROM rev GROUP BY p_type
+    )
+    SELECT r.p_type,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(t.total_cents AS BIGINT) AS total_cents,
+           ROUND(SUM((r.cents * 10000.0 / t.total_cents)
+                     * (r.cents * 1.0 / t.total_cents)), 2) AS hhi
+    FROM rev r JOIN tot t USING (p_type)
+    GROUP BY r.p_type, t.n_suppliers, t.total_cents
+    """,
+)
+def q_part_type_supplier_hhi(spark, sf_dir):
+    """Supplier-concentration risk: the Herfindahl-Hirschman index
+    (sum of squared percentage market shares, 0..10000) of supplier
+    revenue within each part type — the procurement-risk gauge
+    (antitrust convention: HHI > 2500 = highly concentrated, a
+    single-supplier type scores 10000).
+
+    Scale shape: fact aggregates to (type, supplier) grain behind a
+    broadcast part-dim join; totals reduce per type; the squared-share
+    sum runs over the bounded supplier-per-type frame in exact integer
+    cents with two divisions per term."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("cents")
+        )
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share_sq = (F.col("cents") * 10000.0 / F.col("total_cents")) * (
+        F.col("cents") / F.col("total_cents")
+    )
+    return (
+        rev.join(tot, "p_type")
+        .groupBy("p_type", "n_suppliers", "total_cents")
+        .agg(F.round(F.sum(share_sq), 2).alias("hhi"))
+        .select("p_type", "n_suppliers", "total_cents", "hhi")
+    )

@@ -310,6 +310,25 @@ def cms_foreach_batch(
     return apply
 
 
+def peak_rate_stream(
+    events: DataFrame,
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming bot/rate screen: events per (user, 60-second tumbling
+    window) as a watermarked streaming aggregate — the stream-side
+    feed of the ``user_peak_event_rate`` batch audit (the batch query
+    scans history with a sliding RANGE window; the stream maintains
+    only in-flight minutes of state, watermark-evicted). A monitor
+    reads MAX(events_1m) per user downstream of the sink."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.window(ts_col, "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("events_1m"))
+        .select("user_id", F.col("w.start").alias("minute_start"), "events_1m")
+    )
+
+
 def first_touch_foreach_batch(
     target_path: str,
 ) -> Callable[[DataFrame, int], None]:

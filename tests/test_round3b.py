@@ -595,3 +595,56 @@ def test_peak_rate_at_least_global_max_burst(spark, sf_dir):
     for r in sec_bursts.collect():
         if r.user_id in peaks:
             assert peaks[r.user_id] >= r.max_burst
+
+
+def test_streaming_peak_rate_matches_batch_tumbling(spark, sf_dir, tmp_path):
+    """AvailableNow replay of the per-minute user rate stream must
+    equal the batch tumbling aggregate."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        peak_rate_stream,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    events = load_tables(spark, sf_dir)["events"]
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    # append-mode windows only emit once the watermark passes them;
+    # flush end-of-replay windows with a far-future sentinel (user -1,
+    # excluded from the comparison) — the standard pattern
+    sentinel = (
+        spark.read.parquet(src)
+        .limit(1)
+        .withColumn("user_id", F.lit(-1).cast("long"))
+        .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
+    )
+    sentinel.write.mode("append").parquet(src)
+    out = str(tmp_path / "rates")
+
+    q = (
+        peak_rate_stream(read_event_stream(spark, src, schema))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.minute_start, r.events_1m)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id >= 0
+    }
+    want = {
+        (r.user_id, r.minute_start, r.events_1m)
+        for r in events.groupBy(
+            "user_id", F.window("ts", "1 minute").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("events_1m"))
+        .select("user_id", F.col("w.start").alias("minute_start"), "events_1m")
+        .collect()
+    }
+    assert got == want and got
