@@ -2635,3 +2635,164 @@ def q_part_type_supplier_hhi(spark, sf_dir):
         .agg(F.round(F.sum(share_sq), 2).alias("hhi"))
         .select("p_type", "n_suppliers", "total_cents", "hhi")
     )
+
+
+@query("lsh_candidate_volume_forecast", oracle=None)
+def q_lsh_candidate_volume_forecast(spark, sf_dir):
+    """Pre-flight forecast of the LSH verify-join volume: per band,
+    the bucket count, the largest bucket, and the EXACT candidate-pair
+    count the band would emit (sum over buckets of c*(c-1)/2) — all
+    computed from the band-key histogram WITHOUT running the pair
+    unfold. This is the audit a 100 TB dedup run does first: a band
+    whose max bucket explodes (mass-duplicated boilerplate) gets the
+    ``max_bucket`` cap / exact-dedup pre-pass BEFORE the quadratic
+    expansion, not after the job dies (the round-2 degenerate-corpus
+    lesson, productized).
+
+    Scale shape: one groupBy on (band, band_key) with map-side
+    combine, then a band-grain rollup — histogram cost, not pair
+    cost."""
+    from ..llmdata.dedup import _minhash_agg_hashed, shingle_hash_frame
+    from ..operators.partitioning import ensure_parallelism
+    from .llm_queries import NUM_HASHES, ROWS_PER_BAND
+
+    t = load_tables(spark, sf_dir)
+    docs = ensure_parallelism(t["documents"])
+    num_bands = (NUM_HASHES + ROWS_PER_BAND - 1) // ROWS_PER_BAND
+    sigs = _minhash_agg_hashed(
+        shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N),
+        "doc_id",
+        NUM_HASHES,
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"s{i}").cast("string")
+                    for i in range(
+                        (j - 1) * ROWS_PER_BAND + 1,
+                        min(j * ROWS_PER_BAND, NUM_HASHES) + 1,
+                    )
+                ],
+            ).alias("band_key"),
+        )
+        for j in range(1, num_bands + 1)
+    ])
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
+    hist = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        hist.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .select("band", "n_buckets", "max_bucket", "candidate_pairs")
+    )
+
+
+from .corpus import ORACLES as _ORACLES3  # noqa: E402
+from .llm_queries import _MINHASH_CTES as _MHC2  # noqa: E402
+
+_ORACLES3["lsh_candidate_volume_forecast"] = rf"""
+    WITH {_MHC2},
+    hist AS (
+        SELECT band, band_key, COUNT(*) AS c
+        FROM bands GROUP BY band, band_key
+    )
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM hist GROUP BY band
+"""
+
+
+@query(
+    "region_quarter_revenue_yoy",
+    oracle="""
+    WITH q AS (
+        SELECT r.r_name AS region,
+               YEAR(o.o_orderdate) AS yr,
+               QUARTER(o.o_orderdate) AS qtr,
+               CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3
+    ),
+    lagged AS (
+        SELECT region, yr, qtr, cents,
+               LAG(cents, 4) OVER (
+                   PARTITION BY region ORDER BY yr, qtr
+               ) AS prev_year_cents
+        FROM q
+    )
+    SELECT region, CAST(yr AS BIGINT) AS yr, CAST(qtr AS BIGINT) AS qtr,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND((cents - prev_year_cents) * 100.0 / prev_year_cents, 4)
+               AS yoy_growth_pct
+    FROM lagged WHERE prev_year_cents IS NOT NULL
+    """,
+)
+def q_region_quarter_revenue_yoy(spark, sf_dir):
+    """Year-over-year quarterly revenue growth per region — the board
+    chart: each quarter against the same quarter last year (LAG 4 on
+    the quarter series), so seasonality cancels without modeling it.
+
+    Scale shape: three broadcast dimension hops, quarter-grain
+    pre-aggregation in exact integer cents, then a region-partitioned
+    LAG over the bounded calendar frame."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("yr", "qtr")
+    lagged = q.select(
+        "region",
+        "yr",
+        "qtr",
+        "cents",
+        F.lag("cents", 4).over(w).alias("prev_year_cents"),
+    ).filter(F.col("prev_year_cents").isNotNull())
+    return lagged.select(
+        "region",
+        F.col("yr").cast("long").alias("yr"),
+        F.col("qtr").cast("long").alias("qtr"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            (F.col("cents") - F.col("prev_year_cents"))
+            * 100.0
+            / F.col("prev_year_cents"),
+            4,
+        ).alias("yoy_growth_pct"),
+    )
