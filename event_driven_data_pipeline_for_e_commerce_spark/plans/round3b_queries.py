@@ -2796,3 +2796,106 @@ def q_region_quarter_revenue_yoy(spark, sf_dir):
             4,
         ).alias("yoy_growth_pct"),
     )
+
+
+@query(
+    "source_char_class_profile",
+    oracle="""
+    WITH f AS (
+        SELECT source,
+               length(text) AS n,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS space
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_chars,
+           ROUND(SUM(alpha) * 100.0 / SUM(n), 4) AS alpha_pct,
+           ROUND(SUM(digit) * 100.0 / SUM(n), 4) AS digit_pct,
+           ROUND(SUM(space) * 100.0 / SUM(n), 4) AS space_pct,
+           ROUND((SUM(n) - SUM(alpha) - SUM(digit) - SUM(space)) * 100.0
+                 / SUM(n), 4) AS other_pct
+    FROM f GROUP BY source
+    """,
+)
+def q_source_char_class_profile(spark, sf_dir):
+    """Character-class composition per source (alpha / digit / space /
+    other shares) — the encoding-corruption and content-type detector:
+    mojibake inflates 'other', scraped tables inflate digits, minified
+    payloads crush spaces. Run per source to catch one bad feed
+    before it pollutes the corpus mix.
+
+    Scale shape: class counts are map-side regexp_replace length
+    arithmetic (codegen); one bounded source-grain rollup; percentages
+    divide exact integer sums."""
+    from ..operators.partitioning import ensure_parallelism
+
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    f = ensure_parallelism(t["documents"]).select(
+        "source",
+        F.length(txt).alias("n"),
+        F.length(F.regexp_replace(txt, "[^a-zA-Z]", "")).alias("alpha"),
+        F.length(F.regexp_replace(txt, "[^0-9]", "")).alias("digit"),
+        F.length(F.regexp_replace(txt, "[^ ]", "")).alias("space"),
+    )
+    g = f.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum("alpha").alias("alpha"),
+        F.sum("digit").alias("digit"),
+        F.sum("space").alias("space"),
+    )
+    return g.select(
+        "source",
+        F.col("n").alias("total_chars"),
+        F.round(F.col("alpha") * 100.0 / F.col("n"), 4).alias("alpha_pct"),
+        F.round(F.col("digit") * 100.0 / F.col("n"), 4).alias("digit_pct"),
+        F.round(F.col("space") * 100.0 / F.col("n"), 4).alias("space_pct"),
+        F.round(
+            (F.col("n") - F.col("alpha") - F.col("digit") - F.col("space"))
+            * 100.0
+            / F.col("n"),
+            4,
+        ).alias("other_pct"),
+    )
+
+
+@query(
+    "emb_norm_histogram",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT CAST(FLOOR(nrm) AS BIGINT) AS norm_bin,
+           COUNT(*) AS n_vectors,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm
+    FROM n GROUP BY 1
+    """,
+)
+def q_emb_norm_histogram(spark, sf_dir):
+    """Vector-norm histogram (unit-width bins): the third embedding
+    QA angle after per-dimension stats and pairwise similarity —
+    norm outliers mean un-normalized or exploded vectors that will
+    dominate dot-product retrieval regardless of direction.
+
+    Scale shape: the norm is the zip-free self-dot fold map-side; the
+    rollup is keyed by the bounded bin id."""
+    from ..llmdata.similarity import _as_double, norm
+    from ..operators.partitioning import ensure_parallelism
+
+    t = load_tables(spark, sf_dir)
+    n = ensure_parallelism(t["embeddings"]).select(
+        norm(_as_double("embedding")).alias("nrm")
+    )
+    return n.groupBy(
+        F.floor("nrm").cast("long").alias("norm_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
