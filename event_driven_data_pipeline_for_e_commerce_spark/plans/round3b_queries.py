@@ -2899,3 +2899,82 @@ def q_emb_norm_histogram(spark, sf_dir):
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+@query(
+    "hourly_load_percentiles",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(c) AS BIGINT) AS peak_hour_events,
+           CAST((SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                 FROM hourly) AS BIGINT) AS p50_events,
+           CAST((SELECT percentile_disc(0.95) WITHIN GROUP (ORDER BY c)
+                 FROM hourly) AS BIGINT) AS p95_events,
+           CAST((SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+                 FROM hourly) AS BIGINT) AS p99_events
+    FROM hourly
+    """,
+)
+def q_hourly_load_percentiles(spark, sf_dir):
+    """Capacity-planning load profile: p50/p95/p99/max of per-hour
+    event volume — the numbers an ingestion autoscaler and a stream
+    provisioning review are actually sized from (mean load is
+    useless; p95-to-peak is the provisioning band).
+
+    Scale shape: hour-grain pre-aggregation (one shuffle, map-side
+    combine), then exact discrete percentiles over the bounded
+    calendar-hours frame in one pass."""
+    t = load_tables(spark, sf_dir)
+    hourly = t["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return hourly.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("c").alias("peak_hour_events"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("p50_events"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("p95_events"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("p99_events"),
+    )
+
+
+@query(
+    "part_size_price_regression",
+    oracle="""
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(regr_slope(p_retailprice, p_size), 4) + 0.0
+               AS price_per_size_unit,
+           ROUND(corr(p_retailprice, p_size), 4) + 0.0 AS size_price_corr
+    FROM part GROUP BY p_type
+    """,
+)
+def q_part_size_price_regression(spark, sf_dir):
+    """Pricing-structure audit: per part type, the fitted price-per-
+    size-unit slope and the size-price correlation — near-zero
+    correlation means size doesn't drive price in that line (so a
+    size-based pricing rule would be fiction). Single-pass moment
+    aggregates; negative zero folded (+ 0.0) since near-independent
+    columns put both statistics at ~±1e-18.
+
+    Scale shape: one groupBy over the part dimension with map-side
+    moment partials — no window, no join."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.round(F.regr_slope("p_retailprice", "p_size"), 4) + 0.0).alias(
+            "price_per_size_unit"
+        ),
+        (F.round(F.corr("p_retailprice", "p_size"), 4) + 0.0).alias(
+            "size_price_corr"
+        ),
+    )
