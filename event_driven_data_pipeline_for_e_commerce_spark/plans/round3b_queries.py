@@ -2978,3 +2978,147 @@ def q_part_size_price_regression(spark, sf_dir):
             "size_price_corr"
         ),
     )
+
+
+@query("doc_dedup_threshold_sweep", oracle=None)
+def q_doc_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning curve: candidate pairs per exact-Jaccard
+    decile, with the cumulative pair count a given threshold would
+    keep — ONE candidate-verify computation answers every 'how
+    aggressive should dedup be?' question, instead of re-running the
+    pipeline per threshold. Read with ``minhash_precision_stats``:
+    that scores the configured threshold, this shows the whole curve.
+
+    Scale shape: identical to the near-dup pipeline (candidate-bounded
+    verify) plus a 10-key decile rollup and a cumulative window over
+    the 10-row frame."""
+    from ..llmdata.dedup import minhash_near_duplicates
+    from .llm_queries import NUM_HASHES, ROWS_PER_BAND
+
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        t["documents"], "text", "doc_id",
+        n=SHINGLE_N, num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=0.0,
+    ).filter(F.col("jaccard") > 0)
+    decile = F.least(
+        F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9)
+    )
+    hist = pairs.groupBy(decile.alias("jaccard_decile")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = (
+        Window.orderBy(F.desc("jaccard_decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.select(
+        "jaccard_decile",
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("pairs_kept_at_threshold"),
+    )
+
+
+from .corpus import ORACLES as _ORACLES4  # noqa: E402
+
+_ORACLES4["doc_dedup_threshold_sweep"] = rf"""
+    WITH {_MHC},
+    scored AS (
+        SELECT LEAST(CAST(FLOOR(
+                   (i.n_common * 1.0 / (sa.n + sb.n - i.n_common)) * 10)
+                   AS BIGINT), 9) AS jaccard_decile
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common > 0
+    ),
+    hist AS (
+        SELECT jaccard_decile, COUNT(*) AS n_pairs
+        FROM scored GROUP BY jaccard_decile
+    )
+    SELECT jaccard_decile, n_pairs,
+           CAST(SUM(n_pairs) OVER (
+               ORDER BY jaccard_decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS pairs_kept_at_threshold
+    FROM hist
+"""
+
+
+@query(
+    "segment_clv_projection",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment,
+               o.o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS cents,
+               date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+                   AS active_days
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) // SUM(n_orders) AS BIGINT) AS aov_cents,
+           ROUND(SUM(n_orders) * 365.0 / (SUM(active_days) + COUNT(*)), 4)
+               AS orders_per_customer_year,
+           CAST(CAST(SUM(cents) // SUM(n_orders) AS BIGINT)
+                * SUM(n_orders) * 365 // (SUM(active_days) + COUNT(*))
+                AS BIGINT) AS clv_1y_cents
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def q_segment_clv_projection(spark, sf_dir):
+    """One-year customer-lifetime-value projection per market segment:
+    AOV x annualized purchase frequency, from per-customer order
+    counts, integer-cent revenue, and active-day spans (+1 day per
+    customer so single-order customers contribute a 1-day span rather
+    than dividing by zero). The account-planning mart the RFM segments
+    feed into.
+
+    Scale shape: one fact aggregation to customer grain behind a
+    broadcast segment hop, then a bounded segment rollup; AOV is
+    exact-integer floor division and the projection multiplies before
+    dividing so the integer path stays exact."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "active_days"
+            ),
+        )
+    )
+    g = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("so"),
+        F.sum("cents").alias("sc"),
+        F.sum("active_days").alias("sd"),
+    )
+    aov = F.floor(F.col("sc") / F.col("so")).cast("long")
+    denom = F.col("sd") + F.col("n_customers")
+    return g.select(
+        "c_mktsegment",
+        "n_customers",
+        aov.alias("aov_cents"),
+        F.round(F.col("so") * 365.0 / denom, 4).alias(
+            "orders_per_customer_year"
+        ),
+        # exact integer path: the numerator exceeds 2^53, so a double
+        # floor would lose ulps — `div` keeps it in BIGINT end to end
+        (aov * F.col("so") * 365).cast("long").alias("_num"),
+        denom.cast("long").alias("_den"),
+    ).select(
+        "c_mktsegment",
+        "n_customers",
+        "aov_cents",
+        "orders_per_customer_year",
+        F.expr("_num div _den").alias("clv_1y_cents"),
+    )
