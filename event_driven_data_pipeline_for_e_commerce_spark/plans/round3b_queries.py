@@ -3122,3 +3122,48 @@ def q_segment_clv_projection(spark, sf_dir):
         "orders_per_customer_year",
         F.expr("_num div _den").alias("clv_1y_cents"),
     )
+
+
+@query(
+    "nation_order_coverage",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_buyers,
+           ROUND(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 * 100.0 / COUNT(*), 4) AS coverage_pct
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN buyers b ON b.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_order_coverage(spark, sf_dir):
+    """Market-activation coverage: per nation, the share of registered
+    customers who have EVER ordered — the dormant-account gauge sales
+    coverage reviews start from (low coverage = acquisition without
+    activation).
+
+    Scale shape: the buyer set is a key-only distinct (no payload);
+    customers left-join it on the customer key and roll up to the
+    25-nation grid behind a broadcast nation hop."""
+    t = load_tables(spark, sf_dir)
+    buyers = t["orders"].select("o_custkey").distinct()
+    base = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(buyers, F.col("o_custkey") == F.col("c_custkey"), "left")
+    )
+    is_buyer = F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+    return base.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(is_buyer).alias("n_buyers"),
+        F.round(F.sum(is_buyer) * 100.0 / F.count(F.lit(1)), 4).alias(
+            "coverage_pct"
+        ),
+    )
