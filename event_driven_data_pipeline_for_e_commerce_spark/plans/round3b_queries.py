@@ -1803,24 +1803,26 @@ def q_customer_pareto_abc(spark, sf_dir):
     — the concentration mart behind account-tiering decisions.
 
     Scale shape: the fact aggregates to CUSTOMER grain first; the
-    cumulative window then runs over the dimension-grain frame — the
-    documented dimension-scale global-window class (same contract as
-    ``with_surrogate_key_dense``: fine at catalog scale, never on
-    facts; a 1e9-customer deployment would band by a revenue
-    histogram first). Classification thresholds compare exact integer
-    cents cross-multiplied (cum * 100 <= total * 80), so no division
-    touches the boundary."""
+    cumulative revenue then comes from ``running_sum_ranged`` — a
+    range-repartition on (cents DESC, custkey), per-partition partial
+    sums prefix-summed driver-side (#partitions scalars), and a
+    PARTITION BY __pid window — so the global cumulative sum is
+    shuffle-parallel across all executors with NO single-task window,
+    safe even at 1e9-customer dimension scale. Classification
+    thresholds compare exact integer cents cross-multiplied
+    (cum * 100 <= total * 80), so no division touches the boundary."""
+    from ..operators.cumulative import running_sum_ranged
+
     t = load_tables(spark, sf_dir)
     per_cust = t["orders"].groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
     )
-    w = (
-        Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     total = per_cust.agg(F.sum("cents").alias("total_cents"))
-    ranked = per_cust.select(
-        "cents", F.sum("cents").over(w).alias("cum_cents")
+    ranked = running_sum_ranged(
+        per_cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        "cents",
+        "cum_cents",
     ).crossJoin(F.broadcast(total))
     classed = ranked.select(
         "cents",
@@ -2044,21 +2046,24 @@ def q_part_revenue_gini(spark, sf_dir):
     overall concentration). Uses the exact rank formula
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending x.
 
-    Scale shape: fact aggregates to PART grain first; the rank window
-    runs over the dimension-grain frame (the documented
-    dimension-scale class, as ``customer_pareto_abc``). Ranks and
+    Scale shape: fact aggregates to PART grain first; the global rank
+    comes from ``row_number_ranged`` — range-repartition on
+    (cents, partkey), per-partition counts prefix-summed driver-side,
+    PARTITION BY __pid window — so ranking is shuffle-parallel with NO
+    single-task window even at 100M+-part dimension scale. Ranks and
     cents are exact integers; sum(i*cents) stays inside BIGINT
     (rank < 1e8, cents < 1e13 would overflow — parts x mean keeps the
     product sum under 2^63 through sf1e3; the oracle would HUGEINT
     first anyway)."""
+    from ..operators.cumulative import row_number_ranged
+
     t = load_tables(spark, sf_dir)
     per_part = t["lineitem"].groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    w = Window.orderBy("cents", "l_partkey")
-    ranked = per_part.select(
-        "cents", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = row_number_ranged(
+        per_part, [F.asc("cents"), F.asc("l_partkey")], "i"
+    ).select("cents", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("cents").alias("total_cents"),

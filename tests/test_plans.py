@@ -344,3 +344,19 @@ def test_round3b_no_python_eval(spark, sf_dir):
         assert not re.search(
             r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas", plan
         ), name
+
+
+def test_pareto_gini_windows_are_partitioned(spark, sf_dir):
+    """Round-4 fix (VERDICT r3 #2-3): customer_pareto_abc and
+    part_revenue_gini previously ran an UNPARTITIONED global window
+    over the customer/part dimension — a single-task sort-and-scan
+    straggler at 100M+ keys. Both now route through
+    operators.cumulative's two-pass ranged shape; every window spec in
+    their plans must carry the __pid partition key."""
+    for name in ["customer_pareto_abc", "part_revenue_gini"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert specs, f"{name}: no window in plan\n{plan}"
+        for spec in specs:
+            assert "__pid" in spec, f"{name}: unpartitioned window {spec}"
