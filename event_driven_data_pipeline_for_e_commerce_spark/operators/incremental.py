@@ -131,12 +131,16 @@ def ingest_increment(
     number of rows ingested. Idempotent under re-runs on unchanged
     sources (the second run ingests 0); the strictly-greater filter
     assumes event times are monotone-complete below the HWM — the
-    standard append-only log contract. ``writer`` overrides the sink
-    for tests."""
+    standard append-only log contract. ``writer``, when provided, is
+    called as ``writer(fresh)`` in place of the default parquet
+    append (alternate sinks, tests)."""
     spark = source.sparkSession
     hwm = high_water_mark(mart_dir, spark, ts_col)
     fresh = source if hwm is None else source.filter(F.col(ts_col) > hwm)
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(mart_dir)
+        if writer is not None:
+            writer(fresh)
+        else:
+            fresh.write.mode("append").parquet(mart_dir)
     return n

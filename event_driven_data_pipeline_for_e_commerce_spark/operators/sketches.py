@@ -11,9 +11,17 @@ min over rows of the probed cell, which never underestimates the true
 count and overestimates by at most ~e/width of the stream length per
 the classic Cormode-Muthukrishnan analysis.
 
-Hashes are md5-derived (first two hex digits of ``md5('cms:<r>:<key>')``)
-so a SQL oracle can recompute the identical sketch arithmetically —
-see ``plans.round3b_queries.cms_heavy_hitters``.
+Hashes are md5-derived: ONE digest ``md5('cms:<key>')`` per key, with
+hash row r reading hex digit pair (2r+1, 2r+2) of that digest — so a
+SQL oracle can recompute the identical sketch arithmetically; see
+``plans.round3b_queries.cms_heavy_hitters``.
+
+NULL contract: NULL keys are excluded from the sketch and from point
+queries (``cms_cells``/``cms_estimate`` filter them). This matches
+the SQL-oracle form ``md5('cms:' || CAST(k AS VARCHAR))``, where a
+NULL key propagates to a NULL hash and drops the row — whereas
+Spark's ``concat_ws`` would silently skip the NULL and hash the bare
+prefix, counting NULL keys into the sketch.
 """
 
 from __future__ import annotations
@@ -44,7 +52,9 @@ def cms_cells(
 ) -> DataFrame:
     """Map-side projection of each input row to its ``depth`` grid
     cells: (r, bucket) — the md5 is computed ONCE per input row, then
-    exploded into depth (r, digit-pair-bucket) cells. No shuffle."""
+    exploded into depth (r, digit-pair-bucket) cells. No shuffle.
+    NULL keys are dropped (module NULL contract)."""
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.concat_ws(":", F.lit("cms"), F.col(key_col)))
     cells = F.array(
         *[
@@ -95,14 +105,20 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: returns
     (<key_col>, cms_est). The sketch side is depth*width rows —
-    always broadcast."""
+    always broadcast. LEFT join + coalesce-to-0: a probed cell the
+    stream never touched has no sketch row, and its count is 0 — an
+    inner join would silently drop that row from the MIN, returning
+    an inflated estimate (min over only the colliding cells) or no
+    output at all for a never-seen key; the correct CMS answer for a
+    never-seen key is 0. NULL probe keys are dropped (module NULL
+    contract)."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
-    probes = keys.select(F.col(key_col).alias("k"), rows).select(
-        "k", "r", cms_bucket(F.col("r"), F.col("k"), width)
-    )
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("k"), rows
+    ).select("k", "r", cms_bucket(F.col("r"), F.col("k"), width))
     return (
-        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy("k")
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
         .select(F.col("k").alias(key_col), "cms_est")
     )

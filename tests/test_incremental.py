@@ -123,3 +123,23 @@ def test_high_water_mark_ingest_idempotent(spark, sf_dir, tmp_path):
     assert high_water_mark(mart, spark, "ts") == events.agg(
         F.max("ts")
     ).collect()[0][0]
+
+
+def test_ingest_increment_writer_override_used(spark, sf_dir, tmp_path):
+    """The `writer` parameter must actually replace the default parquet
+    append (r3 ADVICE: it was accepted but ignored)."""
+    import pyspark.sql.functions as F
+
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.incremental import (
+        ingest_increment,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    events = load_tables(spark, sf_dir)["events"].select("event_id", "ts")
+    mart = str(tmp_path / "mart_writer")
+    captured = []
+    n = ingest_increment(events, mart, "ts", writer=lambda df: captured.append(df.count()))
+    assert n > 0 and captured == [n]
+    import os
+
+    assert not os.path.exists(mart)  # default sink must NOT have fired

@@ -648,3 +648,36 @@ def test_streaming_peak_rate_matches_batch_tumbling(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_cms_never_seen_key_estimates_zero_and_nulls_excluded(spark):
+    """CMS contract fixes (r3 ADVICE): (a) a probe key absent from the
+    stream must return cms_est = 0 — not vanish (inner-join drop) or
+    inflate (min over only colliding cells); (b) NULL keys must not be
+    counted into the sketch (the SQL-oracle form drops them, so the
+    Spark side must too)."""
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [(None,)] * 3, "k string"
+    )
+    sketch = cms_sketch(df, "k")
+    # (b) NULL rows contribute nothing: total mass == non-null rows x depth
+    assert (
+        sketch.groupBy().sum("c").collect()[0][0]
+        == cms_sketch(df.filter("k IS NOT NULL"), "k")
+        .groupBy()
+        .sum("c")
+        .collect()[0][0]
+    )
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen",), (None,)], "k string"
+    )
+    got = {r.k: r.cms_est for r in cms_estimate(sketch, probes, "k").collect()}
+    # (a) never-seen key present with estimate 0; NULL probe dropped
+    assert got["never-seen"] == 0
+    assert got["a"] >= 5
+    assert None not in got
