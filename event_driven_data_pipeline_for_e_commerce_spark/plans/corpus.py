@@ -1848,3 +1848,6 @@ from . import round3_queries  # noqa: E402,F401
 # round-3 additions, batch 2: sketch frequency estimation, running
 # balances, conversion latency, drift monitoring, n-gram novelty
 from . import round3b_queries  # noqa: E402,F401
+
+# round-4 additions: ANN recall contracts, composed pipeline marts
+from . import round4_queries  # noqa: E402,F401
