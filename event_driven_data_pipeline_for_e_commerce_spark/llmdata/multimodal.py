@@ -145,29 +145,47 @@ def decode_pcm_features(media: DataFrame) -> DataFrame:
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": [], "n_samples": [], "peak": [],
-                "rms": [], "mean_level": [],
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                a = np.frombuffer(b[: 2 * (len(b) // 2)], dtype="<i2").astype(
-                    np.float64
-                )
-                out["media_id"].append(mid)
-                out["n_samples"].append(a.size)
-                if a.size:
-                    out["peak"].append(int(np.max(np.abs(a))))
-                    # numpy pairwise summation differs from a SQL AVG's
-                    # sequential fold by ~1e-10 relative — downstream
-                    # consumers round to 4dp, far above that noise
-                    out["rms"].append(float(np.sqrt(np.mean(a * a))))
-                    out["mean_level"].append(float(np.mean(a)))
-                else:
-                    out["peak"].append(0)
-                    out["rms"].append(0.0)
-                    out["mean_level"].append(0.0)
-            yield pd.DataFrame(out)
+            # fully vectorized over the whole Arrow batch: all payloads
+            # concatenate into ONE sample buffer, and the per-sample
+            # reductions (sum, sum-of-squares, peak) run as segmented
+            # numpy ops — the only remaining per-ROW Python is the
+            # bytes normalization list-comp (object handling, O(rows),
+            # not O(samples))
+            bufs = [
+                bytes(p)[: 2 * (len(p) // 2)] if p is not None else b""
+                for p in pdf["payload"]
+            ]
+            lens = np.fromiter(
+                (len(b) // 2 for b in bufs), dtype=np.int64, count=len(bufs)
+            )
+            a = np.frombuffer(b"".join(bufs), dtype="<i2").astype(np.float64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            # segmented sums via cumsum differencing (robust to empty
+            # segments, where reduceat misbehaves); the cumulative fold
+            # differs from a SQL AVG's per-group fold by ~1e-10
+            # relative — downstream consumers round to 4dp
+            csum = np.concatenate(([0.0], np.cumsum(a)))
+            sums = csum[offs[1:]] - csum[offs[:-1]]
+            csum2 = np.concatenate(([0.0], np.cumsum(a * a)))
+            sums2 = csum2[offs[1:]] - csum2[offs[:-1]]
+            safe = np.maximum(lens, 1).astype(np.float64)
+            peaks = np.zeros(len(bufs), dtype=np.int64)
+            nonempty = lens > 0
+            if a.size:
+                # empty segments are zero-width, so consecutive
+                # NONEMPTY starts bound exactly one real segment each
+                peaks[nonempty] = np.maximum.reduceat(
+                    np.abs(a), offs[:-1][nonempty]
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": lens,
+                    "peak": peaks,
+                    "rms": np.sqrt(sums2 / safe),
+                    "mean_level": sums / safe,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=PCM_SCHEMA

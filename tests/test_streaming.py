@@ -299,3 +299,104 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, event_source, tmp_pat
         for r in QUERIES["segment_event_revenue"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cdc_dimension_pipeline_replay_equals_rebuild(spark, sf_dir, tmp_path):
+    """Composed CDC-to-dimension pipeline (VERDICT r3 #4): HWM ingest +
+    SCD2 merge under foreachBatch as ONE pipeline. Contracts:
+    (a) staging mart == full source (no loss, no dup across batches);
+    (b) the dimension's CURRENT slice == latest-per-key of the source,
+        regardless of micro-batch boundaries;
+    (c) replaying the whole stream from a fresh checkpoint (forcing
+        every batch through again) ingests nothing and leaves the
+        dimension byte-identical — the HWM guard, independent of
+        checkpoint offsets."""
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        cdc_dimension_foreach_batch,
+    )
+
+    events = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "value", "ts")
+    )
+    # a CDC feed lands in event-time order (the append-only log
+    # contract ingest_increment documents) — write 6 sequential
+    # time-range files so micro-batches replay in that order
+    src = str(tmp_path / "cdc_src")
+    import time
+
+    ts_sorted = [r.ts for r in events.select("ts").orderBy("ts").collect()]
+    n = len(ts_sorted)
+    bounds = [ts_sorted[(i * n) // 6 - 1] for i in range(1, 6)]
+    lo = None
+    for i, hi in enumerate(bounds + [None]):
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct file mtimes => deterministic order
+        lo = hi
+    schema = spark.read.parquet(src).schema
+    staging = str(tmp_path / "staging")
+    dim = str(tmp_path / "dim")
+
+    def run(ckpt_name):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                cdc_dimension_foreach_batch(
+                    staging, dim, "user_id", ["event_type", "value"]
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    run("ckpt1")
+
+    # (a) staging holds exactly the source
+    assert spark.read.parquet(staging).count() == events.count()
+    assert sorted(
+        (r.user_id, str(r.ts), r.event_type, float(r.value))
+        for r in spark.read.parquet(staging).collect()
+    ) == sorted(
+        (r.user_id, str(r.ts), r.event_type, float(r.value))
+        for r in events.collect()
+    )
+
+    # (b) current slice == latest row per user in the source
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    want = {
+        (r.user_id, r.event_type, float(r.value))
+        for r in events.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .collect()
+    }
+    got = {
+        (r.user_id, r.event_type, float(r.value))
+        for r in spark.read.parquet(dim).filter("is_current").collect()
+    }
+    assert got == want
+
+    # (c) full replay from a FRESH checkpoint: HWM guard makes it a no-op
+    before = sorted(
+        (r.user_id, str(r.valid_from), str(r.valid_to), r.is_current, r.sk)
+        for r in spark.read.parquet(dim).collect()
+    )
+    n_staged_before = spark.read.parquet(staging).count()
+    run("ckpt2")
+    assert spark.read.parquet(staging).count() == n_staged_before
+    after = sorted(
+        (r.user_id, str(r.valid_from), str(r.valid_to), r.is_current, r.sk)
+        for r in spark.read.parquet(dim).collect()
+    )
+    assert after == before
