@@ -360,3 +360,41 @@ def test_pareto_gini_windows_are_partitioned(spark, sf_dir):
         assert specs, f"{name}: no window in plan\n{plan}"
         for spec in specs:
             assert "__pid" in spec, f"{name}: unpartitioned window {spec}"
+
+
+# Queries allowed to carry an UNPARTITIONED window, each with the
+# bounded frame grain that justifies it. Anything else that plans an
+# unpartitioned window is a single-task global sort — the scale
+# hazard class customer_pareto_abc/part_revenue_gini were in before
+# round 4 moved them to operators.cumulative's two-pass shape.
+_UNPARTITIONED_WINDOW_OK = {
+    "funnel": "4-row stage frame",
+    "surrogate_keys_dense": "documented oracle-parity twin (W1)",
+    "sk_continuation": "documented oracle-parity twin (W1)",
+    "doc_vocab_encode": "capped vocab frame",
+    "daily_revenue_gapfill_ma7": "calendar-day grain",
+    "qsketch_price_quantiles": "fixed histogram-bin grain",
+    "monthly_seasonal_index": "calendar-month grain",
+    "daily_revenue_autocorr": "calendar-day grain",
+    "doc_heaps_law_fit": "fixed bucket grain",
+    "doc_dedup_threshold_sweep": "10-row decile grain",
+}
+
+
+def test_no_unpartitioned_windows_outside_allowlist(spark, sf_dir):
+    """Corpus-wide 100 TB window audit: every windowspecdefinition in
+    every registered query's optimized plan must either carry a
+    partition key or belong to a query whose unpartitioned window runs
+    over a documented BOUNDED frame (calendar/bin/vocab grain). A new
+    query that sorts an unbounded frame through one task fails here."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        bad = [
+            s for s in specs
+            if re.match(r"windowspecdefinition\([a-zA-Z_#0-9]+ (ASC|DESC)", s)
+        ]
+        if bad and name not in _UNPARTITIONED_WINDOW_OK:
+            offenders[name] = bad[0]
+    assert not offenders, offenders
