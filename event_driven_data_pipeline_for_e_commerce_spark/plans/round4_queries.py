@@ -170,3 +170,547 @@ def q_emb_ann_recall_contract(spark, sf_dir):
         F.round(F.avg("recall"), 4).alias("avg_recall"),
         F.round(F.min("recall"), 4).alias("min_recall"),
     )
+
+
+IVF_SWEEP_MAX = 4  # sweep nprobe 1..4 (mirrors llm_queries.IVF_NPROBE)
+_IVF_LISTS = 16
+
+
+def _ivf_nprobe_sweep_oracle() -> str:
+    """Mirrors the registered emb_ivf_topk oracle's centroid/probe
+    arithmetic; truth is the registered brute-force cosine oracle."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS list_id, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_LISTS}
+    ),
+    corpus_rank AS (
+        SELECT e.vec_id AS neighbor_id, c.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.list_id
+               ) AS rn
+        FROM e, cents c
+    ),
+    inv AS (SELECT neighbor_id, list_id FROM corpus_rank WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe_rank AS (
+        SELECT q.query_id, c.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.list_id
+               ) AS pr
+        FROM q, cents c
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM ({{truth_sql}}) t
+    ),
+    hit_rank AS (
+        SELECT t.query_id, t.neighbor_id, p.pr
+        FROM truth t
+        JOIN inv i ON i.neighbor_id = t.neighbor_id
+        JOIN probe_rank p
+          ON p.query_id = t.query_id AND p.list_id = i.list_id
+    ),
+    sweep AS (
+        SELECT n.n AS nprobe, h.query_id,
+               SUM(CASE WHEN h.pr <= n.n THEN 1 ELSE 0 END) * 1.0 / {ANN_K}
+                   AS recall
+        FROM hit_rank h, UNNEST(generate_series(1, {IVF_SWEEP_MAX})) AS n(n)
+        GROUP BY n.n, h.query_id
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(recall), 4) AS avg_recall,
+           ROUND(MIN(recall), 4) AS min_recall
+    FROM sweep GROUP BY nprobe
+    """
+
+
+@query(
+    "emb_ivf_nprobe_sweep",
+    oracle=None,  # replaced below (needs the registered truth oracle)
+)
+def q_emb_ivf_nprobe_sweep(spark, sf_dir):
+    """Recall-vs-nprobe tuning curve for the IVF index — the capacity
+    planner's question ("how many lists must I probe for 95% recall?")
+    answered in ONE pass: probe RANKS are computed once per
+    (query, centroid), and each true top-3 neighbor's hit threshold is
+    the probe rank of its inverted list, so recall at every nprobe
+    falls out of a single rank comparison (no re-running the search
+    per sweep point). A true neighbor enters the IVF output exactly
+    when its list is probed — any candidate outscoring it is itself a
+    global top-3 member — so recall@n = share of truth whose list
+    rank <= n.
+
+    Scale shape: centroids broadcast; the corpus assignment is the
+    same single map-side pass emb_ivf_topk audits; everything after
+    truth/probe-rank is query-set-grain (k rows per query)."""
+    from ..llmdata.similarity import (
+        _as_double,
+        dot,
+        ivf_centroids,
+        norm,
+    )
+    from ..operators.partitioning import ensure_parallelism
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = ivf_centroids(emb, _IVF_LISTS).withColumn(
+        "n_cv", norm(F.col("cv"))
+    )
+    corpus = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("v"))
+    )
+    csim = lambda vcol, ncol: dot(F.col(vcol), F.col("cv")) / (ncol * F.col("n_cv"))
+    inv_rank = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("__csim"), F.asc("list_id")
+    )
+    inv = (
+        corpus.withColumn("n_v", norm(F.col("v")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__csim", csim("v", F.col("n_v")))
+        .withColumn("__rn", F.row_number().over(inv_rank))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "list_id")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    probe_rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("__csim"), F.asc("list_id")
+    )
+    probe_rank = (
+        q.withColumn("n_qv", norm(F.col("qv")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__csim", csim("qv", F.col("n_qv")))
+        .withColumn("pr", F.row_number().over(probe_rank_w))
+        .select("query_id", "list_id", "pr")
+    )
+    truth = QUERIES["emb_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hit_rank = truth.join(inv, "neighbor_id").join(
+        probe_rank, ["query_id", "list_id"]
+    )
+    ns = F.explode(
+        F.array(*[F.lit(i) for i in range(1, IVF_SWEEP_MAX + 1)])
+    ).alias("nprobe")
+    sweep = (
+        hit_rank.select("query_id", "pr", ns)
+        .groupBy("nprobe", "query_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("pr") <= F.col("nprobe"), 1).otherwise(0))
+                / ANN_K
+            ).alias("recall")
+        )
+    )
+    return sweep.groupBy(F.col("nprobe").cast("long").alias("nprobe")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("avg_recall"),
+        F.round(F.min("recall"), 4).alias("min_recall"),
+    )
+
+
+# patch in the oracle now that the truth oracle string is available
+from .corpus import ORACLES as _O  # noqa: E402
+
+_O["emb_ivf_nprobe_sweep"] = _ivf_nprobe_sweep_oracle().format(
+    truth_sql=_O["emb_cosine_topk"]
+)
+
+
+# Bloom-filter semi-join prefilter config: M bits, K hash rows.
+# Positions are md5-derived (3 hex digits per row, one digest per
+# key — the operators.sketches digit-slice scheme) so the DuckDB
+# oracle recomputes the identical filter arithmetically.
+BLOOM_M = 1024
+BLOOM_K = 4
+_BLOOM_NATION_MAX = 5  # dim predicate: suppliers with nationkey < 5
+
+
+def _bloom_pos_sql(r: int) -> str:
+    h = "md5('bloom:' || CAST(s_suppkey AS VARCHAR))"
+    digit = (
+        "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    )
+    d1 = digit.format(h=h, p=3 * r + 1)
+    d2 = digit.format(h=h, p=3 * r + 2)
+    d3 = digit.format(h=h, p=3 * r + 3)
+    return f"(({d1} * 256 + {d2} * 16 + {d3}) % {BLOOM_M})"
+
+
+def _bloom_probe_sql(r: int) -> str:
+    h = "md5('bloom:' || CAST(l_suppkey AS VARCHAR))"
+    digit = (
+        "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    )
+    d1 = digit.format(h=h, p=3 * r + 1)
+    d2 = digit.format(h=h, p=3 * r + 2)
+    d3 = digit.format(h=h, p=3 * r + 3)
+    return f"(({d1} * 256 + {d2} * 16 + {d3}) % {BLOOM_M})"
+
+
+@query(
+    "bloom_prefilter_audit",
+    oracle=f"""
+    WITH dim_keys AS (
+        SELECT DISTINCT s_suppkey FROM supplier
+        WHERE s_nationkey < {_BLOOM_NATION_MAX}
+    ),
+    bits AS (
+        SELECT DISTINCT r.r, CASE r.r
+            WHEN 0 THEN {_bloom_pos_sql(0)}
+            WHEN 1 THEN {_bloom_pos_sql(1)}
+            WHEN 2 THEN {_bloom_pos_sql(2)}
+            ELSE {_bloom_pos_sql(3)} END AS pos
+        FROM dim_keys, UNNEST(generate_series(0, {BLOOM_K - 1})) AS r(r)
+    ),
+    fact_keys AS (SELECT DISTINCT l_suppkey FROM lineitem),
+    probes AS (
+        SELECT f.l_suppkey, r.r, CASE r.r
+            WHEN 0 THEN {_bloom_probe_sql(0)}
+            WHEN 1 THEN {_bloom_probe_sql(1)}
+            WHEN 2 THEN {_bloom_probe_sql(2)}
+            ELSE {_bloom_probe_sql(3)} END AS pos
+        FROM fact_keys f, UNNEST(generate_series(0, {BLOOM_K - 1})) AS r(r)
+    ),
+    verdict AS (
+        SELECT p.l_suppkey,
+               (COUNT(b.pos) = {BLOOM_K}) AS bloom_pass,
+               MAX(CASE WHEN d.s_suppkey IS NOT NULL THEN 1 ELSE 0 END) = 1
+                   AS true_match
+        FROM probes p
+        LEFT JOIN bits b ON b.r = p.r AND b.pos = p.pos
+        LEFT JOIN dim_keys d ON d.s_suppkey = p.l_suppkey
+        GROUP BY p.l_suppkey
+    ),
+    fact_counts AS (
+        SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(SUM(fc.n) AS BIGINT) AS n_fact_rows,
+           CAST(SUM(CASE WHEN v.bloom_pass THEN fc.n ELSE 0 END) AS BIGINT)
+               AS n_candidate_rows,
+           CAST(SUM(CASE WHEN v.true_match THEN fc.n ELSE 0 END) AS BIGINT)
+               AS n_true_rows,
+           CAST(SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidate_keys,
+           CAST(SUM(CASE WHEN v.true_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_keys,
+           ROUND(SUM(CASE WHEN v.bloom_pass AND NOT v.true_match
+                          THEN 1 ELSE 0 END) * 100.0
+                 / NULLIF(SUM(CASE WHEN NOT v.true_match THEN 1 ELSE 0 END), 0),
+                 4) AS fp_rate_pct
+    FROM verdict v JOIN fact_counts fc ON fc.l_suppkey = v.l_suppkey
+    """,
+)
+def q_bloom_prefilter_audit(spark, sf_dir):
+    """Bloom-filter semi-join reduction audit — the runtime-filter
+    pattern that keeps a 100 TB fact scan from shuffling rows that a
+    selective dimension predicate will discard anyway: the dim side's
+    keys fold into a {BLOOM_K}x{BLOOM_M}-bit filter (kilobytes,
+    broadcast), the fact side tests membership MAP-SIDE, and only
+    candidates reach the join. The audit reports the reduction
+    (candidate vs true rows/keys) and the false-positive rate the
+    m/k sizing actually delivers. Spark's own AQE runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does this
+    transparently; the explicit form is for cross-engine parity and
+    for sizing decisions.
+
+    Scale shape: the bits frame is at most K*M rows (broadcast); the
+    membership test is a key-grain groupBy (match count == K); fact
+    rows are counted at supplier grain, so nothing fact-sized ever
+    shuffles. md5-position arithmetic matches the oracle digit for
+    digit."""
+    t = load_tables(spark, sf_dir)
+    dim_keys = (
+        t["supplier"]
+        .filter(F.col("s_nationkey") < _BLOOM_NATION_MAX)
+        .select(F.col("s_suppkey").cast("long").alias("key"))
+        .distinct()
+    )
+
+    def positions(frame, key_col):
+        h = F.md5(F.concat(F.lit("bloom:"), F.col(key_col).cast("string")))
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        F.conv(F.substring(h, 3 * r + 1, 3), 16, 10)
+                        .cast("long")
+                        % BLOOM_M
+                    ).alias("pos"),
+                )
+                for r in range(BLOOM_K)
+            ]
+        )
+        return frame.select(
+            key_col, F.explode(cells).alias("c")
+        ).select(key_col, "c.r", "c.pos")
+
+    bits = positions(dim_keys, "key").select("r", "pos").distinct()
+    fact_keys = (
+        t["lineitem"]
+        .select(F.col("l_suppkey").cast("long").alias("key"))
+        .distinct()
+    )
+    probe = positions(fact_keys, "key")
+    verdict = (
+        probe.join(F.broadcast(bits), ["r", "pos"], "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .withColumn("bloom_pass", F.col("k_hits") == BLOOM_K)
+        .select("key", "bloom_pass")
+    )
+    # keys with zero matching cells drop out of the semi join — they
+    # are bloom_pass = false
+    verdict = fact_keys.join(verdict, "key", "left").select(
+        "key", F.coalesce("bloom_pass", F.lit(False)).alias("bloom_pass")
+    )
+    truth = fact_keys.join(
+        dim_keys.withColumnRenamed("key", "tkey"),
+        F.col("key") == F.col("tkey"),
+        "left",
+    ).select("key", F.col("tkey").isNotNull().alias("true_match"))
+    fact_counts = (
+        t["lineitem"]
+        .groupBy(F.col("l_suppkey").cast("long").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = fact_counts.join(verdict, "key").join(truth, "key")
+    return joined.agg(
+        F.sum("n").alias("n_fact_rows"),
+        F.sum(F.when(F.col("bloom_pass"), F.col("n")).otherwise(0)).alias(
+            "n_candidate_rows"
+        ),
+        F.sum(F.when(F.col("true_match"), F.col("n")).otherwise(0)).alias(
+            "n_true_rows"
+        ),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_candidate_keys"
+        ),
+        F.sum(F.when(F.col("true_match"), 1).otherwise(0)).alias(
+            "n_true_keys"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("true_match"), 1).otherwise(0)
+            )
+            * 100.0
+            / F.nullif(
+                F.sum(F.when(~F.col("true_match"), 1).otherwise(0)), F.lit(0)
+            ),
+            4,
+        ).alias("fp_rate_pct"),
+    )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_baskets AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+    part_supp AS (
+        SELECT l_partkey, COUNT(*) AS supp FROM op GROUP BY l_partkey
+    ),
+    pair_supp AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS supp
+        FROM op a
+        JOIN op b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+        SELECT part_a AS antecedent, part_b AS consequent, supp FROM pair_supp
+        UNION ALL
+        SELECT part_b, part_a, supp FROM pair_supp
+    )
+    SELECT d.antecedent, d.consequent,
+           CAST(d.supp AS BIGINT) AS pair_support,
+           ROUND(d.supp * 1.0 / sa.supp, 4) AS confidence,
+           ROUND(d.supp * 1.0 * nb.n / (sa.supp * sb.supp), 4) AS lift
+    FROM directed d
+    JOIN part_supp sa ON sa.l_partkey = d.antecedent
+    JOIN part_supp sb ON sb.l_partkey = d.consequent
+    CROSS JOIN n_baskets nb
+    ORDER BY pair_support DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def q_basket_association_rules(spark, sf_dir):
+    """Association rules over the order log — support, confidence and
+    lift for the strongest co-purchase pairs (both rule directions),
+    completing basket_part_pairs: support says 'common', confidence
+    says 'predictive', lift says 'beyond chance' — the triple behind
+    every 'customers who bought X' surface.
+
+    Scale shape: baskets collect once at order grain (bounded by
+    lines-per-order), pairs unfold MAP-SIDE from the sorted basket
+    array, and the support>=2 threshold prunes noise pairs before the
+    part-support joins (part-grain frames — AQE broadcasts at small
+    SF, shuffles on the part key at scale). The top-20 cut ranks by
+    exact integer support with id tie-breaks, so the boundary never
+    hinges on a float."""
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_baskets = op.agg(
+        F.countDistinct("l_orderkey").alias("nb")
+    )
+    part_supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    baskets = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(parts, (a, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "b -> struct(a AS part_a, b AS part_b))))"
+    )
+    pair_supp = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+    directed = pair_supp.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "supp",
+    ).unionByName(
+        pair_supp.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "supp",
+        )
+    )
+    sa = part_supp.select(
+        F.col("l_partkey").alias("antecedent"), F.col("supp").alias("supp_a")
+    )
+    sb = part_supp.select(
+        F.col("l_partkey").alias("consequent"), F.col("supp").alias("supp_b")
+    )
+    return (
+        directed.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("supp").alias("pair_support"),
+            F.round(F.col("supp") / F.col("supp_a"), 4).alias("confidence"),
+            F.round(
+                F.col("supp") * F.col("nb") / (F.col("supp_a") * F.col("supp_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_support"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+@query(
+    "event_disorder_profile",
+    oracle="""
+    WITH delayed AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts)
+               + ((strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)
+                 ) % 7200 * 1000000 AS arrival_us
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    arr AS (
+        SELECT user_id, ts,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS max_seen_us
+        FROM delayed
+    ),
+    lat AS (
+        SELECT max_seen_us - epoch_us(ts) AS late_us FROM arr
+    ),
+    bucketed AS (
+        SELECT CASE
+                 WHEN late_us <= 0 THEN 'a_in_order'
+                 WHEN late_us <= 60::BIGINT * 1000000 THEN 'b_within_1m'
+                 WHEN late_us <= 3600::BIGINT * 1000000 THEN 'c_within_1h'
+                 WHEN late_us <= 86400::BIGINT * 1000000 THEN 'd_within_1d'
+                 ELSE 'e_over_1d' END AS lateness_bucket
+        FROM lat
+    )
+    SELECT lateness_bucket, COUNT(*) AS n_events,
+           ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM bucketed), 4)
+               AS share_pct
+    FROM bucketed GROUP BY lateness_bucket
+    """,
+)
+def q_event_disorder_profile(spark, sf_dir):
+    """Out-of-orderness profile of the event log — THE input to
+    watermark sizing: for each event, its lateness versus the maximum
+    event time already seen in its user's ARRIVAL order, bucketed into
+    the delay classes a streaming job would choose between. A
+    watermark of 1h is safe exactly when the c/d/e buckets are
+    acceptable-loss small; this query measures that instead of
+    guessing. The synthetic log carries no transport delay (event_id
+    order == time order), so arrival time is simulated as event time
+    plus a DETERMINISTIC md5-derived network delay (0..2h per event,
+    identical digit arithmetic in the oracle) — the standard replay
+    harness for watermark logic.
+
+    Scale shape: the running max is a key-partitioned window (user
+    grain, shuffle-parallel — never global); lateness is exact integer
+    microseconds; the bucket rollup is a 5-row aggregate."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    h = F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string")))
+    jitter_s = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 7200
+    delayed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") + jitter_s * 1_000_000).alias("arrival_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = delayed.select(
+        (
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") <= 0, "a_in_order")
+        .when(F.col("late_us") <= 60 * 1_000_000, "b_within_1m")
+        .when(F.col("late_us") <= 3600 * 1_000_000, "c_within_1h")
+        .when(F.col("late_us") <= 86400 * 1_000_000, "d_within_1d")
+        .otherwise("e_over_1d")
+    )
+    bucketed = late.select(bucket.alias("lateness_bucket"))
+    totals = bucketed.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        bucketed.groupBy("lateness_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lateness_bucket",
+            "n_events",
+            F.round(F.col("n_events") * 100.0 / F.col("total"), 4).alias(
+                "share_pct"
+            ),
+        )
+    )
