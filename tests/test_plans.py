@@ -398,3 +398,32 @@ def test_no_unpartitioned_windows_outside_allowlist(spark, sf_dir):
         if bad and name not in _UNPARTITIONED_WINDOW_OK:
             offenders[name] = bad[0]
     assert not offenders, offenders
+
+
+def test_round4_bloom_bits_join_broadcast_no_python(spark, sf_dir):
+    """bloom_prefilter_audit: the bits frame (<= K*M rows) must
+    broadcast into the membership semi-join — a shuffled join on the
+    probe side would move the key frame for a kilobyte filter; and the
+    whole audit stays JVM-side."""
+    plan = simple_plan(QUERIES["bloom_prefilter_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython", plan), plan
+
+
+def test_round4_sweep_and_rules_no_python_eval(spark, sf_dir):
+    """Round-4 additions stay JVM-side end to end."""
+    for name in [
+        "emb_ivf_nprobe_sweep", "basket_association_rules",
+        "event_disorder_profile", "emb_ann_recall_contract",
+    ]:
+        plan = simple_plan(QUERIES[name](spark, sf_dir))
+        assert not re.search(
+            r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas", plan
+        ), name
+
+
+def test_round4_association_rules_topk_is_take_ordered(spark, sf_dir):
+    """The top-20 rule cut must plan as TakeOrderedAndProject, not a
+    global sort of the pair frame."""
+    plan = simple_plan(QUERIES["basket_association_rules"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
