@@ -1,0 +1,153 @@
+"""Versioned table snapshots with time travel on plain Parquet.
+
+The reference's warehouse is BigQuery, whose tables have built-in
+time travel (``FOR SYSTEM_TIME AS OF``) and snapshot rollback. On a
+plain-Parquet lake that capability has to be provided by the table
+layout; this module implements the minimal immutable-snapshot form of
+what Iceberg/Delta do, with no library dependency:
+
+    table_dir/
+        _manifest.json        <- versions: [{version, ts_utc, path,
+                                             n_rows}], current: N
+        v00001/ ... parquet
+        v00002/ ... parquet
+
+Writes create a NEW immutable version directory, then atomically
+replace the manifest (write-temp + ``os.replace``, which POSIX
+guarantees atomic) — readers either see the old manifest or the new
+one, never a torn state, and never a half-written snapshot (the data
+is fully on disk before the manifest points at it). Reads resolve a
+version (latest, explicit, or as-of-timestamp) through the manifest
+and scan exactly one snapshot directory.
+
+Scale notes: the manifest is O(#versions) metadata, not data; a
+snapshot write is one normal distributed Parquet write (same cost as
+any overwrite); time-travel reads cost the same as reading the live
+table. Old versions are reclaimed explicitly (``expire_versions``),
+mirroring Iceberg's snapshot expiration — nothing is deleted on
+write, so concurrent readers of an old version are never broken.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST)
+
+
+def _load_manifest(table_dir: str) -> dict:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return {"versions": [], "current": 0}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store_manifest(table_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic on POSIX
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the table's next immutable version and make it
+    current. Returns the new version number. The version directory is
+    fully written BEFORE the manifest swap, so a crash mid-write
+    leaves the table at the previous version with an orphan dir (to
+    be reclaimed by ``expire_versions``), never at a torn state."""
+    os.makedirs(table_dir, exist_ok=True)
+    manifest = _load_manifest(table_dir)
+    version = manifest["current"] + 1
+    vdir = os.path.join(table_dir, f"v{version:05d}")
+    df.write.mode("overwrite").parquet(vdir)
+    n_rows = df.sparkSession.read.parquet(vdir).count()
+    manifest["versions"].append(
+        {
+            "version": version,
+            "ts_utc": time.time(),
+            "path": f"v{version:05d}",
+            "n_rows": int(n_rows),
+        }
+    )
+    manifest["current"] = version
+    _store_manifest(table_dir, manifest)
+    return version
+
+
+def _resolve(manifest: dict, version: int | None, as_of: float | None) -> dict:
+    entries = manifest["versions"]
+    if not entries:
+        raise FileNotFoundError("table has no snapshots")
+    live = {e["version"]: e for e in entries}
+    if version is not None:
+        if version not in live:
+            raise ValueError(
+                f"version {version} not found (have {sorted(live)})"
+            )
+        return live[version]
+    if as_of is not None:
+        eligible = [e for e in entries if e["ts_utc"] <= as_of]
+        if not eligible:
+            raise ValueError("no snapshot at or before the requested time")
+        return max(eligible, key=lambda e: e["version"])
+    return live[manifest["current"]]
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Read the current version (default), an explicit ``version``, or
+    the newest version whose commit time is <= ``as_of`` (epoch
+    seconds) — BigQuery's ``FOR SYSTEM_TIME AS OF`` on Parquet."""
+    entry = _resolve(_load_manifest(table_dir), version, as_of)
+    return spark.read.parquet(os.path.join(table_dir, entry["path"]))
+
+
+def list_versions(table_dir: str) -> list[dict]:
+    """Commit log: [{version, ts_utc, path, n_rows}] ascending."""
+    return list(_load_manifest(table_dir)["versions"])
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Point 'current' back at an existing version (metadata-only —
+    instant at any table size, exactly like Iceberg rollback). Later
+    versions stay on disk and readable until expired."""
+    manifest = _load_manifest(table_dir)
+    _resolve(manifest, version, None)  # validates existence
+    manifest["current"] = version
+    _store_manifest(table_dir, manifest)
+
+
+def expire_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Reclaim old snapshot directories, keeping the newest
+    ``keep_last`` versions plus the current one (rollback may have
+    moved current backwards). Returns the expired version numbers."""
+    import shutil
+
+    manifest = _load_manifest(table_dir)
+    entries = sorted(manifest["versions"], key=lambda e: e["version"])
+    keep = {e["version"] for e in entries[-keep_last:]}
+    keep.add(manifest["current"])
+    expired = []
+    survivors = []
+    for e in entries:
+        if e["version"] in keep:
+            survivors.append(e)
+        else:
+            shutil.rmtree(os.path.join(table_dir, e["path"]), ignore_errors=True)
+            expired.append(e["version"])
+    manifest["versions"] = survivors
+    _store_manifest(table_dir, manifest)
+    return expired

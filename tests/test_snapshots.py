@@ -1,0 +1,77 @@
+"""Versioned-snapshot / time-travel tests (operators/snapshots.py) —
+the plain-Parquet stand-in for BigQuery's FOR SYSTEM_TIME AS OF."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from event_driven_data_pipeline_for_e_commerce_spark.operators.snapshots import (
+    expire_versions,
+    list_versions,
+    read_snapshot,
+    rollback,
+    write_snapshot,
+)
+from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+
+@pytest.fixture
+def table(spark, sf_dir, tmp_path):
+    tdir = str(tmp_path / "versioned_nation")
+    nation = load_tables(spark, sf_dir)["nation"]
+    v1 = write_snapshot(nation, tdir)
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    v2 = write_snapshot(nation.filter(F.col("n_regionkey") == 0), tdir)
+    time.sleep(0.05)
+    v3 = write_snapshot(nation.limit(3), tdir)
+    return tdir, nation, (v1, v2, v3), t_after_v1
+
+
+def test_versions_commit_log_and_reads(spark, table):
+    tdir, nation, (v1, v2, v3), _ = table
+    log = list_versions(tdir)
+    assert [e["version"] for e in log] == [v1, v2, v3] == [1, 2, 3]
+    assert log[0]["n_rows"] == nation.count()
+    # current == latest
+    assert read_snapshot(spark, tdir).count() == 3
+    # explicit version
+    assert read_snapshot(spark, tdir, version=1).count() == nation.count()
+    assert (
+        read_snapshot(spark, tdir, version=2)
+        .filter(F.col("n_regionkey") != 0)
+        .count()
+        == 0
+    )
+
+
+def test_as_of_time_travel(spark, table):
+    tdir, nation, _, t_after_v1 = table
+    assert (
+        read_snapshot(spark, tdir, as_of=t_after_v1).count() == nation.count()
+    )
+    assert read_snapshot(spark, tdir, as_of=time.time()).count() == 3
+    with pytest.raises(ValueError):
+        read_snapshot(spark, tdir, as_of=t_after_v1 - 1e6)
+
+
+def test_rollback_is_metadata_only_and_expire_respects_it(spark, table):
+    tdir, nation, _, _ = table
+    rollback(tdir, 1)
+    assert read_snapshot(spark, tdir).count() == nation.count()
+    # expire keeps the rolled-back current even though it's oldest
+    expired = expire_versions(tdir, keep_last=1)
+    assert 1 not in expired and 2 in expired
+    assert read_snapshot(spark, tdir).count() == nation.count()
+    assert read_snapshot(spark, tdir, version=3).count() == 3
+    with pytest.raises(ValueError):
+        read_snapshot(spark, tdir, version=2)
+
+
+def test_unknown_version_raises(spark, table):
+    tdir, *_ = table
+    with pytest.raises(ValueError):
+        read_snapshot(spark, tdir, version=99)
