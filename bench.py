@@ -61,6 +61,8 @@ HEADLINE = [
     "emb_top_principal_component",  # power-iteration PCA (3 rounds)
     "copurchase_triangle_census",   # degree-ordered triangle counting
     "user_value_twap",         # key-partitioned interval-weighted window
+    "bloom_prefilter_audit",   # broadcast bloom bits + key-grain membership
+    "basket_association_rules",  # basket unfold + support/conf/lift joins
 ]
 
 

@@ -561,7 +561,10 @@ def q_basket_association_rules(spark, sf_dir):
     exact integer support with id tie-breaks, so the boundary never
     hinges on a float."""
     t = load_tables(spark, sf_dir)
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # three consumers (basket collect, part supports, basket count)
+    # share this frame — persist so the fact scan + distinct shuffle
+    # run once, not three times
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct().persist()
     n_baskets = op.agg(
         F.countDistinct("l_orderkey").alias("nb")
     )
