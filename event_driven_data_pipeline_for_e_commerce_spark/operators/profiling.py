@@ -147,3 +147,29 @@ def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("key_rows"), F.asc("key_value"))
         .limit(top)
     )
+
+
+def file_skew_audit(spark, path: str) -> DataFrame:
+    """Small-file / file-skew audit for a Parquet table directory —
+    the compaction advisor: rows per physical file via
+    ``input_file_name()``, reduced to one summary row (n_files,
+    min/max/avg rows per file, skew factor). A table whose avg file is
+    tiny (or whose max/avg is huge) wastes scan parallelism on open
+    overhead at 100 TB; feed offenders to ``sources.io.compact_parquet``.
+
+    Shape: one scan with a map-combined groupBy on the file name
+    (file-count-sized frame, never fact-sized), one scalar reduce."""
+    df = spark.read.parquet(path)
+    per_file = df.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+    ).groupBy("file").agg(F.count(F.lit(1)).alias("rows"))
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").alias("n_rows"),
+        F.min("rows").alias("min_rows"),
+        F.max("rows").alias("max_rows"),
+        F.round(F.avg("rows"), 2).alias("avg_rows"),
+        F.round(
+            F.max("rows") * F.count(F.lit(1)) / F.sum("rows"), 4
+        ).alias("skew_factor"),
+    )

@@ -717,3 +717,204 @@ def q_event_disorder_profile(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "doc_incremental_dedup",
+    oracle="""
+    WITH cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents),
+    hashed AS (
+        SELECT doc_id, md5(text) AS h,
+               doc_id <= (SELECT c FROM cut) AS is_old
+        FROM documents
+    ),
+    old_hashes AS (SELECT DISTINCT h FROM hashed WHERE is_old),
+    new_batch AS (SELECT doc_id, h FROM hashed WHERE NOT is_old),
+    vs_old AS (
+        SELECT n.doc_id, n.h,
+               o.h IS NOT NULL AS dup_vs_old
+        FROM new_batch n LEFT JOIN old_hashes o ON o.h = n.h
+    ),
+    ranked AS (
+        SELECT doc_id, h, dup_vs_old,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM vs_old
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN dup_vs_old THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_vs_old,
+           CAST(SUM(CASE WHEN NOT dup_vs_old AND rn > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_within_batch,
+           CAST(SUM(CASE WHEN NOT dup_vs_old AND rn = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_survivors
+    FROM ranked
+    """,
+)
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup — the form a 100 TB corpus actually
+    runs: a NEW crawl batch dedups against the settled corpus's HASH
+    INDEX (never its text) plus itself, so each increment's cost is
+    O(batch) + a hash-only anti-join, not a full-corpus re-dedup.
+    Simulated split: docs at-or-below max(doc_id)/2 are the settled
+    corpus, the rest the new batch. Reports batch size, cross-corpus
+    dups, within-batch dups, and survivors.
+
+    Scale shape: the settled side contributes only distinct md5s (the
+    persisted dedup index); the batch side groups and anti-joins on
+    the 32-char hash — the shuffle never carries document text."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cut = docs.agg((F.max("doc_id") / 2).cast("long").alias("c"))
+    hashed = docs.select(
+        "doc_id", F.md5("text").alias("h")
+    ).crossJoin(F.broadcast(cut))
+    old_hashes = (
+        hashed.filter(F.col("doc_id") <= F.col("c")).select("h").distinct()
+    )
+    new_batch = hashed.filter(F.col("doc_id") > F.col("c")).select(
+        "doc_id", "h"
+    )
+    vs_old = new_batch.join(
+        old_hashes.withColumnRenamed("h", "oh"),
+        F.col("h") == F.col("oh"),
+        "left",
+    ).select("doc_id", "h", F.col("oh").isNotNull().alias("dup_vs_old"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = vs_old.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(F.col("dup_vs_old"), 1).otherwise(0)).alias(
+            "n_dup_vs_old"
+        ),
+        F.sum(
+            F.when(~F.col("dup_vs_old") & (F.col("rn") > 1), 1).otherwise(0)
+        ).alias("n_dup_within_batch"),
+        F.sum(
+            F.when(~F.col("dup_vs_old") & (F.col("rn") == 1), 1).otherwise(0)
+        ).alias("n_survivors"),
+    )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type, value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS epoch
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    counts AS (
+        SELECT user_id, epoch,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+        FROM tagged GROUP BY user_id, epoch
+    ),
+    purchases AS (
+        SELECT t.user_id, t.epoch,
+               CAST(ROUND(t.value * 100) AS BIGINT) * 100 AS value_e4,
+               c.views, c.clicks, c.views + c.clicks AS n_touches
+        FROM tagged t JOIN counts c USING (user_id, epoch)
+        WHERE t.event_type = 'purchase'
+    ),
+    credits AS (
+        SELECT 'view' AS touch_type, SUM(views) AS n_touches,
+               SUM(CASE WHEN n_touches > 0
+                        THEN value_e4 * views // n_touches ELSE 0 END)
+                   AS credited_e4
+        FROM purchases
+        UNION ALL
+        SELECT 'click', SUM(clicks),
+               SUM(CASE WHEN n_touches > 0
+                        THEN value_e4 * clicks // n_touches ELSE 0 END)
+        FROM purchases
+        UNION ALL
+        SELECT 'unattributed', CAST(0 AS HUGEINT),
+               SUM(CASE WHEN n_touches = 0 THEN value_e4 ELSE 0 END)
+        FROM purchases
+    )
+    SELECT touch_type, CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(credited_e4 AS BIGINT) / 10000.0 AS credited_usd
+    FROM credits
+    """,
+)
+def q_multi_touch_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the view/click touches in its inter-purchase epoch
+    (gaps-and-islands, same epoch tagging as purchase_attribution's
+    last-state machine) — the marketing mart that answers 'which touch
+    TYPE earns the revenue' instead of crediting only the last click.
+    Purchases with no preceding touches land in 'unattributed'.
+
+    Scale shape: the epoch tag is a user-partitioned running sum; the
+    per-epoch touch counts are one grouped aggregate; credit division
+    is exact integer arithmetic in 1e-4 dollars (BIGINT floor-div, so
+    no float summation-order digit can differ cross-engine)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    tagged = ev.select(
+        "user_id", "ts", "event_type", "value",
+        (F.sum(is_p).over(w) - is_p).alias("epoch"),
+    )
+    counts = tagged.groupBy("user_id", "epoch").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "views"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+    )
+    purchases = (
+        tagged.filter(F.col("event_type") == "purchase")
+        .join(counts, ["user_id", "epoch"])
+        .select(
+            (F.round(F.col("value") * 100).cast("long") * 100).alias(
+                "value_e4"
+            ),
+            "views",
+            "clicks",
+            (F.col("views") + F.col("clicks")).alias("n_touches"),
+        )
+    )
+    # floor-div of positive BIGINTs; the double intermediate is exact
+    # (numerator < 2^53 at any realistic epoch size), matching the
+    # oracle's integer `//`
+    share = lambda col: F.sum(
+        F.when(
+            F.col("n_touches") > 0,
+            F.floor(
+                (F.col("value_e4") * F.col(col)) / F.col("n_touches")
+            ).cast("long"),
+        ).otherwise(0)
+    )
+    view_row = purchases.agg(
+        F.lit("view").alias("touch_type"),
+        F.sum("views").alias("n_touches"),
+        share("views").alias("credited_e4"),
+    )
+    click_row = purchases.agg(
+        F.lit("click").alias("touch_type"),
+        F.sum("clicks").alias("n_touches"),
+        share("clicks").alias("credited_e4"),
+    )
+    unattr_row = purchases.agg(
+        F.lit("unattributed").alias("touch_type"),
+        F.lit(0).cast("long").alias("n_touches"),
+        F.sum(
+            F.when(F.col("n_touches") == 0, F.col("value_e4")).otherwise(0)
+        ).alias("credited_e4"),
+    )
+    out = view_row.unionByName(click_row).unionByName(unattr_row)
+    return out.select(
+        "touch_type",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        (F.col("credited_e4").cast("long") / 10000.0).alias("credited_usd"),
+    )

@@ -427,3 +427,24 @@ def test_round4_association_rules_topk_is_take_ordered(spark, sf_dir):
     global sort of the pair frame."""
     plan = simple_plan(QUERIES["basket_association_rules"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_file_skew_audit_detects_small_files(spark, sf_dir, tmp_path):
+    """Compaction advisor: a deliberately fragmented write (20 files
+    for a small table) must surface in n_files/avg_rows; after
+    compaction to 1 file the audit reflects it and row counts hold."""
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.profiling import (
+        file_skew_audit,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    frag = str(tmp_path / "frag")
+    orders.repartition(20).write.mode("overwrite").parquet(frag)
+    a = file_skew_audit(spark, frag).collect()[0]
+    assert a.n_files == 20 and a.n_rows == orders.count()
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(frag).coalesce(1).write.mode("overwrite").parquet(compacted)
+    b = file_skew_audit(spark, compacted).collect()[0]
+    assert b.n_files == 1 and b.n_rows == a.n_rows
+    assert b.avg_rows > a.avg_rows
