@@ -918,3 +918,110 @@ def q_multi_touch_attribution(spark, sf_dir):
         F.col("n_touches").cast("long").alias("n_touches"),
         (F.col("credited_e4").cast("long") / 10000.0).alias("credited_usd"),
     )
+
+
+@query(
+    "minhash_recall_stats",
+    oracle=None,  # set below: needs llm_queries' shared CTE block
+)
+def q_minhash_recall_stats(spark, sf_dir):
+    """LSH quality contract, recall side — the companion to
+    minhash_precision_stats: of the TRUE near-duplicate pairs (exact
+    Jaccard >= threshold over every pair sharing at least one
+    shingle), what share does MinHash banding actually surface as
+    candidates. Precision tells you the verify stage's load; RECALL
+    tells you what dedup silently misses — the number that decides
+    bands-vs-rows retuning.
+
+    Scale shape: truth needs the exact all-pairs-sharing-a-shingle
+    join — the audit path, quadratic in per-shingle document
+    frequency, deliberately NOT the production path (run it on a
+    sample at 100 TB; the banded LSH path stays O(candidates)). The
+    pair frames carry bare ids + 31-bit hash counts, never text."""
+    from ..llmdata.dedup import minhash_near_duplicates, shingle_hash_frame
+    from .llm_queries import (
+        JACCARD_THRESHOLD,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_N,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    shb = shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N).persist()
+    sizes = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shb.select(F.col("doc_id").alias("doc_a"), "base")
+    b = shb.select(F.col("doc_id").alias("doc_b"), "base")
+    inter_all = (
+        a.join(b, "base")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter_all.join(sa, "doc_a")
+        .join(sb_, "doc_b")
+        .filter(
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        minhash_near_duplicates(
+            docs, "text", "doc_id",
+            n=SHINGLE_N, num_hashes=NUM_HASHES,
+            rows_per_band=ROWS_PER_BAND, threshold=0.0,
+        )
+        .filter(F.col("jaccard") > 0)
+        .select("doc_a", "doc_b")
+    )
+    caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        n_truth.crossJoin(n_caught)
+        .select(
+            "n_true_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught") * 100.0
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                4,
+            ).alias("recall_pct"),
+        )
+    )
+
+
+from .llm_queries import _MINHASH_CTES as _MHC4  # noqa: E402
+from .llm_queries import JACCARD_THRESHOLD as _JT4  # noqa: E402
+
+ORACLES["minhash_recall_stats"] = rf"""
+    WITH {_MHC4},
+    inter_all AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shb s1 JOIN shb s2
+          ON s2.base = s1.base AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter_all i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {_JT4}
+    ),
+    caught AS (
+        SELECT t.doc_a, t.doc_b
+        FROM truth t JOIN cand c
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM caught) AS n_caught,
+           ROUND((SELECT COUNT(*) FROM caught) * 100.0
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 4)
+               AS recall_pct
+"""
