@@ -448,3 +448,38 @@ def test_file_skew_audit_detects_small_files(spark, sf_dir, tmp_path):
     b = file_skew_audit(spark, compacted).collect()[0]
     assert b.n_files == 1 and b.n_rows == a.n_rows
     assert b.avg_rows > a.avg_rows
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, sf_dir, tmp_path
+):
+    """100 TB table-layout contract: a fact written partitionBy(join
+    key) joined to a selectively-filtered dim must plan DYNAMIC
+    partition pruning — the runtime subquery filter that keeps a
+    5-partition-key fact scan from reading partitions the dim filter
+    will discard. This is the layout `write_table`'s partition_by
+    option exists for; if Spark ever stops planning DPP here, scans
+    at scale silently read everything."""
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
+
+    d = str(tmp_path / "orders_by_priority")
+    load_tables(spark, sf_dir)["orders"].write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )],
+        "o_orderpriority string, rank int",
+    )
+    j = (
+        fact.join(dim.filter("rank = 0"), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is the pruned slice only
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
