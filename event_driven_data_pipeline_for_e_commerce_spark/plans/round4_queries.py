@@ -438,13 +438,17 @@ def q_bloom_prefilter_audit(spark, sf_dir):
     )
 
     def positions(frame, key_col):
+        # digest aliased before the K-element array references it —
+        # inlining would re-evaluate the md5 per element (the
+        # cms_cells lesson, operators/sketches.py)
         h = F.md5(F.concat(F.lit("bloom:"), F.col(key_col).cast("string")))
+        hashed = frame.select(key_col, h.alias("__h"))
         cells = F.array(
             *[
                 F.struct(
                     F.lit(r).alias("r"),
                     (
-                        F.conv(F.substring(h, 3 * r + 1, 3), 16, 10)
+                        F.conv(F.substring(F.col("__h"), 3 * r + 1, 3), 16, 10)
                         .cast("long")
                         % BLOOM_M
                     ).alias("pos"),
@@ -452,7 +456,7 @@ def q_bloom_prefilter_audit(spark, sf_dir):
                 for r in range(BLOOM_K)
             ]
         )
-        return frame.select(
+        return hashed.select(
             key_col, F.explode(cells).alias("c")
         ).select(key_col, "c.r", "c.pos")
 
