@@ -369,13 +369,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     n_digits = (bits + 3) // 4
-    h = F.md5(F.col("tok"))
-    tok = src.select(F.col(id_col), F.explode(toks).alias("tok")).select(
-        F.col(id_col),
-        *[
-            F.conv(h.substr(d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
-            for d in range(n_digits)
-        ],
+    # digest aliased before the per-digit projections reference it —
+    # inlining re-evaluates the md5 once per digit column (no CSE
+    # across projection fields; the cms_cells lesson)
+    tok = (
+        src.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .select(F.col(id_col), F.md5(F.col("tok")).alias("__h"))
+        .select(
+            F.col(id_col),
+            *[
+                F.conv(F.col("__h").substr(d + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"d{d}")
+                for d in range(n_digits)
+            ],
+        )
     )
     contribs = [
         F.sum(
