@@ -423,6 +423,7 @@ def cdc_dimension_foreach_batch(
     tracked_cols: list[str],
     ts_col: str = "ts",
     sk_col: str = "sk",
+    versioned: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """The reference's actual production loop, composed end-to-end:
     high-water-mark incremental ingestion feeding an SCD2 dimension
@@ -482,8 +483,30 @@ def cdc_dimension_foreach_batch(
             .select(key, *tracked_cols, ts_col)
         )
         load_ts = latest.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
-        if os.path.exists(dim_dir):
-            target = spark.read.parquet(dim_dir)
+        # versioned=True routes the dimension through the snapshot
+        # table format (operators.snapshots): every micro-batch commit
+        # becomes an immutable, time-travelable version — 'what did
+        # this dimension look like after batch N / at time T' with the
+        # same cost per write as the plain atomic swap
+        if versioned:
+            from ..operators.snapshots import (
+                list_versions,
+                read_snapshot,
+                write_snapshot,
+            )
+
+            target = (
+                read_snapshot(spark, dim_dir)
+                if os.path.exists(dim_dir) and list_versions(dim_dir)
+                else None
+            )
+        else:
+            target = (
+                spark.read.parquet(dim_dir)
+                if os.path.exists(dim_dir)
+                else None
+            )
+        if target is not None:
             merged = scd2_merge(
                 target, latest, key, tracked_cols,
                 F.lit(str(load_ts)), sk_col=sk_col,
@@ -493,6 +516,9 @@ def cdc_dimension_foreach_batch(
                 latest.select(key, *tracked_cols),
                 key, tracked_cols, F.lit(str(load_ts)), sk_col=sk_col,
             )
-        scd2_write(merged, dim_dir)
+        if versioned:
+            write_snapshot(merged, dim_dir)
+        else:
+            scd2_write(merged, dim_dir)
 
     return apply

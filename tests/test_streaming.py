@@ -400,3 +400,86 @@ def test_cdc_dimension_pipeline_replay_equals_rebuild(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(dim).collect()
     )
     assert after == before
+
+
+def test_cdc_dimension_versioned_time_travel(spark, sf_dir, tmp_path):
+    """CDC pipeline composed with the snapshot table format
+    (versioned=True): every micro-batch commit becomes an immutable
+    dimension version — 'the dimension as of batch N', BigQuery time
+    travel on the SCD2 target. Asserts one version per ingesting
+    batch, monotone history growth, version-1 state bounded by its
+    prefix, and current == latest-per-key of the source."""
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.snapshots import (
+        list_versions,
+        read_snapshot,
+    )
+    from event_driven_data_pipeline_for_e_commerce_spark.streaming.streams import (
+        cdc_dimension_foreach_batch,
+    )
+
+    events = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "value", "ts")
+    )
+    src = str(tmp_path / "cdc_src_v")
+    import time as _time
+
+    ts_sorted = [r.ts for r in events.select("ts").orderBy("ts").collect()]
+    n = len(ts_sorted)
+    bounds = [ts_sorted[(i * n) // 3 - 1] for i in range(1, 3)]
+    lo = None
+    for hi in bounds + [None]:
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        lo = hi
+    schema = spark.read.parquet(src).schema
+    staging, dim = str(tmp_path / "staging_v"), str(tmp_path / "dim_v")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            cdc_dimension_foreach_batch(
+                staging, dim, "user_id", ["event_type", "value"],
+                versioned=True,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_v"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    log = list_versions(dim)
+    assert len(log) == 3  # one version per ingesting micro-batch
+    rows = [e["n_rows"] for e in log]
+    assert rows == sorted(rows)  # SCD2 history only grows
+    # version 1 contains only prefix data
+    v1_max = read_snapshot(spark, dim, version=1).agg(
+        F.max("valid_from")
+    ).collect()[0][0]
+    cur_max = read_snapshot(spark, dim).agg(
+        F.max("valid_from")
+    ).collect()[0][0]
+    assert v1_max <= cur_max
+    # current slice still equals latest-per-key of the full source
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    want = {
+        (r.user_id, r.event_type, float(r.value))
+        for r in events.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .collect()
+    }
+    got = {
+        (r.user_id, r.event_type, float(r.value))
+        for r in read_snapshot(spark, dim).filter("is_current").collect()
+    }
+    assert got == want
