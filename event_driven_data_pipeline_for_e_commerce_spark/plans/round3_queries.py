@@ -826,7 +826,15 @@ def q_lineitem_suppkey_skew(spark, sf_dir):
         WHERE d.vec_id >= {PQ_Q_LO} AND d.vec_id < {PQ_Q_HI}
     ),
     score AS (
-        SELECT qt.query_id, b.vec_id AS neighbor_id, SUM(qt.d2) AS ad2
+        -- fixed-order subspace addition (t0+t1+t2+t3), NOT SUM():
+        -- a float SUM's merge order is engine- and run-dependent, and
+        -- a 4-way double sum at a ROUND/rank boundary can flip a
+        -- digit between runs (observed once in a batch strict-check)
+        SELECT qt.query_id, b.vec_id AS neighbor_id,
+               MAX(CASE WHEN b.m = 0 THEN qt.d2 END)
+               + MAX(CASE WHEN b.m = 1 THEN qt.d2 END)
+               + MAX(CASE WHEN b.m = 2 THEN qt.d2 END)
+               + MAX(CASE WHEN b.m = 3 THEN qt.d2 END) AS ad2
         FROM best b
         JOIN qt ON qt.m = b.m AND qt.k = b.code
         WHERE b.vec_id != qt.query_id
@@ -873,6 +881,13 @@ def q_emb_pq_topk(spark, sf_dir):
             "d2",
         )
     )
+    # fixed-order subspace addition (t0+t1+t2+t3) instead of
+    # F.sum("d2"): a float SUM's partial-merge order varies run to run
+    # and engine to engine, and a 4-way double sum at a ROUND/rank
+    # boundary can flip a digit (caught once by a batch strict-check).
+    # MAX(WHEN m=i) picks each group's single per-subspace term; the
+    # explicit + chain adds them in one deterministic IEEE order on
+    # both engines.
     scores = (
         codes.join(
             F.broadcast(qtab),
@@ -880,7 +895,19 @@ def q_emb_pq_topk(spark, sf_dir):
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d2").alias("ad2"))
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("d2"))).alias(f"t{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("t0") + F.col("t1") + F.col("t2") + F.col("t3")
+            ).alias("ad2"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("neighbor_id"))
     return (
