@@ -248,8 +248,11 @@ def q_doc_length_percentiles(spark, sf_dir):
     SELECT tf.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(SUM(tf.tf) AS BIGINT) AS n_hits,
-           ROUND(SUM(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df)), 4)
-               AS score
+           -- fixed-order per-term addition (emb_pq_topk determinism
+           -- lesson): float SUM() merge order varies run to run
+           ROUND(COALESCE(MAX(CASE WHEN tf.tok = 'join' THEN tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df) END), 0)
+               + COALESCE(MAX(CASE WHEN tf.tok = 'vector' THEN tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df) END), 0)
+               + COALESCE(MAX(CASE WHEN tf.tok = 'stream' THEN tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df) END), 0), 4) AS score
     FROM tf JOIN df ON df.tok = tf.tok
     GROUP BY tf.doc_id
     """,
@@ -280,8 +283,26 @@ def q_doc_keyword_search(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("tf").alias("n_hits"),
+            # fixed-order per-term addition (emb_pq_topk determinism
+            # lesson); SEARCH_TERMS order mirrors the oracle
             F.round(
-                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 4
+                sum(
+                    (
+                        F.coalesce(
+                            F.max(
+                                F.when(
+                                    F.col("tok") == term,
+                                    F.col("tf")
+                                    * F.log(F.col("n_docs") / F.col("df")),
+                                )
+                            ),
+                            F.lit(0.0),
+                        )
+                        for term in SEARCH_TERMS
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
             ).alias("score"),
         )
     )
@@ -586,7 +607,12 @@ _PQ_CTES = f"""cb AS (
            CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS c1,
            CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS c2,
            CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS c3,
-           ROUND(SUM(d2) / 64, 4) AS mse
+           -- fixed-order 4-term addition (the emb_pq_topk determinism
+           -- lesson): float SUM() merge order varies run to run
+           ROUND((MAX(CASE WHEN m = 0 THEN d2 END)
+                  + MAX(CASE WHEN m = 1 THEN d2 END)
+                  + MAX(CASE WHEN m = 2 THEN d2 END)
+                  + MAX(CASE WHEN m = 3 THEN d2 END)) / 64, 4) AS mse
     FROM best GROUP BY vec_id
     """,
 )
@@ -608,12 +634,16 @@ def q_emb_pq_codes(spark, sf_dir):
     emb = ensure_parallelism(t["embeddings"])
     best = _pq_codes(emb)
     code = lambda m: F.max(F.when(F.col("m") == m, F.col("code"))).cast("bigint")
+    d2_of = lambda m: F.max(F.when(F.col("m") == m, F.col("d2")))
+    # fixed-order 4-term addition (the emb_pq_topk determinism lesson)
     return best.groupBy("vec_id").agg(
         code(0).alias("c0"),
         code(1).alias("c1"),
         code(2).alias("c2"),
         code(3).alias("c3"),
-        F.round(F.sum("d2") / 64, 4).alias("mse"),
+        F.round(
+            (d2_of(0) + d2_of(1) + d2_of(2) + d2_of(3)) / 64, 4
+        ).alias("mse"),
     )
 
 

@@ -242,8 +242,12 @@ def q_conversion_latency_histogram(spark, sf_dir):
     ),
     glob_tot AS (SELECT SUM(g) AS gt FROM gl)
     SELECT strftime(m.month, '%Y-%m') AS month,
-           ROUND(SUM(ABS(m.c * 1.0 / t.mt - g.g * 1.0 / (SELECT gt FROM glob_tot)))
-                 / 2, 6) AS tv_distance
+           -- exact-integer numerator (|c*gt - g*mt| in BIGINT, summed
+           -- exactly), ONE division at the end — no float
+           -- summation-order sensitivity (emb_pq_topk lesson)
+           ROUND(SUM(ABS(m.c * (SELECT gt FROM glob_tot) - g.g * t.mt))
+                 * 1.0 / (2 * MAX(t.mt) * (SELECT gt FROM glob_tot)),
+                 6) AS tv_distance
     FROM monthly m
     JOIN month_tot t USING (month)
     JOIN gl g USING (o_orderpriority)
@@ -258,8 +262,11 @@ def q_priority_mix_drift(spark, sf_dir):
 
     Scale shape: aggregate first (month x priority grain — bounded by
     calendar x 5 priorities), then join the 5-row global mix and the
-    1-row total broadcast-style; the TVD sum runs over <= 5 values per
-    month, far inside float determinism at 6 dp."""
+    1-row total broadcast-style. The TVD numerator is an EXACT BIGINT
+    sum (|c*gt - g*mt|), divided once at the end — no float
+    summation-order sensitivity at the 6-dp round (counts x totals
+    stay under 2^63 through ~1e9-order months; a larger deployment
+    would decimal-widen)."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"]
     monthly = orders.groupBy(
@@ -277,10 +284,10 @@ def q_priority_mix_drift(spark, sf_dir):
             F.round(
                 F.sum(
                     F.abs(
-                        F.col("c") / F.col("mt") - F.col("g") / F.col("gt")
+                        F.col("c") * F.col("gt") - F.col("g") * F.col("mt")
                     )
                 )
-                / 2,
+                / (2.0 * F.max("mt") * F.max("gt")),
                 6,
             ).alias("tv_distance")
         )
