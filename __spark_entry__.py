@@ -31,6 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining 14 (from doc_heaps_law_fit) plus any round-4 additions.
 # customer_pareto_abc and part_revenue_gini (code rewritten this round
 # to the two-pass partitioned-cumulative shape) sit inside the window.
+#
+# ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, demote this
+# round's 50 greens to _PRIOR_GREEN and promote to the head, in this
+# order: (a) the 14 _PRIORITY leftovers below the window boundary
+# (doc_heaps_law_fit .. nation_order_coverage), then (b) the 7
+# round-4 registrations now sitting in the "mid" section
+# (emb_ivf_nprobe_sweep, bloom_prefilter_audit,
+# basket_association_rules, event_disorder_profile,
+# doc_incremental_dedup, multi_touch_attribution,
+# minhash_recall_stats) — 21 never-checked rows total; the remaining
+# 29 window slots go to round-5 additions and code-touched re-checks
+# (this round touched emb_pq_topk/emb_pq_codes/doc_keyword_search/
+# priority_mix_drift/cms_heavy_hitters/doc_simhash* — all inside or
+# re-verified by the r4 window except doc_simhash and
+# doc_simhash_near_dup, which should be re-checked in r5).
 _PRIORITY = (
     "emb_ann_recall_contract",
     # never-windowed round-3 registrations, in registration order
