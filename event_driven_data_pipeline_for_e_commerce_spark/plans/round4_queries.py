@@ -1029,3 +1029,115 @@ ORACLES["minhash_recall_stats"] = rf"""
                  / GREATEST((SELECT COUNT(*) FROM truth), 1), 4)
                AS recall_pct
 """
+
+
+MOTIF_W = 7  # motif window length (days)
+MOTIF_TOPK = 5
+
+
+def _motif_terms(prefix: str) -> str:
+    """c0..c6 lag columns -> fixed-order z-normalized squared distance
+    SQL fragments shared by the oracle (mean/var/dist all add their 7
+    terms in one explicit order — the float-SUM determinism rule)."""
+    cols = [f"{prefix}{k}" for k in range(MOTIF_W)]
+    mean = "(" + " + ".join(cols) + f") / {MOTIF_W}.0"
+    return cols, mean
+
+
+@query(
+    "revenue_motif_search",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day,
+               {", ".join(f"LAG(cents, {k}) OVER (ORDER BY day) AS c{k}" for k in range(MOTIF_W))}
+        FROM daily
+    ),
+    win AS (
+        SELECT day,
+               {", ".join(f"CAST(c{k} AS DOUBLE) AS c{k}" for k in range(MOTIF_W))},
+               ({" + ".join(f"c{k}" for k in range(MOTIF_W))}) / {MOTIF_W}.0 AS mu
+        FROM lagged WHERE c{MOTIF_W - 1} IS NOT NULL
+    ),
+    z AS (
+        SELECT day,
+               {", ".join(f"(c{k} - mu) AS d{k}" for k in range(MOTIF_W))},
+               sqrt(({" + ".join(f"(c{k} - mu) * (c{k} - mu)" for k in range(MOTIF_W))}) / {MOTIF_W}.0) AS sd
+        FROM win
+    ),
+    q AS (SELECT * FROM z ORDER BY day DESC LIMIT 1),
+    dists AS (
+        SELECT z.day AS window_end,
+               ({" + ".join(f"(z.d{k} / z.sd - q.d{k} / q.sd) * (z.d{k} / z.sd - q.d{k} / q.sd)" for k in range(MOTIF_W))})
+                   AS zdist
+        FROM z, q
+        WHERE z.day < q.day AND z.sd > 0 AND q.sd > 0
+    )
+    SELECT window_end, ROUND(zdist, 6) AS zdist
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY zdist, window_end) AS rn
+          FROM dists)
+    WHERE rn <= {MOTIF_TOPK}
+    """,
+)
+def q_revenue_motif_search(spark, sf_dir):
+    """Time-series subsequence similarity search (the EDBT'19
+    streaming-similarity family): which historical {MOTIF_W}-day
+    revenue windows most resemble the LATEST one, by z-normalized
+    Euclidean distance — the motif query behind 'when did demand last
+    look like this week', feeding forecasting model choice and anomaly
+    triage.
+
+    Scale shape: the series aggregates to DAY grain first (exact
+    integer cents); windows materialize as {MOTIF_W} LAG columns over
+    the bounded calendar frame (day-grain unpartitioned window — the
+    documented allowlist class); the query window is ONE broadcast
+    row; every mean/variance/distance adds its {MOTIF_W} terms in one
+    explicit expression order on both engines (no float-SUM
+    merge-order sensitivity); top-k is a rank over the day-grain
+    distance frame."""
+    t = load_tables(spark, sf_dir)
+    daily = t["orders"].groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        *[F.lag("cents", k).over(w).alias(f"c{k}") for k in range(MOTIF_W)],
+    ).filter(F.col(f"c{MOTIF_W - 1}").isNotNull())
+    cast_cols = [F.col(f"c{k}").cast("double").alias(f"c{k}") for k in range(MOTIF_W)]
+    win = lagged.select("day", *cast_cols)
+    mu = sum(
+        (F.col(f"c{k}") for k in range(1, MOTIF_W)), F.col("c0")
+    ) / float(MOTIF_W)
+    win = win.withColumn("mu", mu)
+    dcols = [(F.col(f"c{k}") - F.col("mu")).alias(f"d{k}") for k in range(MOTIF_W)]
+    zf = win.select("day", *dcols)
+    var = sum(
+        (F.col(f"d{k}") * F.col(f"d{k}") for k in range(1, MOTIF_W)),
+        F.col("d0") * F.col("d0"),
+    ) / float(MOTIF_W)
+    zf = zf.withColumn("sd", F.sqrt(var)).filter(F.col("sd") > 0)
+    q = zf.orderBy(F.desc("day")).limit(1).select(
+        F.col("day").alias("qday"),
+        *[(F.col(f"d{k}") / F.col("sd")).alias(f"q{k}") for k in range(MOTIF_W)],
+    )
+    cand = zf.crossJoin(F.broadcast(q)).filter(F.col("day") < F.col("qday"))
+    terms = [
+        (F.col(f"d{k}") / F.col("sd") - F.col(f"q{k}"))
+        * (F.col(f"d{k}") / F.col("sd") - F.col(f"q{k}"))
+        for k in range(MOTIF_W)
+    ]
+    zdist = sum(terms[1:], terms[0])
+    ranked = cand.select(
+        F.col("day").alias("window_end"), zdist.alias("zdist")
+    )
+    rw = Window.orderBy("zdist", "window_end")
+    return (
+        ranked.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= MOTIF_TOPK)
+        .select("window_end", F.round("zdist", 6).alias("zdist"))
+    )
