@@ -20,40 +20,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks exactly the first 50 registered queries per round.
-# Cumulative driver-green after round 3: 140 of 203 (CORRECTNESS_r01 ∪
-# r02 ∪ r03, zero red). The 63 queries registered during round 3 have
-# never had a driver row (all sf0.01-verified by
-# scripts/strict_driver_check.py AND tests/test_corpus_oracle.py every
-# round). Round-4 head: the new emb_ann_recall_contract (whose value
-# is exactly a driver contract row), then those 63 in registration
-# order — the window takes the first 50, so round 4 lands 50 new
-# greens (cumulative 190/203) and round 5's head starts with the
-# remaining 14 (from doc_heaps_law_fit) plus any round-4 additions.
-# customer_pareto_abc and part_revenue_gini (code rewritten this round
-# to the two-pass partitioned-cumulative shape) sit inside the window.
+# Cumulative driver-green after round 4: 190 of 212 (CORRECTNESS_r01 ∪
+# r02 ∪ r03 ∪ r04, zero red ever). Round-5 head, in order: (a) the 14
+# round-3 registrations that fell below round 4's window boundary
+# (doc_heaps_law_fit .. nation_order_coverage), (b) the 8 round-4
+# registrations that had no driver row (emb_ivf_nprobe_sweep ..
+# revenue_motif_search — the last also carries this round's
+# oracle-mirroring fix for the flat-query-window edge case), then
+# (c) doc_simhash + doc_simhash_near_dup re-checks after round 4's
+# one-digest-per-row refactor. 24 rows; the remaining 26 window slots
+# go to round-5 registrations, which land in the "mid" section in
+# registration order.
 #
-# ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, demote this
-# round's 50 greens to _PRIOR_GREEN and promote to the head, in this
-# order: (a) the 14 _PRIORITY leftovers below the window boundary
-# (doc_heaps_law_fit .. nation_order_coverage), then (b) the 7
-# round-4 registrations now sitting in the "mid" section
-# (emb_ivf_nprobe_sweep, bloom_prefilter_audit,
-# basket_association_rules, event_disorder_profile,
-# doc_incremental_dedup, multi_touch_attribution,
-# minhash_recall_stats) — 21 never-checked rows total; the remaining
-# 29 window slots go to round-5 additions and code-touched re-checks
-# (this round touched emb_pq_topk/emb_pq_codes/doc_keyword_search/
-# priority_mix_drift/cms_heavy_hitters/doc_simhash* — all inside or
-# re-verified by the r4 window except doc_simhash and
-# doc_simhash_near_dup, which should be re-checked in r5).
+# ROUND-6 ROTATION NOTE: after CORRECTNESS_r05 lands, demote the r5
+# window's greens to _PRIOR_GREEN and promote any round-5
+# registrations that fell below the boundary plus code-touched
+# re-checks (this round touched scd2_merge_orders [shuffle diet],
+# multi_touch_attribution [integer DIV], customer_pareto_abc /
+# part_revenue_gini / emb_ann_recall_contract [persist-release] —
+# all but scd2/pareto/gini/recall-contract are already in the r5
+# window; re-check those four in r6).
 _PRIORITY = (
-    "emb_ann_recall_contract",
-    # never-windowed round-3 registrations, in registration order
-    "doc_pmi_collocations", "doc_dedup_survivors",
-    "doc_length_percentiles", "doc_keyword_search", "emb_dim_stats",
-    "event_volume_anomalies", "repeat_purchase_intervals",
-    "lead_time_trend_by_nation", "emb_pq_codes",
-    "doc_dedup_rate_by_source", "customer_churn_risk",
+    # (a) round-3 registrations below round 4's window boundary
+    "doc_heaps_law_fit", "doc_compressibility_proxy",
+    "emb_lsh_bucket_label_purity", "doc_sentence_stats",
+    "part_type_supplier_hhi", "lsh_candidate_volume_forecast",
+    "region_quarter_revenue_yoy", "source_char_class_profile",
+    "emb_norm_histogram", "hourly_load_percentiles",
+    "part_size_price_regression", "doc_dedup_threshold_sweep",
+    "segment_clv_projection", "nation_order_coverage",
+    # (b) round-4 registrations never driver-checked
+    "emb_ivf_nprobe_sweep", "bloom_prefilter_audit",
+    "basket_association_rules", "event_disorder_profile",
+    "doc_incremental_dedup", "multi_touch_attribution",
+    "minhash_recall_stats", "revenue_motif_search",
+    # (c) re-checks after round 4's simhash one-digest refactor
+    "doc_simhash", "doc_simhash_near_dup",
+)
+
+
+# Queries with a green driver row in rounds 1-4 — demoted to the end
+# of the registration order so the driver's 50-row window spends its
+# budget on never-checked queries (and round-5 additions) first.
+_PRIOR_GREEN = (
+    # round-4 greens (CORRECTNESS_r04.json, 50/50)
+    "emb_ann_recall_contract", "doc_pmi_collocations",
+    "doc_dedup_survivors", "doc_length_percentiles",
+    "doc_keyword_search", "emb_dim_stats", "event_volume_anomalies",
+    "repeat_purchase_intervals", "lead_time_trend_by_nation",
+    "emb_pq_codes", "doc_dedup_rate_by_source", "customer_churn_risk",
     "orders_quality_checks", "lineitem_suppkey_skew", "emb_pq_topk",
     "pit_status_at_ship", "ordered_funnel_conversions",
     "cms_heavy_hitters", "supplier_ship_cumulative",
@@ -72,26 +87,11 @@ _PRIORITY = (
     "minhash_precision_stats", "user_peak_event_rate",
     "part_revenue_gini", "daily_revenue_autocorr",
     "functional_dependency_audit", "customer_entity_clusters",
-    # --- 50-row window boundary falls here ---
-    "doc_heaps_law_fit", "doc_compressibility_proxy",
-    "emb_lsh_bucket_label_purity", "doc_sentence_stats",
-    "part_type_supplier_hhi", "lsh_candidate_volume_forecast",
-    "region_quarter_revenue_yoy", "source_char_class_profile",
-    "emb_norm_histogram", "hourly_load_percentiles",
-    "part_size_price_regression", "doc_dedup_threshold_sweep",
-    "segment_clv_projection", "nation_order_coverage",
-)
-
-
-# Queries with a green driver row in rounds 1-3 — demoted to the end
-# of the registration order so the driver's 50-row window spends its
-# budget on never-checked queries (and round-4 additions) first.
-_PRIOR_GREEN = (
     # round-3 greens (CORRECTNESS_r03.json, 50/50)
     "doc_segment_dedup", "doc_bigram_lm_score", "doc_clean_normalize",
     "emb_exact_dedup", "emb_kmeans_assign", "emb_int8_quantize",
     "doc_sequence_pack", "doc_vocab_encode", "audio_pcm_stats",
-    "doc_simhash_near_dup", "doc_source_mixing", "doc_near_dup_consensus",
+    "doc_source_mixing", "doc_near_dup_consensus",
     "q6_forecast_revenue", "q10_returned_items",
     "q13_order_count_distribution", "q14_promo_revenue_share",
     "q15_top_supplier", "q16_supplier_part_counts", "q2_min_cost_supplier",
@@ -131,7 +131,7 @@ _PRIOR_GREEN = (
     "order_value_distribution", "user_event_paths", "order_price_histogram",
     "customer_geo_nearest", "doc_token_stats",
     "doc_quality_scores", "doc_language_id", "doc_fingerprints",
-    "doc_simhash", "doc_ngram_jaccard_pairs", "emb_cosine_topk",
+    "doc_ngram_jaccard_pairs", "emb_cosine_topk",
     "emb_ivf_topk", "emb_lsh_topk", "emb_label_centroids",
     "session_windows", "doc_chunks", "doc_train_split",
     "doc_tfidf_top_terms", "doc_stratified_sample", "doc_quality_filter",

@@ -63,6 +63,10 @@ HEADLINE = [
     "user_value_twap",         # key-partitioned interval-weighted window
     "bloom_prefilter_audit",   # broadcast bloom bits + key-grain membership
     "basket_association_rules",  # basket unfold + support/conf/lift joins
+    # round-3/4 additions that now dominate corpus cost (VERDICT r4 #7)
+    "emb_ann_recall_contract",  # 3-way ANN-vs-truth audit (29 shuffles)
+    "minhash_recall_stats",    # sampled exact-truth recall contract (18)
+    "doc_dedup_threshold_sweep",  # threshold histogram sweep (12)
 ]
 
 
@@ -137,16 +141,68 @@ def main() -> None:
     # or wall-clock kill during the 15-second stream phase can never
     # wipe the already-measured numbers (round-2 lesson: the official
     # bench record came back empty because the stream phase outlived
-    # the driver). Both printed lines are complete, valid records; the
-    # second supersedes the first when the stream measure succeeds.
+    # the driver).
     print(json.dumps(payload), flush=True)
+    # The streaming measure runs in a SUBPROCESS with its own
+    # SparkSession: round 2 and round 4 both lost their official bench
+    # record to the state-store checkpoint-commit abort spewing JVM
+    # ERROR text over this process's output tail. A child process owns
+    # the crash surface entirely — its stderr is captured and
+    # discarded, its stdout is parsed for one float, and a timeout
+    # bounds it.
     try:
-        payload["stream_events_per_sec"] = _stream_throughput(spark)
+        payload["stream_events_per_sec"] = _stream_throughput_subprocess()
     except Exception:
         pass
-    else:
+    try:
+        spark.stop()
+    finally:
+        # The driver parses the output TAIL, so the payload must be
+        # the absolute last line — re-printed after spark.stop() in a
+        # finally: so no shutdown spew can bury the record
+        # (VERDICT r4 #2).
         print(json.dumps(payload), flush=True)
-    spark.stop()
+
+
+def _stream_throughput_subprocess() -> float:
+    """Run ``bench.py --stream-only`` as a child process and parse the
+    single float it prints. Crashes, JVM stderr spew, and hangs in the
+    streaming phase are fully contained: stderr is discarded, stdout
+    is scanned for the last parseable float, and a 240 s timeout kills
+    a wedged child."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stream-only"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    ).stdout
+    for line in reversed(out.strip().splitlines()):
+        try:
+            return float(line.strip())
+        except ValueError:
+            continue
+    return 0.0
+
+
+def _stream_only_main() -> None:
+    """Child-process entry: measure streaming throughput on a private
+    SparkSession and print ONE float. Any state-store commit-abort on
+    stop() is swallowed — the measurement is already taken."""
+    from event_driven_data_pipeline_for_e_commerce_spark.session import get_spark
+
+    spark = get_spark("edp-bench-stream")
+    rate = 0.0
+    try:
+        rate = _stream_throughput(spark)
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(rate, flush=True)
 
 
 def _stream_throughput(spark) -> float:
@@ -188,11 +244,20 @@ def _stream_throughput(spark) -> float:
             if p.get("processedRowsPerSecond")
         ]
     finally:
-        q.stop()
+        # The HDFS-backed state store occasionally aborts its
+        # checkpoint commit when stopped mid-batch; the measurement is
+        # already in `rates`, so the abort is non-fatal.
+        try:
+            q.stop()
+        except Exception:
+            pass
     # drop the cold-start batch, average the rest
     steady = rates[1:] if len(rates) > 1 else rates
     return round(sum(steady) / len(steady), 1) if steady else 0.0
 
 
 if __name__ == "__main__":
-    main()
+    if "--stream-only" in sys.argv:
+        _stream_only_main()
+    else:
+        main()

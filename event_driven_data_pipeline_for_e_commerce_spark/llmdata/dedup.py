@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from ..operators.partitioning import ensure_parallelism
+from ..operators.pinning import pin
 
 
 def shingle_array(text_col: str, n: int = 3) -> Column:
@@ -285,7 +286,7 @@ def minhash_near_duplicates(
     """
     num_bands = (num_hashes + rows_per_band - 1) // rows_per_band
     shingle_hashes = shingle_hash_frame(df, text_col, id_col, n)
-    sigs = _minhash_agg_hashed(shingle_hashes, id_col, num_hashes).persist()
+    sigs = pin(_minhash_agg_hashed(shingle_hashes, id_col, num_hashes))
     # band j covers hash indices (j-1)*r+1 .. j*r; key = the band's sig
     # values joined '|' in hash order (uniform width — no re-hash
     # needed for the join key)
@@ -311,7 +312,7 @@ def minhash_near_duplicates(
     # cands feeds both the candidate-doc filter and the verify join;
     # persisting it avoids re-running the LSH self-join (it is small —
     # that's LSH's entire point)
-    cands = lsh_candidate_pairs(bands, id_col).persist()
+    cands = pin(lsh_candidate_pairs(bands, id_col))
     # candidate-only verify: restrict the (recomputable, never-persisted
     # corpus-sized) per-doc hash ARRAY projection to documents appearing
     # in some candidate pair (AQE broadcasts the small doc-id list, so
@@ -326,7 +327,7 @@ def minhash_near_duplicates(
         F.transform(shingle_array(text_col, n), lambda s: _shingle_base(s))
     )
     arr = src.select(F.col(id_col), hash_arr.alias("sh_arr"))
-    cand_arr = arr.join(cand_docs, id_col, "left_semi").persist()
+    cand_arr = pin(arr.join(cand_docs, id_col, "left_semi"))
     a = cand_arr.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("arr_a"))
     b = cand_arr.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
@@ -432,8 +433,8 @@ def duplicate_clusters(
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .persist()
     )
+    edges = pin(edges)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     for _ in range(max_iter):
@@ -498,7 +499,7 @@ def simhash_near_duplicates(
     """
     n_bands = max_hamming + 1
     base_width = bits // n_bands
-    fp = simhash(df, text_col, id_col, bits).persist()
+    fp = pin(simhash(df, text_col, id_col, bits))
     band_structs = []
     lo = 0
     for b in range(n_bands):

@@ -29,6 +29,11 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import (  # noqa: F401
+    pin as _pin,
+    release_pinned,
+)
+
 
 def _ranged_with_bases(
     df: DataFrame,
@@ -42,10 +47,9 @@ def _ranged_with_bases(
     the resulting per-partition base offsets back as ``__base``.
     Returns the pinned frame with ``__pid`` and ``__base`` attached."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = (
+    part = _pin(
         df.repartitionByRange(n, *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     partials = {
         r["__pid"]: r["v"]

@@ -58,28 +58,73 @@ def _store_manifest(table_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(table_dir))  # atomic on POSIX
 
 
+class _ManifestLock:
+    """Poor-man's mutex via ``os.mkdir`` (atomic create-or-fail on
+    POSIX) around the manifest read-modify-write. Local-filesystem
+    scope only — matches this module's no-library-lake contract; a
+    shared object store would swap this for a conditional PUT."""
+
+    def __init__(self, table_dir: str, timeout: float = 30.0):
+        self._dir = os.path.join(table_dir, "_manifest.lock")
+        self._timeout = timeout
+
+    def __enter__(self):
+        deadline = time.time() + self._timeout
+        while True:
+            try:
+                os.mkdir(self._dir)
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock held > {self._timeout}s: {self._dir}"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        os.rmdir(self._dir)
+        return False
+
+
 def write_snapshot(df: DataFrame, table_dir: str) -> int:
     """Write ``df`` as the table's next immutable version and make it
     current. Returns the new version number. The version directory is
     fully written BEFORE the manifest swap, so a crash mid-write
     leaves the table at the previous version with an orphan dir (to
-    be reclaimed by ``expire_versions``), never at a torn state."""
+    be reclaimed by ``expire_versions``), never at a torn state.
+
+    Concurrent writers are safe (optimistic concurrency, the Iceberg
+    commit shape): each writer CLAIMS a version directory with a bare
+    ``os.mkdir`` — atomic create-or-fail, so two writers can never
+    share a directory; a loser simply claims the next number — and the
+    manifest read-modify-write is serialized by a lock, with
+    ``current`` advancing monotonically (max of committed versions)
+    so commit order cannot regress the table."""
     os.makedirs(table_dir, exist_ok=True)
-    manifest = _load_manifest(table_dir)
-    version = manifest["current"] + 1
-    vdir = os.path.join(table_dir, f"v{version:05d}")
+    version = _load_manifest(table_dir)["current"]
+    while True:
+        version += 1
+        vdir = os.path.join(table_dir, f"v{version:05d}")
+        try:
+            os.mkdir(vdir)  # atomic claim: loser of a race moves on
+            break
+        except FileExistsError:
+            continue
     df.write.mode("overwrite").parquet(vdir)
     n_rows = df.sparkSession.read.parquet(vdir).count()
-    manifest["versions"].append(
-        {
-            "version": version,
-            "ts_utc": time.time(),
-            "path": f"v{version:05d}",
-            "n_rows": int(n_rows),
-        }
-    )
-    manifest["current"] = version
-    _store_manifest(table_dir, manifest)
+    with _ManifestLock(table_dir):
+        manifest = _load_manifest(table_dir)
+        manifest["versions"].append(
+            {
+                "version": version,
+                "ts_utc": time.time(),
+                "path": f"v{version:05d}",
+                "n_rows": int(n_rows),
+            }
+        )
+        manifest["versions"].sort(key=lambda e: e["version"])
+        manifest["current"] = max(manifest["current"], version)
+        _store_manifest(table_dir, manifest)
     return version
 
 

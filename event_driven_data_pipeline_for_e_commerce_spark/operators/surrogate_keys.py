@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import pin
+
 
 def with_surrogate_key_dense(
     df: DataFrame, order_col: str, sk_col: str, offset: int = 0
@@ -47,7 +49,7 @@ def with_surrogate_key_scalable(df: DataFrame, sk_col: str, offset: int = 0) -> 
     # partition contents — without pinning, a nondeterministic upstream
     # (shuffle order, range-boundary sampling) can shift rows between
     # partitions across the two evaluations and corrupt the prefix sums
-    part = df.withColumn("__pid", F.spark_partition_id()).persist()
+    part = pin(df.withColumn("__pid", F.spark_partition_id()))
     counts = {
         r["__pid"]: r["cnt"]
         for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -85,10 +87,9 @@ def with_surrogate_key_ranged(
     # re-samples per evaluation, so without it the counts job and the
     # key-assignment job could disagree on which partition a key lives
     # in — the per-partition bases would then be offset wrong
-    part = (
+    part = pin(
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     counts = {
         r["__pid"]: r["cnt"]

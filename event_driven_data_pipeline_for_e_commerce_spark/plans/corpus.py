@@ -24,6 +24,7 @@ from ..functions.datetimes import date_sk, day_diff_trunc, fractional_days, mont
 from ..functions.strings import row_hash, truncate_ellipsis
 from ..operators.aggregates import argmax, frequency_count, funnel, mode
 from ..operators.dedup import dedup_keyed_ordered
+from ..operators.pinning import pin
 from ..operators.joins import cross_join, date_key_join, enrich, salted_join
 from ..operators.surrogate_keys import with_surrogate_key_dense
 from ..sources.io import union_by_name
@@ -1327,9 +1328,9 @@ def q_scd2_merge_orders(spark, sf_dir):
     # persisted: a real SCD2 target is a materialized table; the merge
     # reads it three ways (current slice, history, max-SK scalar) and
     # recomputing the init lineage per branch would triple the cost
-    target = scd2_init(
+    target = pin(scd2_init(
         base, "order_id", tracked, F.lit("2024-01-01 00:00:00"), sk_col="order_sk"
-    ).persist()
+    ))
 
     mutated = base.select(
         "order_id",

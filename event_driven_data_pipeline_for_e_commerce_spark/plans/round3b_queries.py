@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+from ..operators.pinning import pin
 from .corpus import query
 from .llm_queries import SHINGLE_N
 from .tables import load_tables
@@ -662,7 +663,8 @@ def q_emb_top_principal_component(spark, sf_dir):
         F.zip_with(
             "e", F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
         ).alias("c"),
-    ).persist()
+    )
+    cent = pin(cent)
     v = [1.0 / math.sqrt(dims)] * dims
     norm_val = 0.0
     for _ in range(PCA_ITERS):
@@ -1038,8 +1040,8 @@ def q_copurchase_triangle_census(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= MIN_COPURCHASE_SUPPORT)
         .select("u", "v")
-        .persist()
     )
+    und = pin(und)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select("v"))

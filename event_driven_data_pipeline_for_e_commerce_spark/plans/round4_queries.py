@@ -17,6 +17,7 @@ from pyspark.sql import Window
 
 from .corpus import ORACLES, QUERIES, query
 from .tables import load_tables
+from ..operators.pinning import pin
 
 # PQ search parameters (mirrors round3_queries): queries are
 # vec_id in [PQ_Q_LO, PQ_Q_HI), k = PQ_TOPK, metric = squared L2.
@@ -106,10 +107,9 @@ def q_emb_ann_recall_contract(spark, sf_dir):
     expensive parts are the underlying searches, whose plans are
     audited by their own queries; this contract adds only
     query-set-grain work on top."""
-    truth_cos = (
+    truth_cos = pin(
         QUERIES["emb_cosine_topk"](spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .persist()
     )
     t = load_tables(spark, sf_dir)
     from ..llmdata.similarity import _as_double, dot
@@ -137,8 +137,8 @@ def q_emb_ann_recall_contract(spark, sf_dir):
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= PQ_TOPK)
         .select("query_id", "neighbor_id")
-        .persist()
     )
+    truth_l2 = pin(truth_l2)
 
     per_query = []
     for method, ann_name, truth, k in (
@@ -568,7 +568,7 @@ def q_basket_association_rules(spark, sf_dir):
     # three consumers (basket collect, part supports, basket count)
     # share this frame — persist so the fact scan + distinct shuffle
     # run once, not three times
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct().persist()
+    op = pin(t["lineitem"].select("l_orderkey", "l_partkey").distinct())
     n_baskets = op.agg(
         F.countDistinct("l_orderkey").alias("nb")
     )
@@ -888,15 +888,14 @@ def q_multi_touch_attribution(spark, sf_dir):
             (F.col("views") + F.col("clicks")).alias("n_touches"),
         )
     )
-    # floor-div of positive BIGINTs; the double intermediate is exact
-    # (numerator < 2^53 at any realistic epoch size), matching the
-    # oracle's integer `//`
+    # integer floor-division end-to-end via Spark's integral `DIV`
+    # operator — exact for the full BIGINT range (no 2^53 double
+    # intermediate), matching the oracle's integer `//` at any epoch
+    # size (ADVICE r4)
     share = lambda col: F.sum(
         F.when(
             F.col("n_touches") > 0,
-            F.floor(
-                (F.col("value_e4") * F.col(col)) / F.col("n_touches")
-            ).cast("long"),
+            F.expr(f"(value_e4 * {col}) DIV n_touches"),
         ).otherwise(0)
     )
     view_row = purchases.agg(
@@ -952,7 +951,7 @@ def q_minhash_recall_stats(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    shb = shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N).persist()
+    shb = pin(shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N))
     sizes = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shb.select(F.col("doc_id").alias("doc_a"), "base")
     b = shb.select(F.col("doc_id").alias("doc_b"), "base")
@@ -1120,15 +1119,27 @@ def q_revenue_motif_search(spark, sf_dir):
         (F.col(f"d{k}") * F.col(f"d{k}") for k in range(1, MOTIF_W)),
         F.col("d0") * F.col("d0"),
     ) / float(MOTIF_W)
-    zf = zf.withColumn("sd", F.sqrt(var)).filter(F.col("sd") > 0)
+    # Pick the query window BEFORE any sd filter (mirrors the oracle's
+    # ``q AS (SELECT * FROM z ORDER BY day DESC LIMIT 1)``) — the sd>0
+    # guards apply to BOTH sides only in the candidate filter, so a
+    # flat newest window yields 0 rows on both engines identically.
+    zf = zf.withColumn("sd", F.sqrt(var))
     q = zf.orderBy(F.desc("day")).limit(1).select(
         F.col("day").alias("qday"),
-        *[(F.col(f"d{k}") / F.col("sd")).alias(f"q{k}") for k in range(MOTIF_W)],
+        F.col("sd").alias("qsd"),
+        *[F.col(f"d{k}").alias(f"qd{k}") for k in range(MOTIF_W)],
     )
-    cand = zf.crossJoin(F.broadcast(q)).filter(F.col("day") < F.col("qday"))
+    cand = (
+        zf.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("day") < F.col("qday"))
+            & (F.col("sd") > 0)
+            & (F.col("qsd") > 0)
+        )
+    )
     terms = [
-        (F.col(f"d{k}") / F.col("sd") - F.col(f"q{k}"))
-        * (F.col(f"d{k}") / F.col("sd") - F.col(f"q{k}"))
+        (F.col(f"d{k}") / F.col("sd") - F.col(f"qd{k}") / F.col("qsd"))
+        * (F.col(f"d{k}") / F.col("sd") - F.col(f"qd{k}") / F.col("qsd"))
         for k in range(MOTIF_W)
     ]
     zdist = sum(terms[1:], terms[0])

@@ -22,6 +22,8 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import pin
+
 
 def read_csv_dir(
     spark: SparkSession,
@@ -122,13 +124,13 @@ def read_csv_quarantine(
     re-scan could re-parse and race with pushdown pruning of the
     corrupt column.
     """
-    df = (
+    df = pin(
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema + ", _corrupt_record string")
         .csv(path)
-    ).cache()
+    )
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad

@@ -378,6 +378,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "daily_revenue_autocorr": "calendar-day grain",
     "doc_heaps_law_fit": "fixed bucket grain",
     "doc_dedup_threshold_sweep": "10-row decile grain",
+    "revenue_motif_search": "calendar-day grain (7-day LAG chain + "
+    "top-k rank over the bounded day-grain distance frame)",
 }
 
 

@@ -75,3 +75,53 @@ def test_unknown_version_raises(spark, table):
     tdir, *_ = table
     with pytest.raises(ValueError):
         read_snapshot(spark, tdir, version=99)
+
+
+def test_concurrent_writers_claim_distinct_versions(spark, sf_dir, tmp_path):
+    """Two simultaneous writers must never share a version directory
+    or lose each other's manifest entry (ADVICE r4): the mkdir claim
+    is atomic create-or-fail and the manifest read-modify-write is
+    lock-serialized, so both commits land with distinct versions and
+    'current' points at the max."""
+    import threading
+
+    tdir = str(tmp_path / "concurrent_nation")
+    nation = load_tables(spark, sf_dir)["nation"]
+    results, errors = [], []
+
+    def writer(df):
+        try:
+            results.append(write_snapshot(df, tdir))
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(nation,)),
+        threading.Thread(target=writer, args=(nation.limit(5),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(results) == [1, 2]
+    log = list_versions(tdir)
+    assert [e["version"] for e in log] == [1, 2]  # neither entry lost
+    counts = {e["version"]: e["n_rows"] for e in log}
+    assert sorted(counts.values()) == sorted([nation.count(), 5])
+    # current = max committed, and an orphan claim dir never leaks in
+    assert read_snapshot(spark, tdir).count() in (nation.count(), 5)
+
+
+def test_orphan_version_dir_is_skipped_not_reused(spark, sf_dir, tmp_path):
+    """A crashed writer leaves a claimed-but-uncommitted vdir; the
+    next writer must claim the NEXT number, not clobber the orphan."""
+    import os
+
+    tdir = str(tmp_path / "orphan_nation")
+    nation = load_tables(spark, sf_dir)["nation"]
+    assert write_snapshot(nation, tdir) == 1
+    os.mkdir(os.path.join(tdir, "v00002"))  # simulated crashed claim
+    assert write_snapshot(nation.limit(3), tdir) == 3
+    assert read_snapshot(spark, tdir).count() == 3
+    assert [e["version"] for e in list_versions(tdir)] == [1, 3]
