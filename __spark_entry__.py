@@ -32,14 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # go to round-5 registrations, which land in the "mid" section in
 # registration order.
 #
-# ROUND-6 ROTATION NOTE: after CORRECTNESS_r05 lands, demote the r5
-# window's greens to _PRIOR_GREEN and promote any round-5
-# registrations that fell below the boundary plus code-touched
-# re-checks (this round touched scd2_merge_orders [shuffle diet],
-# multi_touch_attribution [integer DIV], customer_pareto_abc /
-# part_revenue_gini / emb_ann_recall_contract [persist-release] —
-# all but scd2/pareto/gini/recall-contract are already in the r5
-# window; re-check those four in r6).
+# ROUND-6 ROTATION NOTE: the r5 window is exactly head(24) + the 26
+# round-5 registrations (customer_spend_quartile_bands ..
+# tax_discount_joint_histogram) — no round-5 query falls below the
+# boundary. After CORRECTNESS_r05 lands, demote the window's greens
+# to _PRIOR_GREEN; promote code-touched re-checks first:
+# scd2_merge_orders (merge-join pin), customer_pareto_abc /
+# part_revenue_gini / emb_ann_recall_contract (pin-registry
+# refactor), media_feature_extract (real-decode seam) — then round-6
+# registrations fill the rest.
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",

@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from ..functions.strings import row_hash
+from .pinning import pin
 from .surrogate_keys import with_surrogate_key_ranged
 
 OPEN_END_TS = "9999-12-31 23:59:59"
@@ -88,7 +89,12 @@ def scd2_merge(
         F.col("row_hash").alias("__s_hash"),
         *[F.col(c).alias(f"__s_{c}") for c in tracked],
     )
-    joined = current.join(s, current[key] == s["__s_key"], "full_outer")
+    # Pinned: the unchanged/expired/inserts branches all read this
+    # join; without the pin each union branch re-executes the
+    # current ⋈ staging SortMergeJoin (3× the merge's dominant
+    # shuffle+sort cost). One bounded cache entry (operators.pinning)
+    # per merge call.
+    joined = pin(current.join(s, current[key] == s["__s_key"], "full_outer"))
 
     # current rows with no staged counterpart, or with identical hash → unchanged
     unchanged = joined.filter(

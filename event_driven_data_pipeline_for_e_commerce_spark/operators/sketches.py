@@ -18,7 +18,7 @@ SQL oracle can recompute the identical sketch arithmetically; see
 
 NULL contract: NULL keys are excluded from the sketch and from point
 queries (``cms_cells``/``cms_estimate`` filter them). This matches
-the SQL-oracle form ``md5('cms:' || CAST(k AS VARCHAR))``, where a
+the SQL-oracle form ``md5('cms:' || CAST(k AS STRING))``, where a
 NULL key propagates to a NULL hash and drops the row — whereas
 Spark's ``concat_ws`` would silently skip the NULL and hash the bare
 prefix, counting NULL keys into the sketch.

@@ -357,10 +357,10 @@ def _profile_col_sql(col: str, numeric: bool) -> str:
     one column of orders."""
     if numeric:
         mins = f"MIN(CAST({col} AS DOUBLE))", f"MAX(CAST({col} AS DOUBLE))"
-        smin = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        smin = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
     else:
         mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
-        smin = f"MIN(CAST({col} AS VARCHAR))", f"MAX(CAST({col} AS VARCHAR))"
+        smin = f"MIN(CAST({col} AS STRING))", f"MAX(CAST({col} AS STRING))"
     return f"""
     SELECT '{col}' AS column,
            COUNT(*) AS n_rows,
@@ -369,14 +369,14 @@ def _profile_col_sql(col: str, numeric: bool) -> str:
            {mins[0]} AS numeric_min, {mins[1]} AS numeric_max,
            {smin[0]} AS string_min, {smin[1]} AS string_max,
            (SELECT MIN(v) FROM (
-              SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c FROM orders
+              SELECT CAST({col} AS STRING) AS v, COUNT(*) AS c FROM orders
               WHERE {col} IS NOT NULL GROUP BY v) t
             WHERE c = (SELECT MAX(c) FROM (
               SELECT COUNT(*) AS c FROM orders WHERE {col} IS NOT NULL
-              GROUP BY CAST({col} AS VARCHAR)) m)) AS top_value,
+              GROUP BY CAST({col} AS STRING)) m)) AS top_value,
            (SELECT MAX(c) FROM (
               SELECT COUNT(*) AS c FROM orders WHERE {col} IS NOT NULL
-              GROUP BY CAST({col} AS VARCHAR)) m) AS top_count
+              GROUP BY CAST({col} AS STRING)) m) AS top_count
     FROM orders
     """
 
@@ -897,7 +897,7 @@ def q_funnel_by_segment(spark, sf_dir):
     oracle="""
     WITH old AS (
         SELECT o_orderkey AS k,
-               md5(o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR))
+               md5(o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS STRING))
                    AS row_hash
         FROM orders
     ),
@@ -906,7 +906,7 @@ def q_funnel_by_segment(spark, sf_dir):
                md5(CASE WHEN o_orderkey % 7 = 0 THEN 'X'
                         ELSE o_orderstatus END
                    || '|' ||
-                   CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS row_hash
+                   CAST(ROUND(o_totalprice, 2) AS STRING)) AS row_hash
         FROM orders WHERE o_orderkey % 11 <> 0
     )
     SELECT change_type, CAST(cnt AS BIGINT) AS cnt FROM (

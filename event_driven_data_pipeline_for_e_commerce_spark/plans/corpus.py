@@ -273,7 +273,7 @@ def q_masked_ship_kpis(spark, sf_dir):
         SELECT c_custkey,
                CAST(list_sum(list_transform(generate_series(1, 8),
                    k -> (strpos('0123456789abcdef',
-                                substr(md5(CAST(c_custkey AS VARCHAR)), k, 1)) - 1)
+                                substr(md5(CAST(c_custkey AS STRING)), k, 1)) - 1)
                         * 16 ** (8 - k))) AS BIGINT) AS h
         FROM customer
     )
@@ -810,7 +810,7 @@ def q_limit_preview(spark, sf_dir):
     FROM customer
     UNION ALL
     SELECT s_suppkey AS entity_id, s_name AS entity_name,
-           CAST(NULL AS VARCHAR) AS segment, 'supplier' AS entity_kind
+           CAST(NULL AS STRING) AS segment, 'supplier' AS entity_kind
     FROM supplier
     """,
 )
@@ -862,9 +862,9 @@ def q_ship_delay_days(spark, sf_dir):
     oracle="""
     SELECT c_custkey,
            md5(concat(
-               COALESCE(CAST(c_name AS VARCHAR), ''),
-               COALESCE(CAST(c_nationkey AS VARCHAR), ''),
-               COALESCE(CAST(c_mktsegment AS VARCHAR), '')
+               COALESCE(CAST(c_name AS STRING), ''),
+               COALESCE(CAST(c_nationkey AS STRING), ''),
+               COALESCE(CAST(c_mktsegment AS STRING), '')
            )) AS row_hash
     FROM customer
     """,
@@ -1246,7 +1246,7 @@ def q_purchase_attribution(spark, sf_dir):
     oracle="""
     WITH base AS (
         SELECT o_orderkey AS order_id, o_orderstatus AS status,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_str
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS total_str
         FROM orders
     ),
     tgt AS (
@@ -1261,12 +1261,12 @@ def q_purchase_attribution(spark, sf_dir):
     staging AS (
         SELECT order_id,
                CASE WHEN order_id % 3 = 0 THEN 'X' ELSE status END AS status,
-               CASE WHEN order_id % 5 = 0 THEN CAST(CAST(order_id AS DECIMAL(18,2)) AS VARCHAR)
+               CASE WHEN order_id % 5 = 0 THEN CAST(CAST(order_id AS DECIMAL(18,2)) AS STRING)
                     ELSE total_str END AS total_str
         FROM base
         UNION ALL
         SELECT order_id + 1000000, 'NEW',
-               CAST(CAST(1 AS DECIMAL(18,2)) AS VARCHAR)
+               CAST(CAST(1 AS DECIMAL(18,2)) AS STRING)
         FROM base WHERE order_id % 100 = 0
     ),
     st AS (
@@ -1299,8 +1299,8 @@ def q_purchase_attribution(spark, sf_dir):
         FROM j WHERE s_key IS NOT NULL AND (t_key IS NULL OR t_hash <> s_hash)
     )
     SELECT order_id, status, total_str, row_hash, order_sk,
-           CAST(valid_from AS VARCHAR) AS valid_from,
-           CAST(valid_to AS VARCHAR) AS valid_to,
+           CAST(valid_from AS STRING) AS valid_from,
+           CAST(valid_to AS STRING) AS valid_to,
            is_current
     FROM (SELECT * FROM unchanged
           UNION ALL SELECT * FROM expired
@@ -1771,12 +1771,12 @@ def q_order_price_histogram(spark, sf_dir):
         SELECT c_custkey, c_nationkey,
                (CAST(list_sum(list_transform(generate_series(1, 8),
                     k -> (strpos('0123456789abcdef',
-                                 substr(md5(CAST(c_custkey AS VARCHAR)), k, 1)) - 1)
+                                 substr(md5(CAST(c_custkey AS STRING)), k, 1)) - 1)
                          * 16 ** (8 - k))) AS BIGINT) % 120000) / 1000.0 - 60
                    AS lat,
                ((CAST(list_sum(list_transform(generate_series(1, 8),
                     k -> (strpos('0123456789abcdef',
-                                 substr(md5(CAST(c_custkey AS VARCHAR)), k, 1)) - 1)
+                                 substr(md5(CAST(c_custkey AS STRING)), k, 1)) - 1)
                          * 16 ** (8 - k))) AS BIGINT) // 120000) % 360000) / 1000.0
                    - 180 AS lon
         FROM customer
@@ -1852,3 +1852,7 @@ from . import round3b_queries  # noqa: E402,F401
 
 # round-4 additions: ANN recall contracts, composed pipeline marts
 from . import round4_queries  # noqa: E402,F401
+
+# round-5 additions: window bands, robust-stat audits, calendar
+# profiles, LLM-pipeline quality follow-ons
+from . import round5_queries  # noqa: E402,F401

@@ -257,7 +257,7 @@ _MINHASH_CTES = rf"""toks AS (
     ),
     bands AS (
         SELECT doc_id, CAST(CEIL(hi / {ROWS_PER_BAND}.0) AS INT) AS band,
-               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY hi) AS band_key
+               string_agg(CAST(sig AS STRING), '|' ORDER BY hi) AS band_key
         FROM mh GROUP BY doc_id, CAST(CEIL(hi / {ROWS_PER_BAND}.0) AS INT)
     ),
     cand AS (
@@ -706,7 +706,7 @@ def q_doc_chunks(spark, sf_dir):
     "doc_train_split",
     oracle="""
     SELECT doc_id,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+           CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
                 THEN 'train' ELSE 'eval' END AS split
     FROM documents
     """,
@@ -791,7 +791,7 @@ def q_doc_tfidf_top_terms(spark, sf_dir):
     oracle="""
     SELECT doc_id, lang
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 2)
           < CASE WHEN lang = 'en' THEN '33' ELSE '80' END
     """,
 )
@@ -950,8 +950,8 @@ def q_video_frame_grid(spark, sf_dir):
     oracle="""
     WITH pii AS (
         SELECT doc_id,
-               'contact ' || source || CAST(doc_id AS VARCHAR) || '@example.com call 555-'
-                 || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw
+               'contact ' || source || CAST(doc_id AS STRING) || '@example.com call 555-'
+                 || lpad(CAST(doc_id * 7919 % 10000 AS STRING), 4, '0') || ' ' || text AS raw
         FROM documents
     )
     SELECT doc_id,
@@ -1765,10 +1765,10 @@ MIX_DEFAULT_256 = 26
     WITH d AS (
         SELECT source,
                CAST(strpos('0123456789abcdef',
-                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                           substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1
                     AS BIGINT) * 16
                + CAST(strpos('0123456789abcdef',
-                             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                             substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1
                       AS BIGINT) AS u,
                CASE source
                  WHEN 'src0' THEN 256 WHEN 'src1' THEN 128

@@ -32,9 +32,9 @@ CMS_TOP_K = 20
 # hash row r reads hex digit pair (2r+1, 2r+2) of ONE md5 per key —
 # the exact arithmetic operators.sketches.cms_bucket compiles to
 _CMS_BUCKET_SQL = (
-    "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS VARCHAR)),"
+    "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS STRING)),"
     " 2 * {r} + 1, 1)) - 1) * 16"
-    " + strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS VARCHAR)),"
+    " + strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS STRING)),"
     " 2 * {r} + 2, 1)) - 1) % "
     f"{CMS_WIDTH}"
 )
@@ -1663,7 +1663,7 @@ _BENFORD_SQL_CASE = "CAST(CASE digit " + " ".join(
     oracle=f"""
     WITH digits AS (
         SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                                AS STRING), 1, 1) AS BIGINT) AS digit
         FROM orders
     ),
     n AS (SELECT COUNT(*) AS n FROM digits)

@@ -337,7 +337,7 @@ _BLOOM_NATION_MAX = 5  # dim predicate: suppliers with nationkey < 5
 
 
 def _bloom_pos_sql(r: int) -> str:
-    h = "md5('bloom:' || CAST(s_suppkey AS VARCHAR))"
+    h = "md5('bloom:' || CAST(s_suppkey AS STRING))"
     digit = (
         "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
     )
@@ -348,7 +348,7 @@ def _bloom_pos_sql(r: int) -> str:
 
 
 def _bloom_probe_sql(r: int) -> str:
-    h = "md5('bloom:' || CAST(l_suppkey AS VARCHAR))"
+    h = "md5('bloom:' || CAST(l_suppkey AS STRING))"
     digit = (
         "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
     )
@@ -631,10 +631,10 @@ def q_basket_association_rules(spark, sf_dir):
     WITH delayed AS (
         SELECT user_id, ts, event_id,
                epoch_us(ts)
-               + ((strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096
-                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256
-                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS VARCHAR)), 4, 1)) - 1)
+               + ((strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 4, 1)) - 1)
                  ) % 7200 * 1000000 AS arrival_us
         FROM events WHERE user_id IS NOT NULL
     ),

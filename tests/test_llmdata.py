@@ -28,9 +28,106 @@ def _media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image_features(_media(spark), fake=False)
+def _encode_png(pixels, filters):
+    """Minimal PNG encoder (test-side ground truth): applies the
+    requested PNG filter per scanline, deflates, and frames the chunk
+    stream — so the decoder under test must reconstruct through every
+    filter type it claims to support."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride = w * c
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+            enc = row - ((left + prev) >> 1)
+        else:  # paeth
+            enc = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(row[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                enc[x] = row[x] - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        # split IDAT to exercise concatenated-chunk handling
+        + chunk(b"IDAT", comp[: len(comp) // 2])
+        + chunk(b"IDAT", comp[len(comp) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_roundtrip_all_filters():
+    """decode_png must reconstruct exact pixels through every PNG
+    filter type (None/Sub/Up/Average/Paeth) for RGB, RGBA, and
+    greyscale, across concatenated IDAT chunks."""
+    import numpy as np
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for channels in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(11, 7, channels), dtype=np.uint8)
+        buf = _encode_png(px, filters=[0, 1, 2, 3, 4])
+        out = decode_png(buf)
+        assert out.shape == px.shape, channels
+        assert (out == px).all(), f"filter reconstruction broke c={channels}"
+
+
+def test_multimodal_real_decode_png_payload(spark):
+    """Production path (fake=False): a REAL PNG byte payload decodes to
+    pixel statistics; undecodable payloads quarantine as n_bytes=-1
+    instead of failing the Arrow batch (VERDICT r4 #5)."""
+    import numpy as np
+
+    px = np.full((4, 5, 3), 200, dtype=np.uint8)
+    px[:, :, 1] = 100  # G channel differs: mean = (200+100+200)/3
+    rows = [
+        (1, "image", bytearray(_encode_png(px, filters=[0, 1, 2])), 5, 4, None),
+        (2, "image", bytearray(b"\xff\xd8 not-a-png"), 32, 32, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_image_features(media, fake=False).collect()}
+    assert got[1]["n_bytes"] == 4 * 5 * 3
+    assert got[1]["byte_mean"] == pytest.approx((200 + 100 + 200) / 3)
+    assert got[1]["head_hash"] != ""
+    assert got[2]["n_bytes"] == -1 and got[2]["head_hash"] == ""
 
 
 def test_multimodal_fake_decode_schema_and_values(spark):
