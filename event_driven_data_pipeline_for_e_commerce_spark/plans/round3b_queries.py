@@ -1482,7 +1482,8 @@ def q_metric_cube_region_priority(spark, sf_dir):
 @query(
     "activity_heatmap",
     oracle="""
-    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+    SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-04') % 7 AS BIGINT)
+               AS dow,
            CAST(hour(ts) AS BIGINT) AS hour,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
@@ -1504,9 +1505,13 @@ def q_activity_heatmap(spark, sf_dir):
     return (
         t["events"]
         .groupBy(
-            # Spark dayofweek is 1=Sunday..7; normalize to the 0=Sunday..6
-            # convention (DuckDB/ISO-adjacent) the mart publishes
-            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            # 0=Sunday..6 via epoch-day arithmetic from a known Sunday
+            # (1970-01-04) — the one dow encoding DuckDB, DuckDB-as-
+            # oracle AND verbatim spark.sql all agree on (dayofweek()
+            # is Sunday=0 in DuckDB but Sunday=1 in Spark SQL)
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-04")) % 7
+            ).cast("long").alias("dow"),
             F.hour("ts").cast("long").alias("hour"),
         )
         .agg(

@@ -973,6 +973,11 @@ def q_minhash_recall_stats(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
+    # pinned: BOTH the caught semi-join and the n_true_pairs count
+    # consume truth; unpinned, each re-runs the quadratic
+    # all-pairs-per-shingle join (the single most expensive stage in
+    # the whole bench corpus)
+    truth = pin(truth)
     cand = (
         minhash_near_duplicates(
             docs, "text", "doc_id",

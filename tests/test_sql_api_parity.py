@@ -2,14 +2,16 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 115 of
-the 212 ANALYZE VERBATIM on Spark SQL and 112 of those are row-equal
-to the DataFrame implementation at sf0.001 (the non-analyzable rest
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 119 of
+the 238 ANALYZE VERBATIM on Spark SQL and 117 of those are row-equal
+to the DataFrame implementation at sf0.001. The non-analyzable rest
 use DuckDB-specific surfaces — list_dot_product / string_split_regex
-/ strftime / generate_series / `//` division / list indexing; the 3
-analyzable-but-unequal are doc_clean_normalize, activity_heatmap and
-source_char_class_profile, which hit regex/locale semantic gaps
-between engines). This test pins a diverse 50-query subset and
+/ strftime / generate_series / `//` division / list indexing /
+date-minus-date day arithmetic. The 2 analyzable-but-unequal
+(doc_clean_normalize, source_char_class_profile) depend on `\s`-class
+regexes, which Spark SQL string literals swallow (its parser consumes
+the backslash; DuckDB keeps it) with no escape form both engines
+accept. This test pins a diverse 50-query subset and
 requires exact row-level equality between `spark.sql(oracle_text)`
 and the DataFrame-API implementation — the in-engine proof that a
 SQL-first user of the reference can bring their queries over
@@ -50,6 +52,10 @@ PORTABLE = [
     "media_feature_extract", "q8_market_share", "orders_column_profile",
     "supplier_momentum_ewm", "copurchase_triangle_census",
     "revenue_motif_search",
+    # round-5 additions that are verbatim-portable
+    "customer_spend_quartile_bands", "nation_revenue_rank_stability",
+    "orders_price_zscore_outliers", "brand_price_variance_decomposition",
+    "tax_discount_joint_histogram",
 ]
 
 
