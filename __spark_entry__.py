@@ -39,8 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # to _PRIOR_GREEN; promote code-touched re-checks first:
 # scd2_merge_orders (merge-join pin), customer_pareto_abc /
 # part_revenue_gini / emb_ann_recall_contract (pin-registry
-# refactor), media_feature_extract (real-decode seam) — then round-6
-# registrations fill the rest.
+# refactor), media_feature_extract (real-decode seam) — then the 7
+# round-6-staged registrations already sitting first in the mid
+# section (emb_label_knn_accuracy, doc_perplexity_by_source,
+# doc_contamination_by_split, customer_value_migration,
+# orders_backlog_aging, nation_trade_balance,
+# order_priority_sla_attainment) and any new round-6 work.
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",

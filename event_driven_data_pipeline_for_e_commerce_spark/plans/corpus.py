@@ -1856,3 +1856,6 @@ from . import round4_queries  # noqa: E402,F401
 # round-5 additions: window bands, robust-stat audits, calendar
 # profiles, LLM-pipeline quality follow-ons
 from . import round5_queries  # noqa: E402,F401
+
+# round-6-staged additions: composed quality contracts + analytics
+from . import round6_queries  # noqa: E402,F401
