@@ -50,6 +50,72 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def nearest_seed_l2(vec_col: Column, seeds, id_field: str = "cluster_id") -> Column:
+    """Map-side nearest-seed assignment: given ``seeds`` as a list of
+    ``(seed_id, [floats])`` collected driver-side (the sanctioned
+    broadcast-params collect — k tiny vectors), returns a struct
+    column ``(d2, <id_field>)`` for the closest seed by squared L2,
+    ties to the lowest id.
+
+    This replaces the crossJoin + PARTITION BY vec window shape,
+    which shuffles corpus×k rows just to rank k candidates per
+    vector: each seed's d2 is one fixed-order zip_with fold (same
+    arithmetic the window form used), the k candidates form an array
+    of structs, and ``array_min`` picks the (d2, id)-lexicographic
+    minimum — zero shuffle, zero sort, identical semantics to
+    ``ROW_NUMBER() OVER (PARTITION BY vec ORDER BY d2, id) = 1``."""
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(int(sid)).alias(id_field),
+        )
+        for sid, cv in seeds
+    ])
+    return F.array_min(cands)
+
+
+def nearest_seed_cosine(vec_col: Column, seeds, id_field: str = "list_id") -> Column:
+    """Cosine twin of ``nearest_seed_l2``: map-side argmax of cosine
+    similarity over driver-collected ``(seed_id, [floats])`` seeds,
+    ties to the LOWEST id (the id is negated inside the comparison
+    struct so ``array_max`` breaks equal-similarity ties toward the
+    smallest id — identical to ``ROW_NUMBER() OVER (ORDER BY csim
+    DESC, id ASC) = 1``). Returns a struct ``(csim, <id_field>)``."""
+    import math
+
+    n_v = norm(vec_col)
+    cands = F.array(*[
+        F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (n_v * F.lit(math.sqrt(sum(float(x) * float(x) for x in cv))))
+            ).alias("csim"),
+            F.lit(-int(sid)).alias("__neg_id"),
+        )
+        for sid, cv in seeds
+    ])
+    best = F.array_max(cands)
+    return F.struct(
+        best["csim"].alias("csim"), (-best["__neg_id"]).alias(id_field)
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

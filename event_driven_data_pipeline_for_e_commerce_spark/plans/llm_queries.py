@@ -1373,27 +1373,23 @@ def q_emb_kmeans_assign(spark, sf_dir):
     used by emb_label_centroids. Iterating = re-broadcasting k new
     centroids; no step shuffles the corpus.
     """
+    from ..llmdata.similarity import nearest_seed_l2
+
     t = load_tables(spark, sf_dir)
     e = ensure_parallelism(t["embeddings"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = (
-        e.filter(F.col("vec_id") < KMEANS_K)
-        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv"))
-    )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("d2", dist2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster_id")
-    )
+    # k tiny seed vectors collected driver-side (broadcast-params
+    # collect) so the assignment is one map-side argmin — the former
+    # crossJoin + PARTITION BY vec_id window shuffled corpus×k rows
+    # just to rank k candidates per vector
+    seeds = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    assigned = e.withColumn(
+        "__best", nearest_seed_l2(F.col("v"), seeds)
+    ).select("vec_id", "v", F.col("__best.cluster_id").alias("cluster_id"))
     pos = assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
     cent = pos.groupBy("cluster_id", "pos").agg(F.avg("x").alias("cx"))
     norms = cent.groupBy("cluster_id").agg(

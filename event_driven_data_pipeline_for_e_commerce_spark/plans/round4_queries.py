@@ -254,8 +254,9 @@ def q_emb_ivf_nprobe_sweep(spark, sf_dir):
     truth/probe-rank is query-set-grain (k rows per query)."""
     from ..llmdata.similarity import (
         _as_double,
-        dot,
         ivf_centroids,
+        nearest_seed_cosine,
+        dot,
         norm,
     )
     from ..operators.partitioning import ensure_parallelism
@@ -265,21 +266,23 @@ def q_emb_ivf_nprobe_sweep(spark, sf_dir):
     cents = ivf_centroids(emb, _IVF_LISTS).withColumn(
         "n_cv", norm(F.col("cv"))
     )
+    # corpus assignment: centroids collected driver-side (16 tiny
+    # vectors) -> zero-shuffle map-side argmax, replacing the
+    # crossJoin + PARTITION BY vec window that shuffled corpus×lists
+    # rows to rank 16 candidates per vector
+    seeds = [
+        (r["list_id"], r["cv"])
+        for r in ivf_centroids(emb, _IVF_LISTS).collect()
+    ]
     corpus = ensure_parallelism(
         emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("v"))
     )
+    inv = corpus.withColumn(
+        "__best", nearest_seed_cosine(F.col("v"), seeds, "list_id")
+    ).select("neighbor_id", F.col("__best.list_id").alias("list_id"))
+    # probe ranks stay a window — the frame is query-set-sized
+    # (5 queries × 16 lists), not corpus-sized
     csim = lambda vcol, ncol: dot(F.col(vcol), F.col("cv")) / (ncol * F.col("n_cv"))
-    inv_rank = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("__csim"), F.asc("list_id")
-    )
-    inv = (
-        corpus.withColumn("n_v", norm(F.col("v")))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__csim", csim("v", F.col("n_v")))
-        .withColumn("__rn", F.row_number().over(inv_rank))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "list_id")
-    )
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
     )

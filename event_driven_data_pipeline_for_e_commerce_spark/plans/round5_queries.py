@@ -735,37 +735,34 @@ def q_emb_ivf_list_balance(spark, sf_dir):
     balanced lists are what make nprobe a predictable cost knob
     (pairs with emb_ivf_nprobe_sweep).
 
-    Scale shape: centroids broadcast, assignment is the same map-side
-    pass the IVF search audits (window partitioned per vector over
-    {_IVF_BAL_LISTS} rows), one groupBy to the list grain."""
-    from ..llmdata.similarity import _as_double, dot, ivf_centroids, norm
+    Scale shape: centroids collected driver-side and inlined as
+    literals (broadcast params), assignment a zero-shuffle map-side
+    cosine argmax, one groupBy to the list grain."""
+    from ..llmdata.similarity import (
+        _as_double,
+        ivf_centroids,
+        nearest_seed_cosine,
+    )
     from ..operators.partitioning import ensure_parallelism
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    cents = ivf_centroids(emb, _IVF_BAL_LISTS).withColumn(
-        "n_cv", norm(F.col("cv"))
-    )
+    # centroids collected driver-side (16 tiny vectors) -> zero-shuffle
+    # map-side argmax; the former crossJoin + PARTITION BY vec window
+    # shuffled corpus×lists rows just to rank 16 candidates per vector
+    seeds = [
+        (r["list_id"], r["cv"])
+        for r in ivf_centroids(emb, _IVF_BAL_LISTS).collect()
+    ]
     corpus = ensure_parallelism(
         emb.select(
             F.col("vec_id").alias("neighbor_id"),
             _as_double("embedding").alias("v"),
         )
     )
-    rank_w = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("__csim"), F.asc("list_id")
-    )
-    inv = (
-        corpus.withColumn("n_v", norm(F.col("v")))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "__csim",
-            dot(F.col("v"), F.col("cv")) / (F.col("n_v") * F.col("n_cv")),
-        )
-        .withColumn("__rn", F.row_number().over(rank_w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "list_id")
-    )
+    inv = corpus.withColumn(
+        "__best", nearest_seed_cosine(F.col("v"), seeds, "list_id")
+    ).select("neighbor_id", F.col("__best.list_id").alias("list_id"))
     total = inv.count()
     return (
         inv.groupBy("list_id")
@@ -816,33 +813,29 @@ def q_emb_kmeans_inertia(spark, sf_dir):
     per row (ROUND(d2*1e6)) BEFORE summing, so the per-cluster total
     is an exact BIGINT sum with no float merge-order sensitivity.
 
-    Scale shape: seeds broadcast, assignment map-side (window over
-    {_KM_K} rows per vector), one groupBy to the k-row grain."""
+    Scale shape: seeds collected driver-side and inlined as literals
+    (broadcast params), assignment a zero-shuffle map-side argmin
+    (array_min over k (d2, id) structs), one groupBy to the k-row
+    grain."""
+    from ..llmdata.similarity import nearest_seed_l2
     from ..operators.partitioning import ensure_parallelism
 
     t = load_tables(spark, sf_dir)
     e = ensure_parallelism(t["embeddings"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    a = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    # seeds collected driver-side (k tiny vectors) -> map-side argmin;
+    # no corpus×k shuffle, no per-vector window (same rewrite as
+    # emb_kmeans_assign)
+    seeds = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    a = e.withColumn("__best", nearest_seed_l2(F.col("v"), seeds))
     return (
         a.select(
-            "cluster_id",
-            F.round(F.col("d2") * 1000000).cast("long").alias("t_e6"),
+            F.col("__best.cluster_id").alias("cluster_id"),
+            F.round(F.col("__best.d2") * 1000000).cast("long").alias("t_e6"),
         )
         .groupBy("cluster_id")
         .agg(
