@@ -45,7 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # section (emb_label_knn_accuracy, doc_perplexity_by_source,
 # doc_contamination_by_split, customer_value_migration,
 # orders_backlog_aging, nation_trade_balance,
-# order_priority_sla_attainment) and any new round-6 work.
+# order_priority_sla_attainment, emb_pca_reconstruction_error) and
+# any new round-6 work.
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",

@@ -441,3 +441,128 @@ def q_order_priority_sla_attainment(spark, sf_dir):
             F.expr("n_within_sla * 10000 DIV n_orders"),
         )
     )
+
+
+@query(
+    "emb_pca_reconstruction_error",
+    oracle=None,  # composed below from the top-PC oracle's CTE chain
+)
+def q_emb_pca_reconstruction_error(spark, sf_dir):
+    """Rank-1 PCA reconstruction error: how much corpus variance the
+    top principal component explains — the dimensionality-reduction
+    go/no-go metric on top of the registered power-iteration query
+    (a high explained share licenses aggressive projection before
+    clustering/dedup; a low one says the embedding space is
+    genuinely high-rank).
+
+    Parity: the component is derived by the same three power
+    iterations as the base query (same fold order, full precision);
+    per-vector total and residual energies are scaled to integer e4
+    units BEFORE the BIGINT sums, so the corpus aggregates carry no
+    float merge-order sensitivity.
+
+    Scale shape: the MLlib pattern again — 64 means + 64-float
+    component on the driver, every corpus pass map-side folds plus a
+    64-cell treeAggregate-style rollup; the final contract is one
+    distributed pass emitting 3 integers."""
+    import math
+
+    from .round3b_queries import PCA_ITERS
+    from ..operators.partitioning import ensure_parallelism
+    from ..operators.pinning import pin
+
+    t = load_tables(spark, sf_dir)
+    emb = ensure_parallelism(t["embeddings"]).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    mean_rows = (
+        emb.select(F.posexplode("e").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mu"))
+        .collect()
+    )
+    mu = [r.mu for r in sorted(mean_rows, key=lambda r: r.pos)]
+    dims = len(mu)
+    cent = pin(
+        emb.select(
+            "vec_id",
+            F.zip_with(
+                "e", F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
+            ).alias("c"),
+        )
+    )
+    v = [1.0 / math.sqrt(dims)] * dims
+    for _ in range(PCA_ITERS):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        dot = F.aggregate(
+            F.zip_with("c", v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_rows = (
+            cent.select(dot.alias("dot"), F.posexplode("c").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("dot") * F.col("val")).alias("w"))
+            .collect()
+        )
+        w = [r.w for r in sorted(w_rows, key=lambda r: r.pos)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [x / nrm for x in w]
+    v_lit = F.array(*[F.lit(x) for x in v])
+    proj = F.aggregate(
+        F.zip_with("c", v_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ss = F.aggregate(
+        F.transform("c", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pervec = cent.select(
+        F.round(ss * 10000).cast("long").alias("ss_e4"),
+        F.round((ss - proj * proj) * 10000).cast("long").alias("resid_e4"),
+    )
+    return pervec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("ss_e4").alias("ss_total_e4"),
+        F.sum("resid_e4").alias("resid_total_e4"),
+    ).withColumn(
+        "explained_bp",
+        F.expr("(ss_total_e4 - resid_total_e4) * 10000 DIV ss_total_e4"),
+    )
+
+
+def _pca_recon_oracle() -> str:
+    """Reuses the registered top-PC oracle's CTE chain (everything up
+    to its final SELECT) so the component derivation can never drift
+    from what emb_top_principal_component's correctness row verifies,
+    then adds the residual-energy contract on top."""
+    base = ORACLES["emb_top_principal_component"]
+    cut = base.index("SELECT v.dim, ROUND")
+    ctes = base[:cut].rstrip().rstrip(")") + ")"
+    # `ctes` now ends at the close of the v4 CTE
+    return f"""{ctes},
+    proj AS (
+        SELECT c.vec_id, SUM(c.val * v.v) AS p
+        FROM cell c JOIN v4 v USING (dim) GROUP BY c.vec_id
+    ),
+    tot AS (
+        SELECT vec_id, SUM(val * val) AS ss FROM cell GROUP BY vec_id
+    ),
+    pervec AS (
+        SELECT CAST(ROUND(t.ss * 10000) AS BIGINT) AS ss_e4,
+               CAST(ROUND((t.ss - p.p * p.p) * 10000) AS BIGINT) AS resid_e4
+        FROM tot t JOIN proj p USING (vec_id)
+    )
+    SELECT COUNT(*) AS n_vecs,
+           CAST(SUM(ss_e4) AS BIGINT) AS ss_total_e4,
+           CAST(SUM(resid_e4) AS BIGINT) AS resid_total_e4,
+           CAST((SUM(ss_e4) - SUM(resid_e4)) * 10000 // SUM(ss_e4)
+                AS BIGINT) AS explained_bp
+    FROM pervec
+    """
+
+
+ORACLES["emb_pca_reconstruction_error"] = _pca_recon_oracle()
