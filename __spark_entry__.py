@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scd2_merge_orders (merge-join pin), customer_pareto_abc /
 # part_revenue_gini / emb_ann_recall_contract (pin-registry
 # refactor), media_feature_extract (real-decode seam),
-# emb_kmeans_assign (map-side argmin rewrite) — then the 7
+# emb_kmeans_assign (map-side argmin rewrite) — then the 8
 # round-6-staged registrations already sitting first in the mid
 # section (emb_label_knn_accuracy, doc_perplexity_by_source,
 # doc_contamination_by_split, customer_value_migration,
