@@ -40,13 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # scd2_merge_orders (merge-join pin), customer_pareto_abc /
 # part_revenue_gini / emb_ann_recall_contract (pin-registry
 # refactor), media_feature_extract (real-decode seam),
-# emb_kmeans_assign (map-side argmin rewrite) — then the 8
+# emb_kmeans_assign (map-side argmin rewrite) — then the 13
 # round-6-staged registrations already sitting first in the mid
 # section (emb_label_knn_accuracy, doc_perplexity_by_source,
 # doc_contamination_by_split, customer_value_migration,
 # orders_backlog_aging, nation_trade_balance,
-# order_priority_sla_attainment, emb_pca_reconstruction_error) and
-# any new round-6 work.
+# order_priority_sla_attainment, emb_pca_reconstruction_error,
+# order_linecount_histogram, doc_token_budget_curve, doc_hapax_rate,
+# supplier_revenue_lorenz, emb_quantile_clip_bounds) and any new
+# round-6 work.
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",

@@ -1859,3 +1859,7 @@ from . import round5_queries  # noqa: E402,F401
 
 # round-6-staged additions: composed quality contracts + analytics
 from . import round6_queries  # noqa: E402,F401
+
+# round-6-staged additions, part 2: order-shape/token-budget/hapax/
+# Lorenz/clip-bounds
+from . import round6b_queries  # noqa: E402,F401
