@@ -2,8 +2,8 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 119 of
-the 238 ANALYZE VERBATIM on Spark SQL and 117 of those are row-equal
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 122 of
+the 251 ANALYZE VERBATIM on Spark SQL and 120 of those are row-equal
 to the DataFrame implementation at sf0.001. The non-analyzable rest
 use DuckDB-specific surfaces — list_dot_product / string_split_regex
 / strftime / generate_series / `//` division / list indexing /
@@ -25,7 +25,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 112 verbatim-portable row-equal
+# Diverse pinned subset of the 120 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5 additions.
