@@ -41,7 +41,7 @@ from .tables import load_tables
         SELECT cohort_month, COUNT(*) AS cohort_users
         FROM cohorts GROUP BY cohort_month
     )
-    SELECT strftime(j.cohort_month, '%Y-%m') AS cohort,
+    SELECT substr(CAST(j.cohort_month AS STRING), 1, 7) AS cohort,
            j.month_offset,
            COUNT(DISTINCT j.user_id) AS active_users,
            s.cohort_users,
@@ -661,10 +661,10 @@ def q_daily_conversion_rates(spark, sf_dir):
     "order_value_quantile_bands",
     oracle="""
     SELECT c.c_mktsegment,
-           ROUND(quantile_disc(o.o_totalprice, 0.25), 2) AS p25,
-           ROUND(quantile_disc(o.o_totalprice, 0.50), 2) AS p50,
-           ROUND(quantile_disc(o.o_totalprice, 0.75), 2) AS p75,
-           ROUND(quantile_disc(o.o_totalprice, 0.90), 2) AS p90
+           ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY o.o_totalprice), 2) AS p25,
+           ROUND(percentile_disc(0.50) WITHIN GROUP (ORDER BY o.o_totalprice), 2) AS p50,
+           ROUND(percentile_disc(0.75) WITHIN GROUP (ORDER BY o.o_totalprice), 2) AS p75,
+           ROUND(percentile_disc(0.90) WITHIN GROUP (ORDER BY o.o_totalprice), 2) AS p90
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
@@ -987,8 +987,8 @@ def q_snapshot_diff_reconciliation(spark, sf_dir):
     oracle="""
     WITH cuts AS (
         SELECT c.c_mktsegment AS seg,
-               quantile_disc(o.o_totalprice, 0.01) AS lo,
-               quantile_disc(o.o_totalprice, 0.99) AS hi
+               percentile_disc(0.01) WITHIN GROUP (ORDER BY o.o_totalprice) AS lo,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o.o_totalprice) AS hi
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY seg
     )

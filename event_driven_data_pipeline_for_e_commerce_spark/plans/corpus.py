@@ -272,7 +272,7 @@ def q_masked_ship_kpis(spark, sf_dir):
     WITH seg AS (
         SELECT c_custkey,
                CAST(list_sum(list_transform(generate_series(1, 8),
-                   k -> (strpos('0123456789abcdef',
+                   k -> (instr('0123456789abcdef',
                                 substr(md5(CAST(c_custkey AS STRING)), k, 1)) - 1)
                         * 16 ** (8 - k))) AS BIGINT) AS h
         FROM customer
@@ -312,7 +312,7 @@ def q_deterministic_segments(spark, sf_dir):
     "render_timestamps",
     oracle="""
     SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS rendered,
+           substr(CAST(o_orderdate AS STRING), 1, 16) AS rendered,
            CAST(o_orderdate AS DATE) AS purchase_date
     FROM orders
     """,
@@ -441,7 +441,8 @@ def q_brand_performance(spark, sf_dir):
 @query(
     "date_sk_rollup",
     oracle="""
-    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_sk,
+    SELECT CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate) AS BIGINT) AS date_sk,
            count(*) AS order_cnt
     FROM orders GROUP BY 1
     """,
@@ -562,7 +563,7 @@ def q_cube_counts(spark, sf_dir):
 @query(
     "monthly_revenue",
     oracle="""
-    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
            ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders GROUP BY 1
     """,
@@ -580,7 +581,7 @@ def q_monthly_revenue(spark, sf_dir):
 @query(
     "monthly_revenue_by_status",
     oracle="""
-    SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+    SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month, o_orderstatus,
            ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders GROUP BY 1, 2
     """,
@@ -1010,10 +1011,10 @@ def q_event_id_dedup(spark, sf_dir):
     "sliding_weekly_revenue",
     oracle="""
     SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP)
-               - INTERVAL (g.k) DAY AS window_start,
+               - g.k * INTERVAL 1 DAY AS window_start,
            ROUND(SUM(e.value), 2) AS revenue,
            count(*) AS event_cnt
-    FROM events e CROSS JOIN generate_series(0, 6) AS g(k)
+    FROM events e CROSS JOIN range(0, 7) AS g(k)
     WHERE e.event_type = 'purchase'
     GROUP BY 1
     """,
@@ -1493,7 +1494,7 @@ def q_status_measures_unpivot(spark, sf_dir):
     "grouping_sets_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
            count(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
@@ -1770,12 +1771,12 @@ def q_order_price_histogram(spark, sf_dir):
     WITH pts AS (
         SELECT c_custkey, c_nationkey,
                (CAST(list_sum(list_transform(generate_series(1, 8),
-                    k -> (strpos('0123456789abcdef',
+                    k -> (instr('0123456789abcdef',
                                  substr(md5(CAST(c_custkey AS STRING)), k, 1)) - 1)
                          * 16 ** (8 - k))) AS BIGINT) % 120000) / 1000.0 - 60
                    AS lat,
                ((CAST(list_sum(list_transform(generate_series(1, 8),
-                    k -> (strpos('0123456789abcdef',
+                    k -> (instr('0123456789abcdef',
                                  substr(md5(CAST(c_custkey AS STRING)), k, 1)) - 1)
                          * 16 ** (8 - k))) AS BIGINT) // 120000) % 360000) / 1000.0
                    - 180 AS lon

@@ -215,7 +215,7 @@ def q_doc_fingerprints(spark, sf_dir):
     ),
     contrib AS (
         SELECT doc_id, b,
-               CASE WHEN (CAST(FLOOR((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+               CASE WHEN (CAST(FLOOR((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
                           / CAST(POW(2, b % 4) AS BIGINT)) AS BIGINT)) % 2 = 1
                     THEN 1 ELSE -1 END AS c
         FROM tb
@@ -245,7 +245,7 @@ _MINHASH_CTES = rf"""toks AS (
     sb AS (
         SELECT doc_id, shingle,
                CAST(list_sum(list_transform(generate_series(1, 8),
-                   k -> (strpos('0123456789abcdef', substr(md5(shingle), k, 1)) - 1)
+                   k -> (instr('0123456789abcdef', substr(md5(shingle), k, 1)) - 1)
                         * 16 ** (8 - k))) AS BIGINT) % 2147483647 AS base
         FROM sh
     ),
@@ -1695,7 +1695,7 @@ def q_audio_pcm_stats(spark, sf_dir):
     ),
     contrib AS (
         SELECT doc_id, b,
-               CASE WHEN (CAST(FLOOR((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+               CASE WHEN (CAST(FLOOR((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
                           / CAST(POW(2, b % 4) AS BIGINT)) AS BIGINT)) % 2 = 1
                     THEN 1 ELSE -1 END AS c
         FROM tb
@@ -1760,10 +1760,10 @@ MIX_DEFAULT_256 = 26
     oracle=f"""
     WITH d AS (
         SELECT source,
-               CAST(strpos('0123456789abcdef',
+               CAST(instr('0123456789abcdef',
                            substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1
                     AS BIGINT) * 16
-               + CAST(strpos('0123456789abcdef',
+               + CAST(instr('0123456789abcdef',
                              substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1
                       AS BIGINT) AS u,
                CASE source

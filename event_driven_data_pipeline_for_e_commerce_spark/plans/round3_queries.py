@@ -198,9 +198,9 @@ def q_doc_dedup_survivors(spark, sf_dir):
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
-           ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
-           ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens), 4) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens), 4) AS p90,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_tokens), 4) AS p99,
            MAX(n_tokens) AS max_tokens
     FROM n GROUP BY lang
     """,
@@ -410,7 +410,7 @@ def q_event_volume_anomalies(spark, sf_dir):
     SELECT c.c_mktsegment,
            COUNT(*) AS n_intervals,
            ROUND(AVG(g.gap_days), 4) AS avg_gap_days,
-           ROUND(quantile_cont(g.gap_days, 0.5), 4) AS median_gap_days,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY g.gap_days), 4) AS median_gap_days,
            MAX(g.gap_days) AS max_gap_days
     FROM gaps g
     JOIN customer c ON c.c_custkey = g.o_custkey
@@ -697,7 +697,7 @@ def q_doc_dedup_rate_by_source(spark, sf_dir):
     per_cust AS (
         SELECT o_custkey,
                COUNT(*) + 1 AS n_orders,
-               quantile_cont(gap_days, 0.5) AS median_gap_days,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_days) AS median_gap_days,
                MAX(o_orderdate) AS last_order
         FROM gaps WHERE gap_days IS NOT NULL
         GROUP BY o_custkey
@@ -768,7 +768,8 @@ def q_customer_churn_risk(spark, sf_dir):
                       AND (o_totalprice < 0 OR o_totalprice > 1000000000)
                      THEN 1 ELSE 0 END) AS rg_price,
             SUM(CASE WHEN o_orderpriority IS NOT NULL
-                      AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                      AND length(regexp_replace(o_orderpriority,
+                                                '^[1-5]-[A-Z ]+$', '')) > 0
                      THEN 1 ELSE 0 END) AS re_prio
         FROM orders
     )

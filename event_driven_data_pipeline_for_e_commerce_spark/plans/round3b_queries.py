@@ -32,9 +32,9 @@ CMS_TOP_K = 20
 # hash row r reads hex digit pair (2r+1, 2r+2) of ONE md5 per key —
 # the exact arithmetic operators.sketches.cms_bucket compiles to
 _CMS_BUCKET_SQL = (
-    "((strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS STRING)),"
+    "((instr('0123456789abcdef', substr(md5('cms:' || CAST({k} AS STRING)),"
     " 2 * {r} + 1, 1)) - 1) * 16"
-    " + strpos('0123456789abcdef', substr(md5('cms:' || CAST({k} AS STRING)),"
+    " + instr('0123456789abcdef', substr(md5('cms:' || CAST({k} AS STRING)),"
     " 2 * {r} + 2, 1)) - 1) % "
     f"{CMS_WIDTH}"
 )
@@ -46,7 +46,7 @@ _CMS_BUCKET_SQL = (
     WITH base AS (SELECT l_suppkey AS k FROM lineitem),
     hashed AS (
         SELECT k, u.r, {_CMS_BUCKET_SQL.format(r='u.r', k='k')} AS bucket
-        FROM base, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+        FROM base, range(0, {CMS_DEPTH}) AS u(r)
     ),
     sketch AS (
         SELECT r, bucket, COUNT(*) AS c FROM hashed GROUP BY r, bucket
@@ -59,7 +59,7 @@ _CMS_BUCKET_SQL = (
     probes AS (
         SELECT t.k, t.exact_cnt, u.r,
                {_CMS_BUCKET_SQL.format(r='u.r', k='t.k')} AS bucket
-        FROM top_k t, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+        FROM top_k t, range(0, {CMS_DEPTH}) AS u(r)
     )
     SELECT p.k AS suppkey, p.exact_cnt,
            MIN(s.c) AS cms_est,
@@ -242,7 +242,7 @@ def q_conversion_latency_histogram(spark, sf_dir):
         SELECT o_orderpriority, COUNT(*) AS g FROM orders GROUP BY 1
     ),
     glob_tot AS (SELECT SUM(g) AS gt FROM gl)
-    SELECT strftime(m.month, '%Y-%m') AS month,
+    SELECT substr(CAST(m.month AS STRING), 1, 7) AS month,
            -- exact-integer numerator (|c*gt - g*mt| in BIGINT, summed
            -- exactly), ONE division at the end — no float
            -- summation-order sensitivity (emb_pq_topk lesson)
@@ -1094,7 +1094,7 @@ def q_copurchase_triangle_census(spark, sf_dir):
     WITH base AS (SELECT l_partkey AS k FROM lineitem),
     hashed AS (
         SELECT k, u.r, {_CMS_BUCKET_SQL.format(r='u.r', k='k')} AS bucket
-        FROM base, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS u(r)
+        FROM base, range(0, {CMS_DEPTH}) AS u(r)
     ),
     sketch AS (
         SELECT r, bucket, COUNT(*) AS c FROM hashed GROUP BY r, bucket
@@ -1356,13 +1356,13 @@ def q_supplier_momentum_ewm(spark, sf_dir):
         SELECT date_trunc('week', fv) AS week, fv, fp
         FROM per_user WHERE fv IS NOT NULL
     )
-    SELECT strftime(week, '%Y-%m-%d') AS week_start,
+    SELECT substr(CAST(week AS STRING), 1, 10) AS week_start,
            COUNT(*) AS n_viewers,
            CAST(SUM(CASE WHEN fp >= fv
-                          AND epoch_us(fp) - epoch_us(fv) <= 604800000000
+                          AND fp <= fv + INTERVAL 7 DAY
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
            ROUND(SUM(CASE WHEN fp >= fv
-                           AND epoch_us(fp) - epoch_us(fv) <= 604800000000
+                           AND fp <= fv + INTERVAL 7 DAY
                           THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
                AS conversion_pct_7d
     FROM viewers GROUP BY week

@@ -222,7 +222,7 @@ def _ivf_nprobe_sweep_oracle() -> str:
         SELECT n.n AS nprobe, h.query_id,
                SUM(CASE WHEN h.pr <= n.n THEN 1 ELSE 0 END) * 1.0 / {ANN_K}
                    AS recall
-        FROM hit_rank h, UNNEST(generate_series(1, {IVF_SWEEP_MAX})) AS n(n)
+        FROM hit_rank h, range(1, {IVF_SWEEP_MAX + 1}) AS n(n)
         GROUP BY n.n, h.query_id
     )
     SELECT CAST(nprobe AS BIGINT) AS nprobe,
@@ -342,7 +342,7 @@ _BLOOM_NATION_MAX = 5  # dim predicate: suppliers with nationkey < 5
 def _bloom_pos_sql(r: int) -> str:
     h = "md5('bloom:' || CAST(s_suppkey AS STRING))"
     digit = (
-        "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+        "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
     )
     d1 = digit.format(h=h, p=3 * r + 1)
     d2 = digit.format(h=h, p=3 * r + 2)
@@ -353,7 +353,7 @@ def _bloom_pos_sql(r: int) -> str:
 def _bloom_probe_sql(r: int) -> str:
     h = "md5('bloom:' || CAST(l_suppkey AS STRING))"
     digit = (
-        "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+        "(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
     )
     d1 = digit.format(h=h, p=3 * r + 1)
     d2 = digit.format(h=h, p=3 * r + 2)
@@ -374,7 +374,7 @@ def _bloom_probe_sql(r: int) -> str:
             WHEN 1 THEN {_bloom_pos_sql(1)}
             WHEN 2 THEN {_bloom_pos_sql(2)}
             ELSE {_bloom_pos_sql(3)} END AS pos
-        FROM dim_keys, UNNEST(generate_series(0, {BLOOM_K - 1})) AS r(r)
+        FROM dim_keys, range(0, {BLOOM_K}) AS r(r)
     ),
     fact_keys AS (SELECT DISTINCT l_suppkey FROM lineitem),
     probes AS (
@@ -383,7 +383,7 @@ def _bloom_probe_sql(r: int) -> str:
             WHEN 1 THEN {_bloom_probe_sql(1)}
             WHEN 2 THEN {_bloom_probe_sql(2)}
             ELSE {_bloom_probe_sql(3)} END AS pos
-        FROM fact_keys f, UNNEST(generate_series(0, {BLOOM_K - 1})) AS r(r)
+        FROM fact_keys f, range(0, {BLOOM_K}) AS r(r)
     ),
     verdict AS (
         SELECT p.l_suppkey,
@@ -634,10 +634,10 @@ def q_basket_association_rules(spark, sf_dir):
     WITH delayed AS (
         SELECT user_id, ts, event_id,
                epoch_us(ts)
-               + ((strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 1, 1)) - 1) * 4096
-                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 2, 1)) - 1) * 256
-                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 3, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 4, 1)) - 1)
+               + ((instr('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 1, 1)) - 1) * 4096
+                  + (instr('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 2, 1)) - 1) * 256
+                  + (instr('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 3, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5('arr:' || CAST(event_id AS STRING)), 4, 1)) - 1)
                  ) % 7200 * 1000000 AS arrival_us
         FROM events WHERE user_id IS NOT NULL
     ),

@@ -282,8 +282,8 @@ def q_orders_price_zscore_outliers(spark, sf_dir):
     oracle="""
     WITH q AS (
         SELECT p_brand,
-               quantile_cont(p_retailprice, 0.25) AS q1,
-               quantile_cont(p_retailprice, 0.75) AS q3
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY p_retailprice) AS q1,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY p_retailprice) AS q3
         FROM part GROUP BY p_brand
     )
     SELECT p.p_brand,
@@ -1199,8 +1199,8 @@ def q_customer_type_concentration(spark, sf_dir):
     )
     SELECT month,
            COUNT(*) AS n_lines,
-           ROUND(quantile_cont(delay_days, 0.5), 4) AS p50_days,
-           ROUND(quantile_cont(delay_days, 0.95), 4) AS p95_days
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_days), 4) AS p50_days,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY delay_days), 4) AS p95_days
     FROM d GROUP BY month
     """,
 )

@@ -231,10 +231,10 @@ def q_supplier_revenue_lorenz(spark, sf_dir):
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS i(i)
     )
     SELECT dim,
-           ROUND(quantile_cont(val, 0.01), 4) AS p01,
-           ROUND(quantile_cont(val, 0.50), 4) AS p50,
-           ROUND(quantile_cont(val, 0.99), 4) AS p99,
-           ROUND(quantile_cont(val, 0.99) - quantile_cont(val, 0.01), 4)
+           ROUND(percentile_cont(0.01) WITHIN GROUP (ORDER BY val), 4) AS p01,
+           ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY val), 4) AS p50,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY val), 4) AS p99,
+           ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY val) - percentile_cont(0.01) WITHIN GROUP (ORDER BY val), 4)
                AS clip_range
     FROM v GROUP BY dim
     """,
