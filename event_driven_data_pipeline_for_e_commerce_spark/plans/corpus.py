@@ -1864,3 +1864,8 @@ from . import round6_queries  # noqa: E402,F401
 # round-6-staged additions, part 2: order-shape/token-budget/hapax/
 # Lorenz/clip-bounds
 from . import round6b_queries  # noqa: E402,F401
+
+# round-6-staged additions, part 3: centroid drift / bigram entropy /
+# cross-source near-dups / sessionization / shard balance / completion
+# mix / reorder affinity
+from . import round6c_queries  # noqa: E402,F401

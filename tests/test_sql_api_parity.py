@@ -2,8 +2,8 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 139 of
-the 251 ANALYZE VERBATIM on Spark SQL and 137 of those are row-equal
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 140 of
+the 258 ANALYZE VERBATIM on Spark SQL and 138 of those are row-equal
 to the DataFrame implementation at sf0.001. The non-analyzable rest
 use DuckDB-specific surfaces — list_dot_product / string_split_regex
 / UNNEST over computed-bound generate_series / `//` division /
@@ -31,7 +31,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 137 verbatim-portable row-equal
+# Diverse pinned subset of the 138 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5 additions.
