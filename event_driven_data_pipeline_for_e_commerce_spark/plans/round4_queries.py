@@ -729,7 +729,7 @@ def q_event_disorder_profile(spark, sf_dir):
 @query(
     "doc_incremental_dedup",
     oracle="""
-    WITH cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents),
+    WITH cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c FROM documents),
     hashed AS (
         SELECT doc_id, md5(text) AS h,
                doc_id <= (SELECT c FROM cut) AS is_old

@@ -466,7 +466,7 @@ def q_orders_weekday_seasonality(spark, sf_dir):
         FROM events GROUP BY 1, 2
     )
     SELECT hour, event_type, n,
-           CAST(n * 10000 // SUM(n) OVER (PARTITION BY hour) AS BIGINT)
+           CAST(FLOOR(n * 10000 / SUM(n) OVER (PARTITION BY hour)) AS BIGINT)
                AS share_bp
     FROM h
     """,
@@ -512,10 +512,10 @@ def q_event_type_share_by_hour(spark, sf_dir):
     SELECT quarter,
            COUNT(*) AS n_orders,
            CAST(SUM(last7) AS BIGINT) AS n_last7,
-           CAST(SUM(last7) * 10000 // COUNT(*) AS BIGINT)
+           CAST(FLOOR(SUM(last7) * 10000 / COUNT(*)) AS BIGINT)
                AS order_share_bp,
-           CAST(SUM(CASE WHEN last7 = 1 THEN cents ELSE 0 END) * 10000
-                // SUM(cents) AS BIGINT) AS revenue_share_bp
+           CAST(FLOOR(SUM(CASE WHEN last7 = 1 THEN cents ELSE 0 END) * 10000
+                / SUM(cents)) AS BIGINT) AS revenue_share_bp
     FROM q GROUP BY quarter
     """,
 )
@@ -562,8 +562,8 @@ def q_quarter_end_load_share(spark, sf_dir):
     SELECT p.p_brand,
            COUNT(*) AS n_lines,
            COUNT(*) FILTER (WHERE l.l_returnflag = 'R') AS n_returned,
-           CAST(COUNT(*) FILTER (WHERE l.l_returnflag = 'R') * 10000
-                // COUNT(*) AS BIGINT) AS return_rate_bp,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE l.l_returnflag = 'R') * 10000
+                / COUNT(*)) AS BIGINT) AS return_rate_bp,
            CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN {L_CENTS} ELSE 0 END)
                 AS BIGINT) AS returned_cents
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -1011,8 +1011,8 @@ def q_doc_vocab_growth_by_source(spark, sf_dir):
     SELECT CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
            COUNT(DISTINCT event_id) AS n_unique,
-           CAST((COUNT(*) - COUNT(DISTINCT event_id)) * 10000
-                // COUNT(*) AS BIGINT) AS dup_rate_bp
+           CAST(FLOOR((COUNT(*) - COUNT(DISTINCT event_id)) * 10000
+                / COUNT(*)) AS BIGINT) AS dup_rate_bp
     FROM replayed GROUP BY 1
     """,
 )
@@ -1061,7 +1061,7 @@ COPURCHASE_TOPK = 50
         HAVING COUNT(*) >= {COPURCHASE_MIN_CO}
     )
     SELECT c.part_a, c.part_b, c.n_co,
-           CAST(c.n_co * 10000 // (da.n + db.n - c.n_co) AS BIGINT)
+           CAST(FLOOR(c.n_co * 10000 / (da.n + db.n - c.n_co)) AS BIGINT)
                AS jaccard_bp
     FROM co c
     JOIN deg da ON da.l_partkey = c.part_a
@@ -1119,19 +1119,19 @@ def q_copurchase_jaccard_similar_parts(spark, sf_dir):
     ),
     shares AS (
         SELECT custkey,
-               CAST(c * 10000 // SUM(c) OVER (PARTITION BY custkey)
+               CAST(FLOOR(c * 10000 / SUM(c) OVER (PARTITION BY custkey))
                     AS BIGINT) AS share_bp
         FROM ct
     ),
     per_cust AS (
         SELECT custkey,
                COUNT(*) AS n_types,
-               CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp
+               CAST(FLOOR(SUM(share_bp * share_bp) / 10000) AS BIGINT) AS hhi_bp
         FROM shares GROUP BY custkey
     )
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_customers,
-           CAST(SUM(p.n_types) * 100 // COUNT(*) AS BIGINT)
+           CAST(FLOOR(SUM(p.n_types) * 100 / COUNT(*)) AS BIGINT)
                AS avg_types_e2,
            CAST(MEDIAN(p.hhi_bp) AS DOUBLE) AS median_hhi_bp
     FROM per_cust p JOIN customer c ON c.c_custkey = p.custkey
@@ -1247,7 +1247,7 @@ def q_ship_delay_p95_by_month(spark, sf_dir):
     SELECT band,
            COUNT(*) AS n_lines,
            CAST(SUM(net_cents) AS BIGINT) AS net_cents,
-           CAST(SUM(qty_e2) // COUNT(*) AS BIGINT) AS avg_qty_e2
+           CAST(FLOOR(SUM(qty_e2) / COUNT(*)) AS BIGINT) AS avg_qty_e2
     FROM b GROUP BY band
     """,
 )
@@ -1350,7 +1350,7 @@ def q_emb_norm_extremes(spark, sf_dir):
         SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
     )
     SELECT source, lang, n,
-           CAST(n * 10000 // SUM(n) OVER (PARTITION BY source) AS BIGINT)
+           CAST(FLOOR(n * 10000 / SUM(n) OVER (PARTITION BY source)) AS BIGINT)
                AS source_share_bp
     FROM c
     """,

@@ -405,10 +405,10 @@ SLA_DAYS = 30
                WHERE f.first_ship
                      < CAST(o.o_orderdate AS DATE) + {SLA_DAYS}
            ) AS n_within_sla,
-           CAST(COUNT(*) FILTER (
+           CAST(FLOOR(COUNT(*) FILTER (
                     WHERE f.first_ship
                           < CAST(o.o_orderdate AS DATE) + {SLA_DAYS}
-                ) * 10000 // COUNT(*) AS BIGINT) AS attainment_bp
+                ) * 10000 / COUNT(*)) AS BIGINT) AS attainment_bp
     FROM orders o JOIN firstship f ON f.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,

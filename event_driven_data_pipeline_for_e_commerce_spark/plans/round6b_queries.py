@@ -179,7 +179,7 @@ def q_doc_hapax_rate(spark, sf_dir):
                COUNT(*) OVER () AS n
         FROM rev
     )
-    SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+    SELECT CAST(FLOOR(((rn - 1) * 10) / n) AS BIGINT) AS decile,
            COUNT(*) AS n_suppliers,
            CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
     FROM ranked GROUP BY decile

@@ -8,7 +8,9 @@ shape (order completion mix), and repeat-purchase affinity
 (consecutive-order shared-part rate).
 
 Same parity rules as every round: money in integer cents, shares in
-integer basis points (`//` in DuckDB, `DIV` in Spark — both exact),
+integer basis points (Spark impls use exact integral `DIV`; oracles
+use the two-engine-portable `CAST(FLOOR(a / b) AS BIGINT)` — equal to
+floor division while a < 2^53, which holds at every tested SF),
 composed oracles embed the registered oracle CTEs verbatim,
 4-6-decimal rounding on float outputs, windows always partitioned by
 a key.
@@ -307,7 +309,7 @@ def q_doc_near_dup_cross_source(spark, sf_dir):
     SELECT COUNT(*) AS n_sessions,
            CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(SUM(has_purchase) AS BIGINT) AS purchase_sessions,
-           CAST(SUM(has_purchase) * 10000 // COUNT(*) AS BIGINT)
+           CAST(FLOOR(SUM(has_purchase) * 10000 / COUNT(*)) AS BIGINT)
                AS purchase_share_bp
     FROM per
     """,
@@ -380,7 +382,7 @@ def q_session_conversion_stats(spark, sf_dir):
     SELECT CAST(shard AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
-           CAST(CAST(SUM(n_chars) AS BIGINT) * 10000 // (SELECT tc FROM tot)
+           CAST(FLOOR(CAST(SUM(n_chars) AS BIGINT) * 10000 / (SELECT tc FROM tot))
                 AS BIGINT) AS chars_share_bp
     FROM s GROUP BY shard
     """,
@@ -523,7 +525,7 @@ def q_order_completion_mix(spark, sf_dir):
     SELECT c.c_mktsegment,
            COUNT(*) AS n_order_pairs,
            CAST(SUM(r.has_repeat) AS BIGINT) AS n_repeat_pairs,
-           CAST(SUM(r.has_repeat) * 10000 // COUNT(*) AS BIGINT)
+           CAST(FLOOR(SUM(r.has_repeat) * 10000 / COUNT(*)) AS BIGINT)
                AS repeat_share_bp
     FROM rep r JOIN customer c ON c.c_custkey = r.o_custkey
     GROUP BY c.c_mktsegment
