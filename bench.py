@@ -67,6 +67,9 @@ HEADLINE = [
     "emb_ann_recall_contract",  # 3-way ANN-vs-truth audit (29 shuffles)
     "minhash_recall_stats",    # sampled exact-truth recall contract (18)
     "doc_dedup_threshold_sweep",  # threshold histogram sweep (12)
+    # round-6-staged representatives (vocab-grain joins; 4-way keyed join)
+    "doc_bigram_cond_entropy",  # per-source H(w2|w1) over vocab marginals
+    "customer_reorder_affinity",  # window + 3 keyed joins + bp rollup
 ]
 
 
