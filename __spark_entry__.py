@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scd2_merge_orders (merge-join pin), customer_pareto_abc /
 # part_revenue_gini / emb_ann_recall_contract (pin-registry
 # refactor), media_feature_extract (real-decode seam),
-# emb_kmeans_assign (map-side argmin rewrite) — then the 20
+# emb_kmeans_assign (map-side argmin rewrite) — then the 24
 # round-6-staged registrations already sitting first in the mid
 # section (emb_label_knn_accuracy, doc_perplexity_by_source,
 # doc_contamination_by_split, customer_value_migration,
@@ -50,9 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # supplier_revenue_lorenz, emb_quantile_clip_bounds,
 # emb_centroid_split_drift, doc_bigram_cond_entropy,
 # doc_near_dup_cross_source, session_conversion_stats,
-# doc_shard_balance, order_completion_mix,
-# customer_reorder_affinity — ALL 20 already strict-checked green at
-# sf0.01 during round 5) and any new round-6 work.
+# doc_shard_balance, order_completion_mix, customer_reorder_affinity,
+# doc_dedup_keeper_quality_delta, session_entry_conversion,
+# event_hourly_dispersion, emb_dim_correlation_pairs — ALL 24 already
+# strict-checked green at sf0.01 during round 5) and any new round-6
+# work.
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",

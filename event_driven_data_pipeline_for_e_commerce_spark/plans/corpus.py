@@ -1869,3 +1869,7 @@ from . import round6b_queries  # noqa: E402,F401
 # cross-source near-dups / sessionization / shard balance / completion
 # mix / reorder affinity
 from . import round6c_queries  # noqa: E402,F401
+
+# round-6-staged additions, part 4: keeper-quality contract / entry
+# conversion / arrival dispersion / dim correlation
+from . import round6d_queries  # noqa: E402,F401
