@@ -1239,9 +1239,9 @@ def q_emb_pairwise_sim_histogram(spark, sf_dir):
                ) AS w_n
         FROM monthly
     )
-    SELECT strftime(month, '%Y-%m') AS month,
+    SELECT substr(CAST(month AS STRING), 1, 7) AS month,
            ROUND(cents / 100.0, 2) AS revenue,
-           CAST(w_cents // w_n AS BIGINT) AS trailing_avg_cents,
+           CAST(FLOOR(w_cents * 1.0 / w_n) AS BIGINT) AS trailing_avg_cents,
            ROUND(cents * w_n * 1.0 / w_cents, 4) AS seasonal_index
     FROM win
     """,
