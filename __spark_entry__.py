@@ -52,9 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc_near_dup_cross_source, session_conversion_stats,
 # doc_shard_balance, order_completion_mix, customer_reorder_affinity,
 # doc_dedup_keeper_quality_delta, session_entry_conversion,
-# event_hourly_dispersion, emb_dim_correlation_pairs — ALL 24 already
-# strict-checked green at sf0.01 during round 5) and any new round-6
-# work.
+# event_hourly_dispersion, emb_dim_correlation_pairs,
+# supplier_lead_time_consistency, same_nation_trade_lift — ALL 26
+# already strict-checked green at sf0.01 during round 5) and any new
+# round-6 work.
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",

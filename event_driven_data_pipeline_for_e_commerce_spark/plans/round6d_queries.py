@@ -362,3 +362,189 @@ def q_emb_dim_correlation_pairs(spark, sf_dir):
         .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
         .limit(CORR_TOPK)
     )
+
+
+LEAD_TIME_MIN_LINES = 5
+LEAD_TIME_TOPK = 20
+
+
+@query(
+    "supplier_lead_time_consistency",
+    oracle=f"""
+    WITH d AS (
+        SELECT l.l_suppkey,
+               CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                    AS BIGINT) AS slack_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    m AS (
+        SELECT l_suppkey,
+               COUNT(*) AS n,
+               CAST(SUM(slack_days) AS BIGINT) AS s1,
+               CAST(SUM(slack_days * slack_days) AS BIGINT) AS s2
+        FROM d GROUP BY l_suppkey
+        HAVING COUNT(*) >= {LEAD_TIME_MIN_LINES}
+    )
+    SELECT l_suppkey, n AS n_lines,
+           ROUND(s1 * 1.0 / n, 4) AS mean_slack_days,
+           ROUND((s2 - s1 * 1.0 * s1 / n) / (n - 1), 4) AS var_slack_days
+    FROM m
+    ORDER BY ROUND((s2 - s1 * 1.0 * s1 / n) / (n - 1), 4) DESC, l_suppkey
+    LIMIT {LEAD_TIME_TOPK}
+    """,
+)
+def q_supplier_lead_time_consistency(spark, sf_dir):
+    """Supplier reliability triage: the 20 suppliers with the most
+    VARIABLE order-to-ship slack — a supplier can have a fine average
+    lead time and still wreck planning if its variance is huge (the
+    consistency cut that mean-based scorecards like supplier_scorecard
+    and lead_time_trend_by_nation can't see).
+
+    Parity: slack days are exact integers (date diff), so the moment
+    sums are exact BIGINTs; mean/variance are single fixed-order float
+    derivations and the rank cut orders by the ROUNDED variance with a
+    supplier tie-break. Scale shape: one fact-fact key join, one keyed
+    partial-agg, then TakeOrdered 20."""
+    t = load_tables(spark, sf_dir)
+    d = (
+        ensure_parallelism(t["lineitem"])
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("slack_days"),
+        )
+    )
+    m = (
+        d.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("slack_days").cast("bigint").alias("s1"),
+            F.sum(F.col("slack_days") * F.col("slack_days"))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= LEAD_TIME_MIN_LINES)
+    )
+    var_ = F.round(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1),
+        4,
+    )
+    return (
+        m.select(
+            "l_suppkey",
+            F.col("n").alias("n_lines"),
+            F.round(F.col("s1") * 1.0 / F.col("n"), 4).alias(
+                "mean_slack_days"
+            ),
+            var_.alias("var_slack_days"),
+        )
+        .orderBy(F.desc("var_slack_days"), "l_suppkey")
+        .limit(LEAD_TIME_TOPK)
+    )
+
+
+@query(
+    "same_nation_trade_lift",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    tot AS (
+        SELECT COUNT(*) AS t,
+               CAST(SUM(CASE WHEN cn = sn THEN 1 ELSE 0 END) AS BIGINT)
+                   AS same_n
+        FROM base
+    ),
+    cd AS (SELECT cn AS nk, COUNT(*) AS c_n FROM base GROUP BY cn),
+    sd AS (SELECT sn AS nk, COUNT(*) AS s_n FROM base GROUP BY sn),
+    exp_ AS (
+        SELECT CAST(SUM(cd.c_n * sd.s_n) AS BIGINT) AS cross_mass
+        FROM cd JOIN sd ON sd.nk = cd.nk
+    )
+    SELECT t.t AS n_lines,
+           t.same_n AS same_nation_lines,
+           CAST(FLOOR(t.same_n * 10000.0 / t.t) AS BIGINT) AS observed_bp,
+           CAST(FLOOR(e.cross_mass * 10000.0 / (t.t * 1.0 * t.t)) AS BIGINT)
+               AS expected_bp,
+           ROUND((t.same_n * 1.0 / t.t)
+                 / (e.cross_mass * 1.0 / (t.t * 1.0 * t.t)), 4) AS lift
+    FROM tot t CROSS JOIN exp_ e
+    """,
+)
+def q_same_nation_trade_lift(spark, sf_dir):
+    """Home-bias lift: the share of line items where the customer's
+    and supplier's nations match, against the share independence
+    would predict from the two marginal nation distributions — lift
+    >> 1 quantifies local-supplier preference beyond what nation
+    sizes alone explain (the statistical upgrade of
+    q5_local_supplier_volume's raw same-nation revenue).
+
+    Parity: all masses are exact BIGINT counts; the two shares and the
+    lift are single fixed-order float derivations from those scalars.
+    Scale shape: one fact-fact key join plus two broadcast dims; the
+    marginals and the 25-row expectation join are nation-grain."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        ensure_parallelism(t["lineitem"])
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+    )
+    from ..operators.pinning import pin
+
+    base = pin(base)
+    tot = base.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("cn") == F.col("sn"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("same_n"),
+    )
+    cd = base.groupBy(F.col("cn").alias("nk")).agg(F.count(F.lit(1)).alias("c_n"))
+    sd = base.groupBy(F.col("sn").alias("nk")).agg(F.count(F.lit(1)).alias("s_n"))
+    exp_ = (
+        cd.join(sd, "nk")
+        .agg(F.sum(F.col("c_n") * F.col("s_n")).cast("bigint").alias("cross_mass"))
+    )
+    return (
+        tot.crossJoin(exp_)
+        .select(
+            F.col("t").alias("n_lines"),
+            F.col("same_n").alias("same_nation_lines"),
+            F.expr("CAST(FLOOR(same_n * 10000.0 / t) AS BIGINT)").alias(
+                "observed_bp"
+            ),
+            F.expr(
+                "CAST(FLOOR(cross_mass * 10000.0 / (t * 1.0 * t)) AS BIGINT)"
+            ).alias("expected_bp"),
+            F.round(
+                (F.col("same_n") * 1.0 / F.col("t"))
+                / (F.col("cross_mass") * 1.0 / (F.col("t") * 1.0 * F.col("t"))),
+                4,
+            ).alias("lift"),
+        )
+    )
