@@ -1873,3 +1873,7 @@ from . import round6c_queries  # noqa: E402,F401
 # round-6-staged additions, part 4: keeper-quality contract / entry
 # conversion / arrival dispersion / dim correlation
 from . import round6d_queries  # noqa: E402,F401
+
+# round-6-staged additions, part 5: price/size frontier / chi-square
+# independence / Theil decomposition / silhouette proxy
+from . import round6e_queries  # noqa: E402,F401
