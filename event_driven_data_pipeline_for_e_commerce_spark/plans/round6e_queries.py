@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from event_driven_data_pipeline_for_e_commerce_spark.operators.partitioning import (
     ensure_parallelism,
 )
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import pin
 
 from .corpus import query
 from .tables import load_tables
@@ -147,7 +148,11 @@ def q_event_segment_chisq(spark, sf_dir):
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    cells = (
+    # The margin frames (rs/cs/tot) and the dims rollup all re-derive
+    # from cells; without a pin each one would replay the fact-side
+    # join+agg — five event-table scans at 100 TB. Pinned, the fact
+    # work runs once and every margin reads |types|x|segments| rows.
+    cells = pin(
         per_user.join(cust, "user_id")
         .groupBy("event_type", "segment")
         .agg(F.sum("cnt").cast("long").alias("n"))
@@ -264,6 +269,9 @@ def q_nation_revenue_theil(spark, sf_dir):
             ).alias("rev_e2")
         )
     )
+    # grp / terms / tot all re-derive from the 25-row nation frame;
+    # pin it so the orders-side join+agg runs once, not four times.
+    nat = pin(nat)
     grp = nat.groupBy("n_regionkey").agg(
         F.sum("rev_e2").cast("long").alias("reg_rev_e2"),
         F.count(F.lit(1)).alias("n_nations"),
@@ -284,7 +292,7 @@ def q_nation_revenue_theil(spark, sf_dir):
         grp.join(terms, "n_regionkey")
         .join(
             F.broadcast(
-                load_tables(spark, sf_dir)["region"].select(
+                t["region"].select(
                     F.col("r_regionkey").alias("n_regionkey"), "r_name"
                 )
             ),
