@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scd2_merge_orders (merge-join pin), customer_pareto_abc /
 # part_revenue_gini / emb_ann_recall_contract (pin-registry
 # refactor), media_feature_extract (real-decode seam),
-# emb_kmeans_assign (map-side argmin rewrite) — then the 30
+# emb_kmeans_assign (map-side argmin rewrite) — then the 31
 # round-6-staged registrations already sitting first in the mid
 # section (emb_label_knn_accuracy, doc_perplexity_by_source,
 # doc_contamination_by_split, customer_value_migration,
@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # event_hourly_dispersion, emb_dim_correlation_pairs,
 # supplier_lead_time_consistency, same_nation_trade_lift,
 # part_size_price_frontier, event_segment_chisq,
-# nation_revenue_theil, emb_silhouette_proxy — ALL 30
+# nation_revenue_theil, emb_silhouette_proxy,
+# markov_next_event_accuracy — ALL 31
 # already strict-checked green at sf0.01 during round 5) and any new
 # round-6 work.
 _PRIORITY = (

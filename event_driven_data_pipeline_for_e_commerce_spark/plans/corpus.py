@@ -1875,5 +1875,6 @@ from . import round6c_queries  # noqa: E402,F401
 from . import round6d_queries  # noqa: E402,F401
 
 # round-6-staged additions, part 5: price/size frontier / chi-square
-# independence / Theil decomposition / silhouette proxy
+# independence / Theil decomposition / silhouette proxy / Markov
+# next-event accuracy
 from . import round6e_queries  # noqa: E402,F401

@@ -1,8 +1,9 @@
 """Round-6-staged corpus additions, part 5: price/size efficient
 frontier (skyline over a bounded attribute domain), event-type x
 segment chi-square independence screen, regional Theil inequality
-decomposition of nation revenue, and an embedding silhouette proxy
-(cluster separation without all-pairs distances).
+decomposition of nation revenue, an embedding silhouette proxy
+(cluster separation without all-pairs distances), and a Markov
+next-event prediction accuracy contract.
 
 Parity rules: money lands as e2 BIGINT before any arithmetic; every
 float derivation (chi-square cell contribution, Theil term, squared
@@ -415,4 +416,147 @@ def q_emb_silhouette_proxy(spark, sf_dir):
         F.expr(
             "CAST(FLOOR(SUM(other_e6) * 10000.0 / SUM(intra_e6)) AS BIGINT)"
         ).alias("sep_ratio_e4"),
+    )
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER w AS nxt,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    train AS (
+        SELECT event_type AS w1, nxt AS w2, COUNT(*) AS cnt
+        FROM seq WHERE n >= 3 AND rn <= n - 2
+        GROUP BY event_type, nxt
+    ),
+    pred AS (
+        SELECT w1, w2 AS predicted
+        FROM (SELECT w1, w2,
+                     ROW_NUMBER() OVER (PARTITION BY w1
+                                        ORDER BY cnt DESC, w2) AS pr
+              FROM train)
+        WHERE pr = 1
+    ),
+    base AS (
+        SELECT w2 AS majority
+        FROM (SELECT w2, ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, w2)
+                         AS br
+              FROM train GROUP BY w2)
+        WHERE br = 1
+    ),
+    test AS (
+        SELECT seq.event_type AS context, seq.nxt AS actual
+        FROM seq WHERE n >= 3 AND rn = n - 1
+    ),
+    scored AS (
+        SELECT CASE WHEN pred.predicted = test.actual THEN 1 ELSE 0 END
+                   AS hit,
+               CASE WHEN base.majority = test.actual THEN 1 ELSE 0 END
+                   AS base_hit
+        FROM test
+        LEFT JOIN pred ON pred.w1 = test.context
+        CROSS JOIN base
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(hit) AS BIGINT) AS n_correct,
+           CAST(FLOOR(SUM(hit) * 10000.0 / COUNT(*)) AS BIGINT)
+               AS acc_bp,
+           CAST(SUM(base_hit) AS BIGINT) AS n_majority_correct,
+           CAST(FLOOR(SUM(base_hit) * 10000.0 / COUNT(*)) AS BIGINT)
+               AS majority_acc_bp,
+           CAST(FLOOR(SUM(hit) * 10000.0 / COUNT(*))
+                - FLOOR(SUM(base_hit) * 10000.0 / COUNT(*)) AS BIGINT)
+               AS lift_bp
+    FROM scored
+    """,
+)
+def q_markov_next_event_accuracy(spark, sf_dir):
+    """First-order Markov next-event prediction contract: train a
+    transition matrix on every user's event prefix (all consecutive
+    pairs except the final transition), predict each user's held-out
+    last event from its predecessor via argmax transition count, and
+    report accuracy with lift over the predict-the-majority baseline
+    — the eval loop that decides whether sequence context carries
+    signal beyond the marginal event mix.
+
+    Parity: counts are exact integers; ties in the argmax and the
+    majority baseline break on event-type text ascending; basis
+    points via the portable FLOOR(a * 1.0 / b) form. Scale shape:
+    the sequence pass is one window partitioned by user; training
+    collapses to the |event_types|^2 transition grid (pinned — the
+    pred and base branches both read it); prediction is a broadcast
+    join of that grid onto the per-user test rows. Nothing beyond
+    the user-keyed window shuffles fact-scale data."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", "event_type",
+            F.lead("event_type").over(w).alias("nxt"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    train = pin(
+        seq.filter(F.col("rn") <= F.col("n") - 2)
+        .groupBy(
+            F.col("event_type").alias("w1"), F.col("nxt").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pw = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+    pred = (
+        train.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") == 1)
+        .select("w1", F.col("w2").alias("predicted"))
+    )
+    base = (
+        train.groupBy("w2")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("w2"))
+        .limit(1)
+        .select(F.col("w2").alias("majority"))
+    )
+    test = seq.filter(F.col("rn") == F.col("n") - 1).select(
+        F.col("event_type").alias("context"), F.col("nxt").alias("actual")
+    )
+    scored = (
+        test.join(F.broadcast(pred), F.col("context") == F.col("w1"), "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.when(F.col("predicted") == F.col("actual"), 1)
+            .otherwise(0)
+            .alias("hit"),
+            F.when(F.col("majority") == F.col("actual"), 1)
+            .otherwise(0)
+            .alias("base_hit"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("hit").cast("bigint").alias("n_correct"),
+        F.expr(
+            "CAST(FLOOR(SUM(hit) * 10000.0 / COUNT(*)) AS BIGINT)"
+        ).alias("acc_bp"),
+        F.sum("base_hit").cast("bigint").alias("n_majority_correct"),
+        F.expr(
+            "CAST(FLOOR(SUM(base_hit) * 10000.0 / COUNT(*)) AS BIGINT)"
+        ).alias("majority_acc_bp"),
+        F.expr(
+            "CAST(FLOOR(SUM(hit) * 10000.0 / COUNT(*))"
+            " - FLOOR(SUM(base_hit) * 10000.0 / COUNT(*)) AS BIGINT)"
+        ).alias("lift_bp"),
     )
