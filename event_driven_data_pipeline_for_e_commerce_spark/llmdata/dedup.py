@@ -248,6 +248,36 @@ def lsh_bucket_overflow(
     )
 
 
+def minhash_band_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_key) rows from a signature frame (columns
+    ``s1..s{num_hashes}`` as produced by the MinHash aggregation).
+    Band j covers hash indices (j-1)*r+1 .. j*r; the key is the band's
+    sig values joined '|' in hash order (uniform width — no re-hash
+    needed for the join key)."""
+    num_bands = (num_hashes + rows_per_band - 1) // rows_per_band
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"s{i}").cast("string")
+                    for i in range(
+                        (j - 1) * rows_per_band + 1,
+                        min(j * rows_per_band, num_hashes) + 1,
+                    )
+                ],
+            ).alias("band_key"),
+        )
+        for j in range(1, num_bands + 1)
+    ])
+    return sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -284,31 +314,9 @@ def minhash_near_duplicates(
     are sampled, not exhaustively enumerated (raise b or lower r for
     more recall at the cost of more candidates to verify).
     """
-    num_bands = (num_hashes + rows_per_band - 1) // rows_per_band
     shingle_hashes = shingle_hash_frame(df, text_col, id_col, n)
     sigs = pin(_minhash_agg_hashed(shingle_hashes, id_col, num_hashes))
-    # band j covers hash indices (j-1)*r+1 .. j*r; key = the band's sig
-    # values joined '|' in hash order (uniform width — no re-hash
-    # needed for the join key)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"s{i}").cast("string")
-                    for i in range(
-                        (j - 1) * rows_per_band + 1,
-                        min(j * rows_per_band, num_hashes) + 1,
-                    )
-                ],
-            ).alias("band_key"),
-        )
-        for j in range(1, num_bands + 1)
-    ])
-    bands = sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
-        id_col, "bk.band", "bk.band_key"
-    )
+    bands = minhash_band_keys(sigs, id_col, num_hashes, rows_per_band)
     # cands feeds both the candidate-doc filter and the verify join;
     # persisting it avoids re-running the LSH self-join (it is small —
     # that's LSH's entire point)

@@ -943,8 +943,18 @@ def q_minhash_recall_stats(spark, sf_dir):
     join — the audit path, quadratic in per-shingle document
     frequency, deliberately NOT the production path (run it on a
     sample at 100 TB; the banded LSH path stays O(candidates)). The
-    pair frames carry bare ids + 31-bit hash counts, never text."""
-    from ..llmdata.dedup import minhash_near_duplicates, shingle_hash_frame
+    pair frames carry bare ids + 31-bit hash counts, never text.
+    The candidate side reuses the pinned shingle-hash frame for the
+    signature aggregation (one shingle pass total) and skips the
+    exact-Jaccard verify: recall scores truth ∩ RAW banded candidates
+    (the oracle's cand CTE), and every truth pair already shares a
+    shingle, so a verify filter could never exclude one."""
+    from ..llmdata.dedup import (
+        _minhash_agg_hashed,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+        shingle_hash_frame,
+    )
     from .llm_queries import (
         JACCARD_THRESHOLD,
         NUM_HASHES,
@@ -981,15 +991,9 @@ def q_minhash_recall_stats(spark, sf_dir):
     # all-pairs-per-shingle join (the single most expensive stage in
     # the whole bench corpus)
     truth = pin(truth)
-    cand = (
-        minhash_near_duplicates(
-            docs, "text", "doc_id",
-            n=SHINGLE_N, num_hashes=NUM_HASHES,
-            rows_per_band=ROWS_PER_BAND, threshold=0.0,
-        )
-        .filter(F.col("jaccard") > 0)
-        .select("doc_a", "doc_b")
-    )
+    sigs = _minhash_agg_hashed(shb, "doc_id", NUM_HASHES)
+    bands = minhash_band_keys(sigs, "doc_id", NUM_HASHES, ROWS_PER_BAND)
+    cand = lsh_candidate_pairs(bands, "doc_id")
     caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))

@@ -161,8 +161,11 @@ def q_event_segment_chisq(spark, sf_dir):
     rs = cells.groupBy("event_type").agg(F.sum("n").cast("long").alias("rs"))
     cs = cells.groupBy("segment").agg(F.sum("n").cast("long").alias("cs"))
     tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    # Every cross-join side here is margin-sized (|types|, |segments|,
+    # or one row) — broadcast them explicitly so the planner emits
+    # BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
     grid = (
-        rs.crossJoin(cs)
+        rs.crossJoin(F.broadcast(cs))
         .crossJoin(F.broadcast(tot))
         .join(cells, ["event_type", "segment"], "left")
         .select(
@@ -174,8 +177,8 @@ def q_event_segment_chisq(spark, sf_dir):
     chi2 = contrib.agg(F.sum("cell_e4").cast("long").alias("chi2_e4"))
     dims = (
         rs.agg(F.count(F.lit(1)).alias("n_types"))
-        .crossJoin(cs.agg(F.count(F.lit(1)).alias("n_segments")))
-        .crossJoin(tot.select(F.col("nn").alias("n_events")))
+        .crossJoin(F.broadcast(cs.agg(F.count(F.lit(1)).alias("n_segments"))))
+        .crossJoin(F.broadcast(tot.select(F.col("nn").alias("n_events"))))
     )
     return dims.crossJoin(F.broadcast(chi2)).select(
         "n_events", "n_types", "n_segments",
