@@ -560,27 +560,34 @@ def q_basket_association_rules(spark, sf_dir):
     says 'predictive', lift says 'beyond chance' — the triple behind
     every 'customers who bought X' surface.
 
-    Scale shape: baskets collect once at order grain (bounded by
-    lines-per-order), pairs unfold MAP-SIDE from the sorted basket
-    array, and the support>=2 threshold prunes noise pairs before the
-    part-support joins (part-grain frames — AQE broadcasts at small
-    SF, shuffles on the part key at scale). The top-20 cut ranks by
-    exact integer support with id tie-breaks, so the boundary never
-    hinges on a float."""
+    Scale shape: the fact shuffles ONCE — straight to order grain via
+    groupBy(l_orderkey) + collect_set (the set union dedups in-agg, so
+    no separate DISTINCT pass), and every other frame derives from the
+    pinned basket arrays: basket count is a row count, part supports
+    re-explode the deduped arrays (map-side combine collapses them to
+    part grain), and pairs unfold MAP-SIDE from the sorted array. The
+    support>=2 threshold prunes noise pairs before the part-support
+    joins (part-grain frames — AQE broadcasts at small SF, shuffles on
+    the part key at scale). The top-20 cut ranks by exact integer
+    support with id tie-breaks, so the boundary never hinges on a
+    float."""
     t = load_tables(spark, sf_dir)
-    # three consumers (basket collect, part supports, basket count)
-    # share this frame — persist so the fact scan + distinct shuffle
-    # run once, not three times
-    op = pin(t["lineitem"].select("l_orderkey", "l_partkey").distinct())
-    n_baskets = op.agg(
-        F.countDistinct("l_orderkey").alias("nb")
-    )
-    part_supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    baskets = (
-        op.groupBy("l_orderkey")
+    # three consumers (pair unfold, part supports, basket count) share
+    # this order-grain frame — persist so the fact scan + shuffle run
+    # once; arrays are bounded by lines-per-order, so the pinned
+    # footprint is the deduped fact, never wider
+    baskets0 = pin(
+        t["lineitem"]
+        .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .filter(F.size("parts") > 1)
     )
+    n_baskets = baskets0.agg(F.count(F.lit(1)).alias("nb"))
+    part_supp = (
+        baskets0.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+    baskets = baskets0.filter(F.size("parts") > 1)
     pair_expr = (
         "flatten(transform(parts, (a, i) -> "
         "transform(slice(parts, i + 2, size(parts)), "
