@@ -1878,3 +1878,7 @@ from . import round6d_queries  # noqa: E402,F401
 # independence / Theil decomposition / silhouette proxy / Markov
 # next-event accuracy
 from . import round6e_queries  # noqa: E402,F401
+
+# round-6-staged additions, part 6: weighted sampling / containment
+# audit / int8 recall contract / curriculum phases
+from . import round6f_queries  # noqa: E402,F401

@@ -1,0 +1,422 @@
+"""Round-6-staged corpus additions, part 6: deterministic weighted
+reservoir sampling (Efraimidis–Spirakis priority keys), asymmetric
+shingle-containment dedup audit (the subset-duplication Jaccard
+misses), an int8-quantization recall contract (does vector compression
+cost retrieval quality), and quality-ordered curriculum phase
+assignment under a cumulative token budget.
+
+Parity rules: every float derivation (priority key, containment
+ratio, recall share) is ONE fixed-order double expression evaluated
+identically in both engines and rounded to an integer grain
+(e4/e12) per row; thresshold comparisons are pure integer arithmetic
+(n_common * 10 >= na * 8) so no boundary ever hinges on a float.
+Randomness is md5-derived (seeded, engine-portable nibble decode) —
+the established deterministic-randomness seam (corpus.py
+deterministic_segments, round4 event_disorder_profile).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from event_driven_data_pipeline_for_e_commerce_spark.operators.cumulative import (
+    running_sum_ranged,
+)
+from event_driven_data_pipeline_for_e_commerce_spark.operators.partitioning import (
+    ensure_parallelism,
+)
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import pin
+
+from .corpus import ORACLES, query
+from .tables import load_tables
+
+WEIGHTED_SAMPLE_N = 50
+
+# Efraimidis–Spirakis priority key, fully portable: u is a uniform in
+# (0,1) decoded from the first 6 md5 nibbles of the seeded doc id
+# (instr-based nibble sum — runs verbatim in DuckDB and Spark SQL),
+# and the key u^(1/w) is ONE fixed-order double expression rounded to
+# e12. Top-N by key IS a w-weighted sample without replacement.
+_WS_NIBBLE = (
+    "(instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS STRING)),"
+    " {k}, 1)) - 1)"
+)
+_WS_H = " + ".join(
+    f"{_WS_NIBBLE.format(k=k)} * {16 ** (6 - k)}" for k in range(1, 7)
+)
+_WS_KEY = (
+    f"CAST(ROUND(POWER(CAST({_WS_H} + 1 AS DOUBLE) / 16777217,"
+    " CAST(1 AS DOUBLE) / GREATEST(n_chars, 1)) * 1e12) AS BIGINT)"
+)
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           {_WS_KEY} AS key_e12
+    FROM documents
+    ORDER BY key_e12 DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_N}
+    """,
+)
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis priority sampling): each document draws a
+    seeded uniform u from md5(doc_id) and competes with priority key
+    u^(1/w), w = its char length — the top-N by key is an exact
+    w-weighted sample, the standard one-pass distributed primitive
+    for building training mixes where longer/heavier documents should
+    be proportionally likelier (reweight by swapping w).
+
+    Scale shape: the key is map-side codegen per row (md5 + one pow),
+    and the top-N cut plans TakeOrderedAndProject — a per-partition
+    heap merged on the driver, never a global sort, never a window.
+    Replays identically on any cluster size: the key depends only on
+    doc_id, so the sample is reproducible across runs and engines."""
+    t = load_tables(spark, sf_dir)
+    return (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", "source", "n_chars")
+        .withColumn("key_e12", F.expr(_WS_KEY))
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"), "key_e12")
+        .orderBy(F.desc("key_e12"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_N)
+    )
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=None,  # set below: reuses llm_queries' shared shingle CTEs
+)
+def q_doc_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup audit: document pairs where >= 80%
+    of one side's shingles appear in the other (|A∩B|/|A| or
+    |A∩B|/|B|) — the quote/subset duplication class that symmetric
+    Jaccard dedup structurally misses (a short doc embedded verbatim
+    in a long one has high containment but LOW Jaccard, so MinHash
+    banding never surfaces it). Reports both containment directions
+    and the Jaccard the near-dup path would have seen.
+
+    Scale shape: the truth side is the exact all-pairs-sharing-a-
+    shingle join — the AUDIT path (same class as
+    minhash_recall_stats), quadratic in per-shingle document
+    frequency, deliberately NOT the production path: run it on a
+    sample at 100 TB; production containment-dedup hashes only the
+    SHORTER side's shingles into the candidate join. Pair frames
+    carry bare ids + 31-bit hash counts, never text; the 80%
+    threshold is pure integer arithmetic (n_common * 10 >= n * 8), so
+    no boundary hinges on a float."""
+    from ..llmdata.dedup import shingle_hash_frame
+    from .llm_queries import SHINGLE_N
+
+    t = load_tables(spark, sf_dir)
+    shb = pin(
+        shingle_hash_frame(t["documents"], "text", "doc_id", SHINGLE_N)
+    )
+    sizes = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shb.select(F.col("doc_id").alias("doc_a"), "base")
+    b = shb.select(F.col("doc_id").alias("doc_b"), "base")
+    inter_all = (
+        a.join(b, "base")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    e4 = lambda denom: F.round(
+        F.col("n_common").cast("double") * 10000 / F.col(denom)
+    ).cast("long")
+    return (
+        inter_all.join(sa, "doc_a")
+        .join(sb_, "doc_b")
+        .filter(
+            (F.col("n_common") * 10 >= F.col("na") * 8)
+            | (F.col("n_common") * 10 >= F.col("nb") * 8)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            e4("na").alias("cont_a_in_b_e4"),
+            e4("nb").alias("cont_b_in_a_e4"),
+            F.round(
+                F.col("n_common").cast("double")
+                * 10000
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_oracle() -> str:
+    from .llm_queries import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    inter_all AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shb s1 JOIN shb s2
+          ON s2.base = s1.base AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS na,
+           CAST(sb.n AS BIGINT) AS nb,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE) * 10000 / sa.n) AS BIGINT)
+               AS cont_a_in_b_e4,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE) * 10000 / sb.n) AS BIGINT)
+               AS cont_b_in_a_e4,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE) * 10000
+                / (sa.n + sb.n - i.n_common)) AS BIGINT) AS jaccard_e4
+    FROM inter_all i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 10 >= sa.n * 8 OR i.n_common * 10 >= sb.n * 8
+    ORDER BY i.doc_a, i.doc_b
+    """
+
+
+INT8_K = 3  # mirrors emb_cosine_topk / ANN_K
+INT8_Q_MAX = 5  # query set: vec_id < 5 (mirrors emb_cosine_topk)
+
+
+@query(
+    "emb_int8_recall_contract",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-12) AS amax
+        FROM e
+    ),
+    r AS (
+        SELECT vec_id,
+               list_transform(v, x ->
+                   CAST(ROUND(x * 127.0 / amax) AS BIGINT) * amax / 127.0) AS v
+        FROM s
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(e.v, q.v)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.v, q.v))) DESC,
+                       e.vec_id) AS rn
+            FROM e JOIN e q ON q.vec_id < {INT8_Q_MAX}
+                           AND e.vec_id <> q.vec_id
+        ) WHERE rn <= {INT8_K}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(e.v, q.v)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.v, q.v))) DESC,
+                       e.vec_id) AS rn
+            FROM r e JOIN r q ON q.vec_id < {INT8_Q_MAX}
+                             AND e.vec_id <> q.vec_id
+        ) WHERE rn <= {INT8_K}
+    ),
+    hits AS (
+        SELECT t.query_id,
+               COUNT(a.neighbor_id) AS h
+        FROM truth t LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+           CAST(ROUND(CAST(SUM(h) AS DOUBLE) * 10000
+                / ({INT8_K} * COUNT(*))) AS BIGINT) AS avg_recall_e4,
+           CAST(ROUND(CAST(MIN(h) AS DOUBLE) * 10000 / {INT8_K}) AS BIGINT)
+               AS min_recall_e4
+    FROM hits
+    """,
+)
+def q_emb_int8_recall_contract(spark, sf_dir):
+    """Does int8 compression cost retrieval quality? Recall@k of
+    brute-force cosine top-k computed over int8-quantized-then-
+    reconstructed vectors (the exact arithmetic of
+    ``emb_int8_quantize``) against the float-precision top-k — the
+    go/no-go contract before shipping quantized embeddings to an ANN
+    index or a training shard. Complements ``emb_ann_recall_contract``
+    (which audits INDEX approximation; this audits STORAGE
+    approximation).
+
+    Scale shape: quantize/reconstruct is map-side per vector; both
+    searches broadcast the bounded query set against the corpus (the
+    exact-truth shape, audited by emb_cosine_topk's own plan); the
+    hit join and rollup are query-set-grain. Integer hit counts sum
+    exactly — the only float is one fixed-order recall division."""
+    from ..llmdata.similarity import _as_double, brute_force_topk
+
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    amax = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+        F.lit(1e-12),
+    )
+    recon = e.withColumn("amax", amax).select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * 127.0 / F.col("amax")).cast("long")
+            * F.col("amax")
+            / 127.0,
+        ).alias("embedding"),
+    )
+    base = e.select("vec_id", F.col("v").alias("embedding"))
+    truth = pin(
+        brute_force_topk(
+            base, base.filter(F.col("vec_id") < INT8_Q_MAX), k=INT8_K
+        ).select("query_id", "neighbor_id")
+    )
+    approx = brute_force_topk(
+        recon, recon.filter(F.col("vec_id") < INT8_Q_MAX), k=INT8_K
+    ).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    per_q = (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("h"), F.lit(0)).alias("h"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.sum("h").cast("double")
+            * 10000
+            / (INT8_K * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("avg_recall_e4"),
+        F.round(F.min("h").cast("double") * 10000 / INT8_K)
+        .cast("long")
+        .alias("min_recall_e4"),
+    )
+
+
+N_CURRICULUM_PHASES = 3
+
+
+@query(
+    "doc_curriculum_phases",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g')) AS punct_cnt
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens, n_chars, punct_cnt,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','and','of','to','in','is'], t))) AS stop_cnt
+        FROM f
+    ),
+    q AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(ROUND(ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                     + 0.3 * (stop_cnt * 1.0 / n_tokens)
+                     + 0.3 * (1 - punct_cnt * 1.0 / n_chars), 4)
+                   * 10000) AS BIGINT) AS qs_e4
+        FROM g
+    ),
+    c AS (
+        SELECT n_tokens, qs_e4,
+               SUM(n_tokens) OVER (ORDER BY qs_e4 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(n_tokens) OVER () AS tot
+        FROM q
+    ),
+    p AS (
+        SELECT CASE WHEN cum * 3 <= tot THEN 1
+                    WHEN cum * 3 <= tot * 2 THEN 2
+                    ELSE 3 END AS phase,
+               n_tokens, qs_e4
+        FROM c
+    )
+    SELECT phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+           CAST(SUM(qs_e4) // COUNT(*) AS BIGINT) AS avg_quality_e4,
+           CAST(MIN(qs_e4) AS BIGINT) AS min_quality_e4
+    FROM p GROUP BY phase ORDER BY phase
+    """,
+)
+def q_doc_curriculum_phases(spark, sf_dir):
+    """Curriculum assignment for training-data ordering: documents
+    ranked best-quality-first, then split into three phases of equal
+    TOKEN budget (not equal doc count) by the running token total —
+    phase 1 is the cleanest third of the token mass, phase 3 the
+    noisiest. Reports each phase's document count, token volume, and
+    mean/floor quality, the numbers a curriculum schedule is built
+    from.
+
+    Scale shape: the globally-ordered running token sum goes through
+    ``running_sum_ranged`` — range-repartition on (quality desc, id) +
+    per-partition partials + a PARTITION BY __pid window — so the
+    global order costs one range exchange, never a single-task
+    window (the repo-wide unpartitioned-window guard stays clean).
+    Quality scores are e4-quantized BEFORE ranking and summing, so
+    ordering and the phase averages are exact-integer on both
+    engines; the phase boundary test (cum * 3 <= tot) never touches a
+    float."""
+    from ..llmdata.text import quality_features
+
+    t = load_tables(spark, sf_dir)
+    feats = quality_features("text")
+    q = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(feats["quality_score"] * 10000)
+        .cast("long")
+        .alias("qs_e4"),
+    )
+    c = running_sum_ranged(
+        q,
+        [F.col("qs_e4").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        "cum",
+    )
+    tot = c.agg(F.sum("n_tokens").cast("long").alias("tot"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 3 <= F.col("tot"), 1)
+        .when(F.col("cum") * 3 <= F.col("tot") * 2, 2)
+        .otherwise(3)
+        .alias("phase"),
+        "n_tokens",
+        "qs_e4",
+    )
+    return (
+        p.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("phase_tokens"),
+            F.expr("sum(qs_e4) DIV count(*)").alias("avg_quality_e4"),
+            F.min("qs_e4").cast("long").alias("min_quality_e4"),
+        )
+        .orderBy("phase")
+    )
+
+
+# late-bound oracle: shares llm_queries' shingle/size CTE block so the
+# audit stays expression-identical with the minhash family
+ORACLES["doc_containment_pairs"] = _containment_oracle()

@@ -85,6 +85,8 @@ PORTABLE = [
     # round-6e additions (double-cast fixed-order float derivations)
     "part_size_price_frontier", "event_segment_chisq",
     "nation_revenue_theil", "markov_next_event_accuracy",
+    # round-6f additions (md5-seeded priority keys, instr nibble decode)
+    "doc_weighted_sample",
 ]
 
 
