@@ -2,8 +2,9 @@
 reservoir sampling (Efraimidis–Spirakis priority keys), asymmetric
 shingle-containment dedup audit (the subset-duplication Jaccard
 misses), an int8-quantization recall contract (does vector compression
-cost retrieval quality), and quality-ordered curriculum phase
-assignment under a cumulative token budget.
+cost retrieval quality), quality-ordered curriculum phase assignment
+under a cumulative token budget, and per-source unigram KL divergence
+(distribution drift vs the corpus mix).
 
 Parity rules: every float derivation (priority key, containment
 ratio, recall share) is ONE fixed-order double expression evaluated
@@ -420,3 +421,98 @@ def q_doc_curriculum_phases(spark, sf_dir):
 # late-bound oracle: shares llm_queries' shingle/size CTE block so the
 # audit stays expression-identical with the minhash family
 ORACLES["doc_containment_pairs"] = _containment_oracle()
+
+
+# KL term for one token within one source, e6-rounded from exact
+# integer counts: P_s(t) * ln(P_s(t) / Q(t)) with the ratio expanded
+# to (cst * nn) / (ns * ct) so both engines evaluate ONE double
+# expression in the same order.
+_KL_TERM = (
+    "CAST(ROUND((CAST(cst AS DOUBLE) / ns)"
+    " * LN((CAST(cst AS DOUBLE) * nn) / (CAST(ns AS DOUBLE) * ct))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "doc_source_kl_divergence",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS cst FROM toks GROUP BY 1, 2),
+    marg_s AS (SELECT source, SUM(cst) AS ns FROM st GROUP BY source),
+    marg_t AS (SELECT tok, SUM(cst) AS ct FROM st GROUP BY tok),
+    tot AS (SELECT SUM(cst) AS nn FROM st),
+    terms AS (
+        SELECT st.source, {_KL_TERM} AS term_e6
+        FROM st
+        JOIN marg_s ON marg_s.source = st.source
+        JOIN marg_t ON marg_t.tok = st.tok
+        CROSS JOIN tot
+    )
+    SELECT t.source,
+           CAST(m.ns AS BIGINT) AS n_tokens,
+           v.vocab,
+           CAST(SUM(t.term_e6) AS BIGINT) AS kl_e6
+    FROM terms t
+    JOIN marg_s m ON m.source = t.source
+    JOIN (SELECT source, COUNT(*) AS vocab FROM st GROUP BY source) v
+      ON v.source = t.source
+    GROUP BY t.source, m.ns, v.vocab
+    ORDER BY t.source
+    """,
+)
+def q_doc_source_kl_divergence(spark, sf_dir):
+    """Distribution drift per source: KL(P_source || P_corpus) over
+    unigram token distributions — the standard 'how far is this
+    source's language from the training mix' screen that decides
+    upsampling/filtering before a data mix is frozen (complements
+    ``source_vocab_overlap``, which only sees vocabulary sets, not
+    mass). Also reports each source's token volume and vocabulary
+    size.
+
+    Scale shape: token unfold is map-side; (source, token) counts get
+    map-side combine; the token-marginal join is a keyed equi-join at
+    vocab grain (Zipf-bounded, far below corpus grain); source
+    margins and the grand total broadcast. Each KL term is ONE
+    fixed-order double from exact integer counts, e6-rounded, then
+    integer-summed per source — no parallel float sum reaches the
+    output."""
+    from ..llmdata.text import tokens_col
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select("source", F.explode(tokens_col("text")).alias("tok"))
+    )
+    # three consumers (source margins, token margins, grand total) —
+    # pin so the token unfold + (source, token) shuffle run once
+    st = pin(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cst"))
+    )
+    marg_s = st.groupBy("source").agg(F.sum("cst").cast("long").alias("ns"))
+    marg_t = st.groupBy("tok").agg(F.sum("cst").cast("long").alias("ct"))
+    tot = st.agg(F.sum("cst").cast("long").alias("nn"))
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    terms = (
+        st.join(F.broadcast(marg_s), "source")
+        .join(marg_t, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("source", F.expr(_KL_TERM).alias("term_e6"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("term_e6").cast("long").alias("kl_e6"))
+        .join(F.broadcast(marg_s), "source")
+        .join(F.broadcast(vocab), "source")
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "vocab",
+            "kl_e6",
+        )
+        .orderBy("source")
+    )

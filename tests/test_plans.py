@@ -125,6 +125,16 @@ def test_topk_and_scalar_aggs_avoid_global_sort(spark, sf_dir, qname):
         assert "HashAggregate" in plan, plan
 
 
+def test_weighted_sample_is_heap_topk(spark, sf_dir):
+    """doc_weighted_sample's top-N-by-priority-key cut must be a
+    per-partition heap (TakeOrderedAndProject) — a global sort (or a
+    rank window) of 100 TB of priority keys to keep 50 rows is the
+    exact failure the Efraimidis-Spirakis one-pass shape avoids."""
+    plan = simple_plan(QUERIES["doc_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
 def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
     """Q3's top-10 must be heap-based (TakeOrderedAndProject) and its
     selective predicates (segment, both date bounds) must reach the
