@@ -56,9 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # supplier_lead_time_consistency, same_nation_trade_lift,
 # part_size_price_frontier, event_segment_chisq,
 # nation_revenue_theil, emb_silhouette_proxy,
-# markov_next_event_accuracy — ALL 31
+# markov_next_event_accuracy, doc_weighted_sample,
+# doc_containment_pairs, emb_int8_recall_contract,
+# doc_curriculum_phases, doc_source_kl_divergence — ALL 36
 # already strict-checked green at sf0.01 during round 5) and any new
-# round-6 work.
+# round-6 work. Re-check basket_association_rules and
+# minhash_recall_stats too (round-5 one-shuffle rewrites landed after
+# their r4 driver rows).
 _PRIORITY = (
     # (a) round-3 registrations below round 4's window boundary
     "doc_heaps_law_fit", "doc_compressibility_proxy",
