@@ -70,6 +70,8 @@ HEADLINE = [
     # round-6-staged representatives (vocab-grain joins; 4-way keyed join)
     "doc_bigram_cond_entropy",  # per-source H(w2|w1) over vocab marginals
     "customer_reorder_affinity",  # window + 3 keyed joins + bp rollup
+    "doc_source_kl_divergence",  # unigram KL drift: vocab-grain marginal join
+    "doc_curriculum_phases",   # two-pass global running sum (no 1-task window)
 ]
 
 
