@@ -58,7 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # nation_revenue_theil, emb_silhouette_proxy,
 # markov_next_event_accuracy, doc_weighted_sample,
 # doc_containment_pairs, emb_int8_recall_contract,
-# doc_curriculum_phases, doc_source_kl_divergence — ALL 36
+# doc_curriculum_phases, doc_source_kl_divergence,
+# supplier_backlog_peak — ALL 37
 # already strict-checked green at sf0.01 during round 5) and any new
 # round-6 work. Re-check basket_association_rules and
 # minhash_recall_stats too (round-5 one-shuffle rewrites landed after

@@ -516,3 +516,108 @@ def q_doc_source_kl_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+BACKLOG_TOPN = 20
+
+
+@query(
+    "supplier_backlog_peak",
+    oracle=f"""
+    WITH iv AS (
+        SELECT l.l_suppkey AS suppkey,
+               CAST(o.o_orderdate AS DATE) AS d_open,
+               CAST(l.l_shipdate AS DATE) AS d_ship
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate
+    ),
+    ev AS (
+        SELECT suppkey, d_open AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT suppkey, d_ship AS d, -1 AS delta FROM iv
+    ),
+    daily AS (
+        SELECT suppkey, d, CAST(SUM(delta) AS BIGINT) AS delta
+        FROM ev GROUP BY suppkey, d
+    ),
+    run AS (
+        SELECT suppkey, d,
+               SUM(delta) OVER (PARTITION BY suppkey ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_open
+        FROM daily
+    ),
+    pk AS (
+        SELECT suppkey, n_open AS peak_open,
+               substr(CAST(d AS STRING), 1, 10) AS peak_date,
+               ROW_NUMBER() OVER (PARTITION BY suppkey
+                   ORDER BY n_open DESC, d) AS rn
+        FROM run
+    )
+    SELECT suppkey, CAST(peak_open AS BIGINT) AS peak_open, peak_date
+    FROM pk WHERE rn = 1
+    ORDER BY peak_open DESC, suppkey
+    LIMIT {BACKLOG_TOPN}
+    """,
+)
+def q_supplier_backlog_peak(spark, sf_dir):
+    """Interval-concurrency sweep-line: each supplier's PEAK number of
+    simultaneously open lineitems (order placed, not yet shipped) and
+    the day it was first reached — the capacity-planning number
+    backlog AGE buckets (``orders_backlog_aging``) can't give you,
+    because peak concurrency is a property of interval OVERLAP, not of
+    any single day's snapshot.
+
+    Scale shape: the classic distributed sweep-line — each interval
+    becomes two (+1/-1) day-grain events (map-side after one keyed
+    fact-fact join), events pre-aggregate per (supplier, day) with
+    map-side combine, and the running balance is a SUPPLIER-partitioned
+    window (day grain per supplier is calendar-bounded; never a
+    single-task global window). The top-20 cut ranks a supplier-grain
+    frame. Half-open [order, ship) semantics: a lineitem shipping the
+    same day it was opened never counts toward the peak."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    iv = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("o_orderdate").cast("date").alias("d_open"),
+            F.col("l_shipdate").cast("date").alias("d_ship"),
+        )
+    )
+    ev = iv.select(
+        "suppkey", F.col("d_open").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "suppkey", F.col("d_ship").alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = ev.groupBy("suppkey", "d").agg(
+        F.sum("delta").cast("long").alias("delta")
+    )
+    w_run = (
+        Window.partitionBy("suppkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = daily.withColumn("n_open", F.sum("delta").over(w_run))
+    w_pk = Window.partitionBy("suppkey").orderBy(
+        F.desc("n_open"), F.asc("d")
+    )
+    return (
+        run.withColumn("rn", F.row_number().over(w_pk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "suppkey",
+            F.col("n_open").cast("long").alias("peak_open"),
+            F.substring(F.col("d").cast("string"), 1, 10).alias(
+                "peak_date"
+            ),
+        )
+        .orderBy(F.desc("peak_open"), "suppkey")
+        .limit(BACKLOG_TOPN)
+    )
