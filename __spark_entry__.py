@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # markov_next_event_accuracy, doc_weighted_sample,
 # doc_containment_pairs, emb_int8_recall_contract,
 # doc_curriculum_phases, doc_source_kl_divergence,
-# supplier_backlog_peak — ALL 37
+# supplier_backlog_peak, brand_weighted_median_price,
+# ab_test_conversion_lift — ALL 39
 # already strict-checked green at sf0.01 during round 5) and any new
 # round-6 work. Re-check basket_association_rules and
 # minhash_recall_stats too (round-5 one-shuffle rewrites landed after

@@ -621,3 +621,188 @@ def q_supplier_backlog_peak(spark, sf_dir):
         .orderBy(F.desc("peak_open"), "suppkey")
         .limit(BACKLOG_TOPN)
     )
+
+
+@query(
+    "brand_weighted_median_price",
+    oracle="""
+    WITH lp AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_e2,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    c AS (
+        SELECT brand, price_e2, qty,
+               SUM(qty) OVER (PARTITION BY brand ORDER BY price_e2
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_w,
+               SUM(qty) OVER (PARTITION BY brand) AS tot_w
+        FROM lp
+    )
+    SELECT brand,
+           COUNT(*) AS n_lines,
+           CAST(MAX(tot_w) AS BIGINT) AS total_qty,
+           CAST(MIN(CASE WHEN cum_w * 2 >= tot_w THEN price_e2 END)
+                AS BIGINT) AS weighted_median_price_e2
+    FROM c GROUP BY brand ORDER BY brand
+    """,
+)
+def q_brand_weighted_median_price(spark, sf_dir):
+    """Exact QUANTITY-WEIGHTED median unit price per brand — the
+    'price of the median unit sold', which differs from the plain
+    line median whenever cheap lines carry big quantities (the number
+    a pricing review actually wants). Lower weighted median: the
+    smallest price whose cumulative quantity mass reaches half the
+    brand total.
+
+    Scale shape: one fact-dim join (part broadcasts), then
+    BRAND-partitioned cumulative windows — never a global sort. The
+    half-mass test is integer arithmetic (cum * 2 >= tot) and the
+    picked price is deterministic under price ties: the crossing row
+    always lands inside a fixed price group regardless of intra-tie
+    order, and MIN over qualifying rows reads only that group's
+    price."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    lp = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_e2"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("price_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("brand")
+    c = lp.select(
+        "brand",
+        "price_e2",
+        "qty",
+        F.sum("qty").over(w_cum).alias("cum_w"),
+        F.sum("qty").over(w_tot).alias("tot_w"),
+    )
+    return (
+        c.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("tot_w").cast("long").alias("total_qty"),
+            F.min(
+                F.when(
+                    F.col("cum_w") * 2 >= F.col("tot_w"), F.col("price_e2")
+                )
+            )
+            .cast("long")
+            .alias("weighted_median_price_e2"),
+        )
+        .orderBy("brand")
+    )
+
+
+# Deterministic A/B arm: parity of the first md5 nibble of the seeded
+# user id — the same engine-portable nibble decode as the weighted
+# sampler; arm A gets even nibbles, B odd.
+_AB_ARM = (
+    "CASE WHEN (instr('0123456789abcdef',"
+    " substr(md5('ab:' || CAST(user_id AS STRING)), 1, 1)) - 1) % 2 = 0"
+    " THEN 'A' ELSE 'B' END"
+)
+
+
+@query(
+    "ab_test_conversion_lift",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {_AB_ARM} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k
+        FROM u GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+               MAX(CASE WHEN arm = 'A' THEN k END) AS k_a,
+               MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+               MAX(CASE WHEN arm = 'B' THEN k END) AS k_b
+        FROM arms
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           CAST(FLOOR(CAST(k_a AS DOUBLE) * 10000 / n_a) AS BIGINT)
+               AS conv_a_bp,
+           CAST(FLOOR(CAST(k_b AS DOUBLE) * 10000 / n_b) AS BIGINT)
+               AS conv_b_bp,
+           CAST(ROUND((CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a)
+               / SQRT((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+               * 10000) AS BIGINT) AS z_e4
+    FROM wide
+    """,
+)
+def q_ab_test_conversion_lift(spark, sf_dir):
+    """Two-proportion A/B readout: users deterministically split into
+    arms by md5 parity (the hash-based assignment every replayable
+    experiment framework uses — stable across runs, engines, and
+    cluster sizes), per-arm user-grain conversion (any purchase), and
+    the pooled two-proportion z statistic for the B-vs-A lift — the
+    decision number an experimentation mart serves.
+
+    Scale shape: one user-grain aggregation (map-side combine on the
+    seeded-hash arm + MAX flag), a 2-row arm rollup, then scalar
+    pivot arithmetic. Counts are exact integers end-to-end; the z
+    statistic is ONE fixed-order double expression e4-rounded at the
+    very end."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("arm", F.expr(_AB_ARM))
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("k"))).alias("k_b"),
+    )
+    return wide.select(
+        "n_a", "k_a", "n_b", "k_b",
+        F.expr(
+            "CAST(FLOOR(CAST(k_a AS DOUBLE) * 10000 / n_a) AS BIGINT)"
+        ).alias("conv_a_bp"),
+        F.expr(
+            "CAST(FLOOR(CAST(k_b AS DOUBLE) * 10000 / n_b) AS BIGINT)"
+        ).alias("conv_b_bp"),
+        F.expr(
+            "CAST(ROUND((CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a)"
+            " / SQRT((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
+            "        * (1 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
+            "        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+            " * 10000) AS BIGINT)"
+        ).alias("z_e4"),
+    )
