@@ -806,3 +806,71 @@ def q_ab_test_conversion_lift(spark, sf_dir):
             " * 10000) AS BIGINT)"
         ).alias("z_e4"),
     )
+
+
+PATH_TOPN = 10
+
+
+@query(
+    "purchase_path_topk",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type, 1) OVER w AS prev1,
+               LAG(event_type, 2) OVER w AS prev2
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT COALESCE(prev2, '(start)') || ' > '
+               || COALESCE(prev1, '(start)') || ' > purchase' AS path
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT path, COUNT(*) AS n_purchases
+    FROM paths GROUP BY path
+    ORDER BY n_purchases DESC, path
+    LIMIT {PATH_TOPN}
+    """,
+)
+def q_purchase_path_topk(spark, sf_dir):
+    """Top conversion paths: the most common 3-step event sequences
+    ending in a purchase (the two events immediately preceding it,
+    '(start)' when history is shorter) — the path-analysis surface
+    behind 'what journeys actually convert', one level deeper than the
+    2-gram transition matrix (``user_event_transitions``) and the
+    Markov argmax contract.
+
+    Scale shape: ONE user-partitioned window produces both lags (named
+    WINDOW clause — both engines plan a single sort), the path string
+    exists only for purchase rows (filter before concat), and the
+    path rollup gets map-side combine on a bounded key space
+    (|event_types|² paths). Top-10 ranks exact integer counts with a
+    path tie-break."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("prev1"),
+            F.lag("event_type", 2).over(w).alias("prev2"),
+        )
+    )
+    paths = seq.filter(F.col("event_type") == "purchase").select(
+        F.concat_ws(
+            " > ",
+            F.coalesce(F.col("prev2"), F.lit("(start)")),
+            F.coalesce(F.col("prev1"), F.lit("(start)")),
+            F.lit("purchase"),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.desc("n_purchases"), "path")
+        .limit(PATH_TOPN)
+    )
