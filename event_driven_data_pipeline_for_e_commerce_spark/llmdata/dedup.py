@@ -352,6 +352,45 @@ def minhash_near_duplicates(
     )
 
 
+def winnow_fingerprint_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """(id, fp) rows: winnowed document fingerprints — the MOSS
+    selection scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03). Text is
+    normalized to its [a-z0-9] skeleton, every char ``k``-gram gets a
+    31-bit md5 hash, and each window of ``w`` consecutive hashes
+    contributes its MINIMUM — guaranteeing any shared substring of
+    length >= k + w - 1 shares at least one selected fingerprint while
+    storing only ~2/(w+1) of all k-gram hashes.
+
+    Wholly map-side: normalization, the per-position hash array, the
+    window minima, and the distinct-set all evaluate inside one
+    projection; the only rows that leave the task are the selected
+    (id, fp) pairs. Docs shorter than k + w - 1 normalized chars yield
+    no fingerprints (no guaranteed-match window exists). Hash identity
+    is the same 31-bit md5 scheme as the shingle pipeline, so the SQL
+    oracle reproduces every value bit-for-bit."""
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    with_norm = src.select(id_col, norm.alias("__nm")).filter(
+        F.length("__nm") >= k + w - 1
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("__nm") - (k - 1)),
+        lambda i: _shingle_base(F.col("__nm").substr(i, F.lit(k))),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__h") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+        )
+    )
+    return (
+        with_norm.select(id_col, hashes.alias("__h"))
+        .select(id_col, F.explode(mins).alias("fp"))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup by content hash: one survivor (min id) per distinct
     text. Output: (text_hash, keeper_doc_id, copies)."""

@@ -874,3 +874,89 @@ def q_purchase_path_topk(spark, sf_dir):
         .orderBy(F.desc("n_purchases"), "path")
         .limit(PATH_TOPN)
     )
+
+
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (guarantee length = k + w - 1 = 11)
+WINNOW_TOPN = 20
+
+# 31-bit md5 nibble hash of one char k-gram starting at position i of
+# the normalized skeleton nm — the oracle-side twin of
+# llmdata.dedup._shingle_base applied to substr(nm, i, k).
+_WN_HASH = (
+    "CAST(list_sum(list_transform(generate_series(1, 8), kk ->"
+    " (instr('0123456789abcdef',"
+    f" substr(md5(substr(nm, i, {WINNOW_K})), kk, 1)) - 1)"
+    " * 16 ** (8 - kk))) AS BIGINT) % 2147483647"
+)
+
+
+@query(
+    "doc_winnow_fingerprint_matches",
+    oracle=f"""
+    WITH nrm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, length(nm) - {WINNOW_K - 1}),
+                   i -> {_WN_HASH}) AS hl
+        FROM nrm WHERE length(nm) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    fps AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, len(hl) - {WINNOW_W - 1}),
+                   j -> list_min(hl[j:j+{WINNOW_W - 1}])))) AS fp
+        FROM hs
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS shared_fps
+        FROM fps a JOIN fps b
+          ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+    FROM pairs
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    LIMIT {WINNOW_TOPN}
+    """,
+)
+def q_doc_winnow_fingerprint_matches(spark, sf_dir):
+    """Winnowing (MOSS) copy detection: the top document pairs by
+    shared WINNOWED fingerprints — char-grain, so it catches verbatim
+    passage reuse across token boundaries that word-shingle MinHash
+    blurs, with the classic guarantee that any shared substring of
+    length >= k + w - 1 (= 11 normalized chars) is caught while only
+    ~2/(w+1) of k-gram hashes are stored.
+
+    Scale shape: fingerprint selection is wholly map-side (one
+    projection: normalize, per-position 31-bit hashes, window minima,
+    distinct) — only selected (id, fp) pairs leave the task, the
+    winnowing guarantee's whole point at 100 TB. The pair join is the
+    exact-audit equi-self-join on fp (same class as the containment
+    audit — production runs it behind the `lsh_candidate_pairs`
+    bucket cap for boilerplate-heavy corpora). Counts are exact
+    integers; the top-20 cut tie-breaks on ids."""
+    from ..llmdata.dedup import winnow_fingerprint_frame
+
+    t = load_tables(spark, sf_dir)
+    fps = pin(
+        winnow_fingerprint_frame(
+            t["documents"], "text", "doc_id", k=WINNOW_K, w=WINNOW_W
+        )
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(WINNOW_TOPN)
+    )

@@ -143,3 +143,32 @@ def test_weighted_median_lies_between_min_and_max(spark, sf_dir):
         src = by_brand[r["brand"]]
         assert r["total_qty"] == src["qty"]
         assert r["weighted_median_price_e2"] in set(src["prices"])
+
+
+def test_winnowing_guarantee(spark):
+    """The MOSS guarantee: two documents sharing a substring of length
+    >= k + w - 1 (11 normalized chars here) MUST share at least one
+    winnowed fingerprint; disjoint-alphabet documents share none."""
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        winnow_fingerprint_frame,
+    )
+
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} BBB padding text one two three"),
+            (2, f"zzz {shared} yyy completely different tail words"),
+            (3, "0123456789 0123456789 0123456789 0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprint_frame(df, "text", "doc_id", k=8, w=4)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]), "disjoint alphabets must not"
+    assert not (by_doc[2] & by_doc[3])

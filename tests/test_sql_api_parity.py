@@ -3,7 +3,7 @@ BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
 The corpus oracles are written in ANSI-leaning DuckDB SQL; 168 of
-the 278 ANALYZE VERBATIM on Spark SQL and 166 of those are row-equal
+the 279 ANALYZE VERBATIM on Spark SQL and 166 of those are row-equal
 to the DataFrame implementation at sf0.001. The non-analyzable rest
 use DuckDB-specific surfaces — list_dot_product / string_split_regex
 / UNNEST over computed-bound generate_series / `//` division /
