@@ -61,7 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc_curriculum_phases, doc_source_kl_divergence,
 # supplier_backlog_peak, brand_weighted_median_price,
 # ab_test_conversion_lift, purchase_path_topk,
-# doc_winnow_fingerprint_matches — ALL 41
+# doc_winnow_fingerprint_matches, daily_revenue_cusum_drift,
+# event_type_psi_drift — ALL 43
 # already strict-checked green at sf0.01 during round 5) and any new
 # round-6 work. Re-check basket_association_rules and
 # minhash_recall_stats too (round-5 one-shuffle rewrites landed after

@@ -1882,3 +1882,6 @@ from . import round6e_queries  # noqa: E402,F401
 # round-6-staged additions, part 6: weighted sampling / containment
 # audit / int8 recall contract / curriculum phases
 from . import round6f_queries  # noqa: E402,F401
+
+# round-6-staged additions, part 7: drift & change-point detection
+from . import round6g_queries  # noqa: E402,F401
