@@ -579,7 +579,9 @@ def q_supplier_backlog_peak(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window
 
-    iv = (
+    # both event branches (+1 opens, -1 ships) read this frame — pin
+    # so the fact-fact join runs once, not twice
+    iv = pin(
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))

@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from event_driven_data_pipeline_for_e_commerce_spark.operators.cumulative import (
     running_sum_ranged,
 )
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import pin
 
 from .corpus import query
 from .tables import load_tables
@@ -73,7 +74,9 @@ def q_daily_revenue_cusum_drift(spark, sf_dir):
     CUSUM is a sum of integer deviations, so both engines walk the
     identical series."""
     t = load_tables(spark, sf_dir)
-    daily = (
+    # two consumers (scalar mean, deviation frame) — pin so the fact
+    # scan + day rollup run once
+    daily = pin(
         t["orders"]
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
@@ -182,7 +185,9 @@ def q_event_type_psi_drift(spark, sf_dir):
     half = F.when(
         F.to_date("ts") < F.date_add(F.lit(b["d0"]), mid_offset), "h1"
     ).otherwise("h2")
-    cnt = (
+    # two consumers (the totals scalar, the term projection) — pin so
+    # the event scan + keyed count run once
+    cnt = pin(
         t["events"]
         .select("event_type", half.alias("half"))
         .groupBy("event_type")
