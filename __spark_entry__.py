@@ -62,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # supplier_backlog_peak, brand_weighted_median_price,
 # ab_test_conversion_lift, purchase_path_topk,
 # doc_winnow_fingerprint_matches, daily_revenue_cusum_drift,
-# event_type_psi_drift — ALL 43
+# event_type_psi_drift, daily_revenue_stl_decomposition — ALL 44
 # already strict-checked green at sf0.01 during round 5) and any new
 # round-6 work. Re-check basket_association_rules and
 # minhash_recall_stats too (round-5 one-shuffle rewrites landed after

@@ -221,3 +221,128 @@ def q_event_type_psi_drift(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+STL_HALF = 14  # centered moving-average half-width (29-day trend)
+
+
+@query(
+    "daily_revenue_stl_decomposition",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_e2
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, rev_e2,
+               CAST(FLOOR(SUM(rev_e2) OVER w * 1.0
+                    / COUNT(*) OVER w) AS BIGINT) AS trend_e2
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {STL_HALF} PRECEDING
+                     AND {STL_HALF} FOLLOWING)
+    ),
+    det AS (
+        SELECT month(d) AS month, rev_e2 - trend_e2 AS det_e2 FROM tr
+    ),
+    seas AS (
+        SELECT month,
+               CAST(FLOOR(SUM(det_e2) * 1.0 / COUNT(*)) AS BIGINT)
+                   AS seasonal_e2,
+               COUNT(*) AS n_days
+        FROM det GROUP BY month
+    ),
+    resid AS (
+        SELECT det.month,
+               CAST(FLOOR((det.det_e2 - seas.seasonal_e2) * 1.0 / 100)
+                    AS BIGINT) AS r_d
+        FROM det JOIN seas ON seas.month = det.month
+    )
+    SELECT r.month,
+           CAST(s.n_days AS BIGINT) AS n_days,
+           s.seasonal_e2,
+           CAST(FLOOR((COUNT(*) * SUM(r.r_d * r.r_d)
+                       - SUM(r.r_d) * SUM(r.r_d)) * 1.0
+                / (COUNT(*) * COUNT(*))) AS BIGINT) AS resid_var_d2
+    FROM resid r JOIN seas s ON s.month = r.month
+    GROUP BY r.month, s.n_days, s.seasonal_e2
+    ORDER BY r.month
+    """,
+)
+def q_daily_revenue_stl_decomposition(spark, sf_dir):
+    """STL-lite seasonal decomposition of daily revenue: a centered
+    29-day moving average is the trend, per-calendar-month means of
+    the detrended series are the seasonal factors, and the residual
+    variance per month is the noise floor — together the additive
+    decomposition (trend + seasonal + residual) a forecasting review
+    starts from, one level deeper than the share-based
+    ``monthly_seasonal_index``.
+
+    Scale shape: the fact collapses to day grain first; the centered
+    MA runs as an UNPARTITIONED but BOUNDED-frame window over the
+    calendar-day series (same class as daily_revenue_gapfill_ma7 —
+    day grain is calendar-bounded, on the documented allowlist); the
+    seasonal/residual rollups are month-grain with exact-integer
+    moment sums (residuals first floored to dollar grain so the
+    squared sums stay far inside BIGINT). Every division is one
+    fixed-order FLOOR both engines evaluate identically."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_e2")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-STL_HALF, STL_HALF)
+    tr = daily.select(
+        "d",
+        "rev_e2",
+        F.floor(F.sum("rev_e2").over(w) * 1.0 / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("trend_e2"),
+    )
+    # two consumers (seasonal means, residual join) — pin so the
+    # windowed trend pass runs once
+    det = pin(
+        tr.select(
+            F.month("d").alias("month"),
+            (F.col("rev_e2") - F.col("trend_e2")).alias("det_e2"),
+        )
+    )
+    seas = det.groupBy("month").agg(
+        F.floor(F.sum("det_e2") * 1.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("seasonal_e2"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    resid = det.join(F.broadcast(seas), "month").select(
+        "month",
+        "n_days",
+        "seasonal_e2",
+        F.floor((F.col("det_e2") - F.col("seasonal_e2")) * 1.0 / 100)
+        .cast("long")
+        .alias("r_d"),
+    )
+    return (
+        resid.groupBy("month", "n_days", "seasonal_e2")
+        .agg(
+            F.floor(
+                (
+                    F.count(F.lit(1)) * F.sum(F.col("r_d") * F.col("r_d"))
+                    - F.sum("r_d") * F.sum("r_d")
+                )
+                * 1.0
+                / (F.count(F.lit(1)) * F.count(F.lit(1)))
+            )
+            .cast("long")
+            .alias("resid_var_d2")
+        )
+        .select("month", "n_days", "seasonal_e2", "resid_var_d2")
+        .orderBy("month")
+    )

@@ -383,6 +383,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "sk_continuation": "documented oracle-parity twin (W1)",
     "doc_vocab_encode": "capped vocab frame",
     "daily_revenue_gapfill_ma7": "calendar-day grain",
+    "daily_revenue_stl_decomposition": "calendar-day grain (centered "
+    "29-day MA over the bounded day series)",
     "qsketch_price_quantiles": "fixed histogram-bin grain",
     "monthly_seasonal_index": "calendar-month grain",
     "daily_revenue_autocorr": "calendar-day grain",

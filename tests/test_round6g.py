@@ -47,3 +47,18 @@ def test_psi_terms_sign_matches_share_shift(spark, sf_dir):
         assert r["n_h1"] + r["n_h2"] == totals[r["event_type"]]
         assert 0 <= r["share_h1_bp"] <= 10000
         assert 0 <= r["share_h2_bp"] <= 10000
+
+
+def test_stl_decomposition_partitions_year(spark, sf_dir):
+    """Twelve month rows whose day counts sum to the distinct order
+    days; residual variance is non-negative everywhere."""
+    rows = QUERIES["daily_revenue_stl_decomposition"](spark, sf_dir).collect()
+    assert [r["month"] for r in rows] == list(range(1, 13))
+    n_days = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(F.to_date("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_days"] for r in rows) == n_days
+    assert all(r["resid_var_d2"] >= 0 for r in rows)

@@ -2,8 +2,8 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 169 of
-the 281 ANALYZE VERBATIM on Spark SQL and 167 of those are row-equal
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 170 of
+the 282 ANALYZE VERBATIM on Spark SQL and 168 of those are row-equal
 to the DataFrame implementation at sf0.001. The non-analyzable rest
 use DuckDB-specific surfaces — list_dot_product / string_split_regex
 / UNNEST over computed-bound generate_series / `//` division /
@@ -22,7 +22,7 @@ in already-DuckDB-only oracles. The 2 analyzable-but-unequal
 (doc_clean_normalize, source_char_class_profile) depend on `\s`-class
 regexes, which Spark SQL string literals swallow (its parser consumes
 the backslash; DuckDB keeps it) with no escape form both engines
-accept. This test pins a diverse 90-query subset and
+accept. This test pins a diverse 91-query subset and
 requires exact row-level equality between `spark.sql(oracle_text)`
 and the DataFrame-API implementation — the in-engine proof that a
 SQL-first user of the reference can bring their queries over
@@ -36,7 +36,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 167 verbatim-portable row-equal
+# Diverse pinned subset of the 168 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5 additions.
@@ -90,6 +90,7 @@ PORTABLE = [
     "doc_weighted_sample", "supplier_backlog_peak",
     "brand_weighted_median_price", "ab_test_conversion_lift",
     "purchase_path_topk", "daily_revenue_cusum_drift",
+    "daily_revenue_stl_decomposition",
 ]
 
 
