@@ -20,55 +20,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks exactly the first 50 registered queries per round.
-# Cumulative driver-green after round 4: 190 of 212 (CORRECTNESS_r01 ∪
-# r02 ∪ r03 ∪ r04, zero red ever). Round-5 head, in order: (a) the 14
-# round-3 registrations that fell below round 4's window boundary
-# (doc_heaps_law_fit .. nation_order_coverage), (b) the 8 round-4
-# registrations that had no driver row (emb_ivf_nprobe_sweep ..
-# revenue_motif_search — the last also carries this round's
-# oracle-mirroring fix for the flat-query-window edge case), then
-# (c) doc_simhash + doc_simhash_near_dup re-checks after round 4's
-# one-digest-per-row refactor. 24 rows; the remaining 26 window slots
-# go to round-5 registrations, which land in the "mid" section in
-# registration order.
+# Cumulative driver-green after round 5: 238 of 282 (CORRECTNESS_r01 ∪
+# … ∪ r05, zero red ever).
 #
-# ROUND-6 ROTATION NOTE: the r5 window is exactly head(24) + the 26
-# round-5 registrations (customer_spend_quartile_bands ..
-# tax_discount_joint_histogram) — no round-5 query falls below the
-# boundary. After CORRECTNESS_r05 lands, demote the window's greens
-# to _PRIOR_GREEN; promote code-touched re-checks first:
-# scd2_merge_orders (merge-join pin), customer_pareto_abc /
-# part_revenue_gini / emb_ann_recall_contract (pin-registry
-# refactor), media_feature_extract (real-decode seam),
-# emb_kmeans_assign (map-side argmin rewrite) — then the 31
-# round-6-staged registrations already sitting first in the mid
-# section (emb_label_knn_accuracy, doc_perplexity_by_source,
-# doc_contamination_by_split, customer_value_migration,
-# orders_backlog_aging, nation_trade_balance,
-# order_priority_sla_attainment, emb_pca_reconstruction_error,
-# order_linecount_histogram, doc_token_budget_curve, doc_hapax_rate,
-# supplier_revenue_lorenz, emb_quantile_clip_bounds,
-# emb_centroid_split_drift, doc_bigram_cond_entropy,
-# doc_near_dup_cross_source, session_conversion_stats,
-# doc_shard_balance, order_completion_mix, customer_reorder_affinity,
-# doc_dedup_keeper_quality_delta, session_entry_conversion,
-# event_hourly_dispersion, emb_dim_correlation_pairs,
-# supplier_lead_time_consistency, same_nation_trade_lift,
-# part_size_price_frontier, event_segment_chisq,
-# nation_revenue_theil, emb_silhouette_proxy,
-# markov_next_event_accuracy, doc_weighted_sample,
-# doc_containment_pairs, emb_int8_recall_contract,
-# doc_curriculum_phases, doc_source_kl_divergence,
-# supplier_backlog_peak, brand_weighted_median_price,
-# ab_test_conversion_lift, purchase_path_topk,
-# doc_winnow_fingerprint_matches, daily_revenue_cusum_drift,
-# event_type_psi_drift, daily_revenue_stl_decomposition — ALL 44
-# already strict-checked green at sf0.01 during round 5) and any new
-# round-6 work. Re-check basket_association_rules and
-# minhash_recall_stats too (round-5 one-shuffle rewrites landed after
-# their r4 driver rows).
+# ROUND-6 WINDOW (this head is exactly 50 entries): (a) 8 driver
+# re-checks of queries whose code was touched after their last green
+# row — scd2_merge_orders (r5 merge-join pin), customer_pareto_abc /
+# part_revenue_gini / emb_ann_recall_contract (r5 pin-registry
+# refactor; the last also carries round 6's shared scoring-pass
+# rewrite), media_feature_extract (r5 real-PNG-decode seam),
+# emb_kmeans_assign (r5 map-side argmin rewrite),
+# part_copurchase_pagerank (round 6 loop-frame pinning),
+# orders_column_profile (round 6 single-pass melted profiler);
+# (b) 42 of the 44 round-5-staged registrations, in registration
+# order (emb_label_knn_accuracy .. daily_revenue_cusum_drift — all
+# strict-checked green at sf0.01 during round 5).
+# NOTE: basket_association_rules and minhash_recall_stats, flagged
+# for re-check in the r5 rotation note, already received green r5
+# driver rows (they sat in the r5 head), so they need no slot here.
+#
+# ROUND-7 ROTATION NOTE / window budget: 8 + 44 = 52 candidates for
+# 50 slots, so TWO staged queries are explicitly deferred to round 7:
+# event_type_psi_drift and daily_revenue_stl_decomposition (both
+# strict-checked green at sf0.01 in rounds 5 and 6; they sit first in
+# the mid section, i.e. positions 51–52). After CORRECTNESS_r06
+# lands, demote this head's greens to _PRIOR_GREEN, promote those two
+# deferred queries plus any round-6-code-touched re-checks, and cap
+# new registrations at (50 − re-checks − 2) so the backlog reaches
+# zero with cumulative 282/282.
 _PRIORITY = (
-    # (a) round-3 registrations below round 4's window boundary
+    # (a) code-touched driver re-checks
+    "scd2_merge_orders", "customer_pareto_abc", "part_revenue_gini",
+    "emb_ann_recall_contract", "media_feature_extract",
+    "emb_kmeans_assign", "part_copurchase_pagerank",
+    "orders_column_profile",
+    # (b) round-5-staged registrations, first 42 of 44
+    "emb_label_knn_accuracy", "doc_perplexity_by_source",
+    "doc_contamination_by_split", "customer_value_migration",
+    "orders_backlog_aging", "nation_trade_balance",
+    "order_priority_sla_attainment", "emb_pca_reconstruction_error",
+    "order_linecount_histogram", "doc_token_budget_curve",
+    "doc_hapax_rate", "supplier_revenue_lorenz",
+    "emb_quantile_clip_bounds", "emb_centroid_split_drift",
+    "doc_bigram_cond_entropy", "doc_near_dup_cross_source",
+    "session_conversion_stats", "doc_shard_balance",
+    "order_completion_mix", "customer_reorder_affinity",
+    "doc_dedup_keeper_quality_delta", "session_entry_conversion",
+    "event_hourly_dispersion", "emb_dim_correlation_pairs",
+    "supplier_lead_time_consistency", "same_nation_trade_lift",
+    "part_size_price_frontier", "event_segment_chisq",
+    "nation_revenue_theil", "emb_silhouette_proxy",
+    "markov_next_event_accuracy", "doc_weighted_sample",
+    "doc_containment_pairs", "emb_int8_recall_contract",
+    "doc_curriculum_phases", "doc_source_kl_divergence",
+    "supplier_backlog_peak", "brand_weighted_median_price",
+    "ab_test_conversion_lift", "purchase_path_topk",
+    "doc_winnow_fingerprint_matches", "daily_revenue_cusum_drift",
+)
+
+
+# Queries with a green driver row in rounds 1-4 — demoted to the end
+# of the registration order so the driver's 50-row window spends its
+# budget on never-checked queries (and round-5 additions) first.
+# Eight of the historical greens (scd2_merge_orders,
+# customer_pareto_abc, part_revenue_gini, emb_ann_recall_contract,
+# media_feature_extract, emb_kmeans_assign, part_copurchase_pagerank,
+# orders_column_profile) are promoted to _PRIORITY for code-touched
+# re-checks and therefore omitted from this tuple for round 6.
+_PRIOR_GREEN = (
+    # round-5 greens (CORRECTNESS_r05.json, 50/50)
     "doc_heaps_law_fit", "doc_compressibility_proxy",
     "emb_lsh_bucket_label_purity", "doc_sentence_stats",
     "part_type_supplier_hhi", "lsh_candidate_volume_forecast",
@@ -76,22 +96,26 @@ _PRIORITY = (
     "emb_norm_histogram", "hourly_load_percentiles",
     "part_size_price_regression", "doc_dedup_threshold_sweep",
     "segment_clv_projection", "nation_order_coverage",
-    # (b) round-4 registrations never driver-checked
     "emb_ivf_nprobe_sweep", "bloom_prefilter_audit",
     "basket_association_rules", "event_disorder_profile",
     "doc_incremental_dedup", "multi_touch_attribution",
     "minhash_recall_stats", "revenue_motif_search",
-    # (c) re-checks after round 4's simhash one-digest refactor
     "doc_simhash", "doc_simhash_near_dup",
-)
-
-
-# Queries with a green driver row in rounds 1-4 — demoted to the end
-# of the registration order so the driver's 50-row window spends its
-# budget on never-checked queries (and round-5 additions) first.
-_PRIOR_GREEN = (
+    "customer_spend_quartile_bands", "nation_revenue_rank_stability",
+    "weekly_revenue_wow_delta", "orders_price_zscore_outliers",
+    "brand_price_iqr_outliers", "brand_price_variance_decomposition",
+    "orders_weekday_seasonality", "event_type_share_by_hour",
+    "quarter_end_load_share", "returned_rate_by_brand",
+    "doc_shingle_df_skew", "doc_dup_cluster_size_histogram",
+    "emb_ivf_list_balance", "emb_kmeans_inertia",
+    "emb_int8_quant_error_by_label", "doc_prefix_dup_rate",
+    "doc_vocab_growth_by_source", "events_dedup_rate_by_day",
+    "copurchase_jaccard_similar_parts", "customer_type_concentration",
+    "ship_delay_p95_by_month", "discount_band_margin",
+    "emb_norm_extremes", "doc_lang_source_confusion",
+    "customer_order_span_stats", "tax_discount_joint_histogram",
     # round-4 greens (CORRECTNESS_r04.json, 50/50)
-    "emb_ann_recall_contract", "doc_pmi_collocations",
+    "doc_pmi_collocations",
     "doc_dedup_survivors", "doc_length_percentiles",
     "doc_keyword_search", "emb_dim_stats", "event_volume_anomalies",
     "repeat_purchase_intervals", "lead_time_trend_by_nation",
@@ -110,13 +134,13 @@ _PRIOR_GREEN = (
     "metric_cube_region_priority", "activity_heatmap",
     "metric_events_type_segment", "corpus_quality_report",
     "benford_first_digit_audit", "part_recommendations",
-    "customer_pareto_abc", "media_exact_dedup",
+    "media_exact_dedup",
     "minhash_precision_stats", "user_peak_event_rate",
-    "part_revenue_gini", "daily_revenue_autocorr",
+    "daily_revenue_autocorr",
     "functional_dependency_audit", "customer_entity_clusters",
     # round-3 greens (CORRECTNESS_r03.json, 50/50)
     "doc_segment_dedup", "doc_bigram_lm_score", "doc_clean_normalize",
-    "emb_exact_dedup", "emb_kmeans_assign", "emb_int8_quantize",
+    "emb_exact_dedup", "emb_int8_quantize",
     "doc_sequence_pack", "doc_vocab_encode", "audio_pcm_stats",
     "doc_source_mixing", "doc_near_dup_consensus",
     "q6_forecast_revenue", "q10_returned_items",
@@ -126,15 +150,15 @@ _PRIOR_GREEN = (
     "q18_large_volume_customers", "q20_excess_shipments",
     "q21_waiting_suppliers", "cohort_retention", "rfm_segments",
     "basket_part_pairs", "hll_rollup_contract", "daily_revenue_gapfill_ma7",
-    "orders_column_profile", "customer_name_fuzzy_pairs",
-    "part_copurchase_pagerank", "segment_event_revenue",
+    "customer_name_fuzzy_pairs",
+    "segment_event_revenue",
     "daily_conversion_rates", "order_value_quantile_bands",
     "referential_integrity_audit", "weekly_active_users",
     "funnel_by_segment", "snapshot_diff_reconciliation",
     "winsorized_order_values", "supplier_scorecard",
     "cart_abandonment_daily", "discount_quantity_stats",
     "doc_minhash_near_dup", "doc_dup_clusters", "emb_cosine_near_dup",
-    "media_feature_extract", "doc_exact_dedup", "funnel",
+    "doc_exact_dedup", "funnel",
     "filter_status_revenue", "late_shipments", "dedup_full_rows",
     "dedup_keyed_ordered", "empty_relation", "defensive_default_column",
     "filter_header_rows", "masked_ship_kpis", "deterministic_segments",
@@ -168,7 +192,7 @@ _PRIOR_GREEN = (
     "q5_local_supplier_volume", "q7_nation_trade_volume", "q8_market_share",
     "q17_small_quantity_revenue", "q22_prospective_customers",
     "q19_disjunctive_predicates", "tolerant_extract_cast",
-    "props_json_stats", "purchase_attribution", "scd2_merge_orders",
+    "props_json_stats", "purchase_attribution", 
 )
 
 
