@@ -49,7 +49,8 @@ def _ranged_with_bases(
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     part = _pin(
         df.repartitionByRange(n, *order_exprs)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id()),
+        critical=True,
     )
     partials = {
         r["__pid"]: r["v"]

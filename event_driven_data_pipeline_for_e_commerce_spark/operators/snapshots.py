@@ -9,6 +9,9 @@ what Iceberg/Delta do, with no library dependency:
     table_dir/
         _manifest.json        <- versions: [{version, ts_utc, path,
                                              n_rows}], current: N
+        _claims/v00001        <- empty marker files: version-number
+        _claims/v00002           claims (exclusive-create, survive
+                                  the data overwrite below)
         v00001/ ... parquet
         v00002/ ... parquet
 
@@ -86,27 +89,44 @@ class _ManifestLock:
         return False
 
 
+def _claim_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "_claims", f"v{version:05d}")
+
+
 def write_snapshot(df: DataFrame, table_dir: str) -> int:
     """Write ``df`` as the table's next immutable version and make it
     current. Returns the new version number. The version directory is
     fully written BEFORE the manifest swap, so a crash mid-write
-    leaves the table at the previous version with an orphan dir (to
-    be reclaimed by ``expire_versions``), never at a torn state.
+    leaves the table at the previous version with an orphan claim (and
+    possibly a partial dir), both reclaimed by ``expire_versions``
+    after a grace period — never a torn state.
 
     Concurrent writers are safe (optimistic concurrency, the Iceberg
-    commit shape): each writer CLAIMS a version directory with a bare
-    ``os.mkdir`` — atomic create-or-fail, so two writers can never
-    share a directory; a loser simply claims the next number — and the
-    manifest read-modify-write is serialized by a lock, with
+    commit shape): each writer CLAIMS a version NUMBER by exclusively
+    creating a marker file under ``_claims/`` (``O_CREAT|O_EXCL`` —
+    atomic create-or-fail; a loser simply claims the next number).
+    The marker deliberately lives OUTSIDE the version directory:
+    Spark's ``mode("overwrite")`` deletes and recreates the data dir
+    at job start, so a claim expressed as the dir itself would vanish
+    for a window and a racing writer could double-claim the number.
+    The manifest read-modify-write is serialized by a lock, with
     ``current`` advancing monotonically (max of committed versions)
-    so commit order cannot regress the table."""
-    os.makedirs(table_dir, exist_ok=True)
+    so commit order cannot regress the table. Pre-existing version
+    dirs with no claim (e.g. left by an older layout) are skipped,
+    never reused."""
+    os.makedirs(os.path.join(table_dir, "_claims"), exist_ok=True)
     version = _load_manifest(table_dir)["current"]
     while True:
         version += 1
         vdir = os.path.join(table_dir, f"v{version:05d}")
+        if os.path.exists(vdir):  # orphan/legacy dir: skip, never reuse
+            continue
         try:
-            os.mkdir(vdir)  # atomic claim: loser of a race moves on
+            fd = os.open(
+                _claim_path(table_dir, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)  # atomic claim: loser of a race moves on
             break
         except FileExistsError:
             continue
@@ -168,31 +188,84 @@ def list_versions(table_dir: str) -> list[dict]:
 def rollback(table_dir: str, version: int) -> None:
     """Point 'current' back at an existing version (metadata-only —
     instant at any table size, exactly like Iceberg rollback). Later
-    versions stay on disk and readable until expired."""
-    manifest = _load_manifest(table_dir)
-    _resolve(manifest, version, None)  # validates existence
-    manifest["current"] = version
-    _store_manifest(table_dir, manifest)
+    versions stay on disk and readable until expired. The manifest
+    read-modify-write is lock-serialized so a rollback racing a
+    concurrent commit cannot store a stale manifest and drop the
+    writer's just-appended version entry."""
+    with _ManifestLock(table_dir):
+        manifest = _load_manifest(table_dir)
+        _resolve(manifest, version, None)  # validates existence
+        manifest["current"] = version
+        _store_manifest(table_dir, manifest)
 
 
-def expire_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+def expire_versions(
+    table_dir: str, keep_last: int = 2, orphan_grace: float = 3600.0
+) -> list[int]:
     """Reclaim old snapshot directories, keeping the newest
     ``keep_last`` versions plus the current one (rollback may have
-    moved current backwards). Returns the expired version numbers."""
+    moved current backwards). Returns the expired version numbers.
+
+    Also reclaims ORPHANS: claim markers and on-disk ``vNNNNN`` dirs
+    absent from the manifest (a crashed writer claimed a number but
+    never committed) whose mtime is older than ``orphan_grace``
+    seconds — the grace window protects an in-flight writer that has
+    claimed but not yet committed. Lock-serialized like
+    ``write_snapshot`` so an expire racing a commit cannot lose the
+    writer's manifest entry."""
     import shutil
 
-    manifest = _load_manifest(table_dir)
-    entries = sorted(manifest["versions"], key=lambda e: e["version"])
-    keep = {e["version"] for e in entries[-keep_last:]}
-    keep.add(manifest["current"])
     expired = []
-    survivors = []
-    for e in entries:
-        if e["version"] in keep:
-            survivors.append(e)
-        else:
-            shutil.rmtree(os.path.join(table_dir, e["path"]), ignore_errors=True)
-            expired.append(e["version"])
-    manifest["versions"] = survivors
-    _store_manifest(table_dir, manifest)
+    with _ManifestLock(table_dir):
+        manifest = _load_manifest(table_dir)
+        entries = sorted(manifest["versions"], key=lambda e: e["version"])
+        keep = {e["version"] for e in entries[-keep_last:]}
+        keep.add(manifest["current"])
+        survivors = []
+        for e in entries:
+            if e["version"] in keep:
+                survivors.append(e)
+            else:
+                shutil.rmtree(
+                    os.path.join(table_dir, e["path"]), ignore_errors=True
+                )
+                try:
+                    os.unlink(_claim_path(table_dir, e["version"]))
+                except OSError:
+                    pass
+                expired.append(e["version"])
+        manifest["versions"] = survivors
+        _store_manifest(table_dir, manifest)
+
+        # Orphan reclamation: anything claimed or on disk that the
+        # manifest does not list and that is older than the grace
+        # window was left by a crashed writer — remove it.
+        listed = {e["version"] for e in survivors}
+        cutoff = time.time() - orphan_grace
+        claims_dir = os.path.join(table_dir, "_claims")
+        stale_claims = []
+        if os.path.isdir(claims_dir):
+            stale_claims = [
+                os.path.join(claims_dir, n) for n in os.listdir(claims_dir)
+            ]
+        stale_dirs = [
+            os.path.join(table_dir, n)
+            for n in os.listdir(table_dir)
+            if n.startswith("v") and n[1:].isdigit()
+        ]
+        for path in stale_claims + stale_dirs:
+            name = os.path.basename(path)
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            if int(name[1:]) in listed:
+                continue
+            try:
+                if os.stat(path).st_mtime > cutoff:
+                    continue  # possibly an in-flight writer
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.unlink(path)
+            except OSError:
+                pass
     return expired

@@ -49,7 +49,7 @@ def with_surrogate_key_scalable(df: DataFrame, sk_col: str, offset: int = 0) -> 
     # partition contents — without pinning, a nondeterministic upstream
     # (shuffle order, range-boundary sampling) can shift rows between
     # partitions across the two evaluations and corrupt the prefix sums
-    part = pin(df.withColumn("__pid", F.spark_partition_id()))
+    part = pin(df.withColumn("__pid", F.spark_partition_id()), critical=True)
     counts = {
         r["__pid"]: r["cnt"]
         for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -89,7 +89,8 @@ def with_surrogate_key_ranged(
     # in — the per-partition bases would then be offset wrong
     part = pin(
         df.repartitionByRange(n, F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id()),
+        critical=True,
     )
     counts = {
         r["__pid"]: r["cnt"]

@@ -129,7 +129,8 @@ def read_csv_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema + ", _corrupt_record string")
-        .csv(path)
+        .csv(path),
+        critical=True,
     )
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")

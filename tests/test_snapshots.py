@@ -125,3 +125,51 @@ def test_orphan_version_dir_is_skipped_not_reused(spark, sf_dir, tmp_path):
     assert write_snapshot(nation.limit(3), tdir) == 3
     assert read_snapshot(spark, tdir).count() == 3
     assert [e["version"] for e in list_versions(tdir)] == [1, 3]
+
+
+def test_claim_marker_survives_data_overwrite(spark, sf_dir, tmp_path):
+    """The version-number claim must outlive Spark's overwrite of the
+    data dir (ADVICE r5): after a commit, the claim marker for that
+    version still exists under _claims/, so no window existed in which
+    a racing writer could have re-claimed the number."""
+    import os
+
+    tdir = str(tmp_path / "claim_nation")
+    nation = load_tables(spark, sf_dir)["nation"]
+    v = write_snapshot(nation, tdir)
+    assert os.path.exists(os.path.join(tdir, "_claims", f"v{v:05d}"))
+
+
+def test_expire_reclaims_stale_orphans_but_spares_recent(
+    spark, sf_dir, tmp_path
+):
+    """expire_versions deletes claimed-but-uncommitted dirs/claims
+    older than the grace window (ADVICE r5: they previously
+    accumulated forever) while leaving recent ones — a possibly
+    in-flight writer — untouched."""
+    import os
+
+    tdir = str(tmp_path / "stale_nation")
+    nation = load_tables(spark, sf_dir)["nation"]
+    write_snapshot(nation, tdir)
+    write_snapshot(nation.limit(3), tdir)
+    # Simulate a crashed writer: claim + partial dir for v3, old mtime.
+    stale_dir = os.path.join(tdir, "v00003")
+    stale_claim = os.path.join(tdir, "_claims", "v00003")
+    os.mkdir(stale_dir)
+    open(stale_claim, "w").close()
+    old = time.time() - 7200
+    os.utime(stale_dir, (old, old))
+    os.utime(stale_claim, (old, old))
+    # And a fresh in-flight claim for v4 (recent mtime — must survive).
+    fresh_claim = os.path.join(tdir, "_claims", "v00004")
+    open(fresh_claim, "w").close()
+
+    expired = expire_versions(tdir, keep_last=2, orphan_grace=3600)
+    assert expired == []  # both manifest versions kept
+    assert not os.path.exists(stale_dir)
+    assert not os.path.exists(stale_claim)
+    assert os.path.exists(fresh_claim)
+    # Committed versions and their claims are untouched.
+    assert [e["version"] for e in list_versions(tdir)] == [1, 2]
+    assert read_snapshot(spark, tdir).count() == 3
