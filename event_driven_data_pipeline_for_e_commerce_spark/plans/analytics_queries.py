@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
+from ..operators.pinning import pin
 from .corpus import query
 from .tables import load_tables
 
@@ -532,21 +533,25 @@ def q_part_copurchase_pagerank(spark, sf_dir):
     the standard Pregel-on-DataFrames realization. Every part that
     shares an order has out-degree >= 1, so no dangling-mass term is
     needed. Ranks are scaled to parts-per-million before rounding so
-    the 4-decimal comparison keeps real precision.
+    the 4-decimal comparison keeps real precision. The loop-invariant
+    frames (edges, nodes, degrees) are pinned: without the cache,
+    the n_nodes count plus every iteration would re-derive the
+    order-pair self-join from lineage (VERDICT r5 — 39 shuffles, the
+    corpus max).
     """
     t = load_tables(spark, sf_dir)
     op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
+    edges = pin(
         a.join(b, "k")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    nodes = edges.select(F.col("src").alias("part")).distinct()
+    nodes = pin(edges.select(F.col("src").alias("part")).distinct())
     n_nodes = nodes.count()  # scalar: graph node count (drives the teleport term)
-    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    degrees = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
     ranks = nodes.select("part", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1 - PAGERANK_DAMPING) / n_nodes
     for _ in range(PAGERANK_ITERS):
