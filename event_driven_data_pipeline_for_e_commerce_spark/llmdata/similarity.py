@@ -116,6 +116,54 @@ def nearest_seed_cosine(vec_col: Column, seeds, id_field: str = "list_id") -> Co
     )
 
 
+def top_seeds_cosine(
+    vec_col: Column,
+    seeds,
+    nprobe: int,
+    id_field: str = "list_id",
+    n_col: Column | None = None,
+) -> Column:
+    """Top-``nprobe`` generalization of ``nearest_seed_cosine``:
+    map-side ranking of driver-collected ``(seed_id, [floats])`` seeds
+    by cosine DESC with id ASC tie-break, returned as an array of
+    ``(<id_field>)``-bearing structs in rank order. ``array_sort`` on
+    ``struct(-csim, id)`` ascending realizes exactly
+    ``ROW_NUMBER() OVER (ORDER BY csim DESC, id ASC) <= nprobe`` with
+    zero shuffle — the caller explodes the slice instead of windowing
+    a corpus×seeds cross join. Pass a precomputed vector-norm column
+    via ``n_col`` when the projection already carries one (avoids the
+    no-CSE-across-array-elements re-evaluation of the norm fold)."""
+    import math
+
+    n_v = n_col if n_col is not None else norm(vec_col)
+    cands = F.array(*[
+        F.struct(
+            (
+                -(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_col,
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (
+                        n_v
+                        * F.lit(
+                            math.sqrt(sum(float(x) * float(x) for x in cv))
+                        )
+                    )
+                )
+            ).alias("__neg_csim"),
+            F.lit(int(sid)).alias(id_field),
+        )
+        for sid, cv in seeds
+    ])
+    return F.slice(F.array_sort(cands), 1, nprobe)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -211,23 +259,24 @@ def _assign_lists(
     vectors: DataFrame, centroids: DataFrame, id_out: str, vec_out: str, nprobe: int
 ) -> DataFrame:
     """Rank centroids per vector by cosine (id tie-break) and keep the
-    top ``nprobe`` — centroids are broadcast, so assignment is one
-    map-side pass over the corpus. Output carries the vector norm for
-    downstream rerank cosines."""
+    top ``nprobe`` — the centroids are collected driver-side (a
+    codebook: n_lists tiny vectors, the sanctioned bounded collect)
+    and ranked with a zero-shuffle map-side ``top_seeds_cosine``
+    projection. The previous shape cross-joined broadcast centroids
+    and ranked with a ``PARTITION BY vector`` window, which shuffled
+    corpus×n_lists rows (vectors attached) just to pick each row's
+    top ``nprobe`` of ~16 candidates — a corpus-grain exchange that
+    dominates the index build at 100 TB. Output carries the vector
+    norm for downstream rerank cosines."""
     n_out = f"n_{vec_out}"
-    sims = (
-        vectors.withColumn(n_out, norm(F.col(vec_out)))
-        .crossJoin(F.broadcast(centroids.withColumn("n_cv", norm(F.col("cv")))))
-        .withColumn(
-            "__csim",
-            dot(F.col(vec_out), F.col("cv")) / (F.col(n_out) * F.col("n_cv")),
-        )
+    seeds = [(r["list_id"], r["cv"]) for r in centroids.collect()]
+    ranked = top_seeds_cosine(
+        F.col(vec_out), seeds, nprobe, n_col=F.col(n_out)
     )
-    w = Window.partitionBy(id_out).orderBy(F.desc("__csim"), F.asc("list_id"))
     return (
-        sims.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select(id_out, vec_out, n_out, "list_id")
+        vectors.withColumn(n_out, norm(F.col(vec_out)))
+        .withColumn("__probe", F.explode(ranked))
+        .select(id_out, vec_out, n_out, F.col("__probe.list_id").alias("list_id"))
     )
 
 

@@ -140,31 +140,69 @@ def q_emb_ann_recall_contract(spark, sf_dir):
     )
     truth_l2 = pin(truth_l2)
 
-    per_query = []
-    for method, ann_name, truth, k in (
-        ("ivf", "emb_ivf_topk", truth_cos, ANN_K),
-        ("lsh", "emb_lsh_topk", truth_cos, ANN_K),
-        ("pq", "emb_pq_topk", truth_l2, PQ_TOPK),
-    ):
-        ann = QUERIES[ann_name](spark, sf_dir).select(
-            "query_id", "neighbor_id"
+    # ONE shared scoring pass (VERDICT r5 diet): union-tag the three
+    # methods' candidates and the two truth sets per method, then a
+    # single semi-join + a single per-(method, query) hit count —
+    # instead of three separate semi-join/groupBy/join chains that
+    # each shuffled on their own. All frames here are query-set-sized.
+    def _tag(df, method):
+        return df.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
-        hits = (
-            ann.join(truth, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        per_query.append(
-            truth.select("query_id")
-            .distinct()
-            .join(hits, "query_id", "left")
-            .select(
-                F.lit(method).alias("method"),
-                "query_id",
-                (F.coalesce(F.col("hits"), F.lit(0)) / k).alias("recall"),
+
+    # each search result is pinned: query-set-sized (k rows per
+    # query), computed exactly once into cache; the scoring below
+    # reads the caches, and each search's own plan stays audited by
+    # its registered query
+    cands = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            _tag(
+                pin(
+                    QUERIES[ann_name](spark, sf_dir).select(
+                        "query_id", "neighbor_id"
+                    )
+                ),
+                method,
             )
+            for method, ann_name in (
+                ("ivf", "emb_ivf_topk"),
+                ("lsh", "emb_lsh_topk"),
+                ("pq", "emb_pq_topk"),
+            )
+        ],
+    )
+    # truth_cos serves both ivf and lsh: tag it once via explode so
+    # the cached frame is traversed once, not per method
+    truths = (
+        truth_cos.withColumn(
+            "method", F.explode(F.array(F.lit("ivf"), F.lit("lsh")))
         )
-    allq = reduce(lambda a, b: a.unionByName(b), per_query)
+        .select("method", "query_id", "neighbor_id")
+        .unionByName(_tag(truth_l2, "pq"))
+    )
+    k_expr = F.when(F.col("method") == "pq", F.lit(PQ_TOPK)).otherwise(
+        F.lit(ANN_K)
+    )
+    hits = (
+        cands.join(
+            F.broadcast(truths),
+            ["method", "query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    allq = (
+        truths.select("method", "query_id")
+        .distinct()
+        .join(F.broadcast(hits), ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            (F.coalesce(F.col("hits"), F.lit(0)) / k_expr).alias("recall"),
+        )
+    )
     return allq.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 4).alias("avg_recall"),
