@@ -72,6 +72,11 @@ HEADLINE = [
     "customer_reorder_affinity",  # window + 3 keyed joins + bp rollup
     "doc_source_kl_divergence",  # unigram KL drift: vocab-grain marginal join
     "doc_curriculum_phases",   # two-pass global running sum (no 1-task window)
+    # heaviest remaining staged/reworked plans (VERDICT r5 #7) — track
+    # their cost before/after the round-6 diets
+    "doc_winnow_fingerprint_matches",  # MOSS winnowing fingerprint join
+    "doc_containment_pairs",   # exact containment audit (sample-scale)
+    "part_copurchase_pagerank",  # 3 power iterations, pinned loop frames
 ]
 
 

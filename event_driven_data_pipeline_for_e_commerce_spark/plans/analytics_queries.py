@@ -110,7 +110,8 @@ def q_cohort_retention(spark, sf_dir):
     WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
     per_cust AS (
         SELECT o_custkey,
-               CAST(date_diff('day', MAX(o_orderdate), (SELECT d FROM maxd))
+               CAST(CAST((SELECT d FROM maxd) AS DATE)
+                    - CAST(MAX(o_orderdate) AS DATE)
                     AS BIGINT) AS recency_days,
                COUNT(*) AS frequency,
                ROUND(SUM(o_totalprice), 2) AS monetary

@@ -991,7 +991,7 @@ def q_tumbling_daily_revenue(spark, sf_dir):
     "event_id_dedup",
     oracle="""
     SELECT count(*) AS unique_events FROM (
-        SELECT DISTINCT ON (event_id) event_id FROM (
+        SELECT DISTINCT event_id FROM (
             SELECT event_id FROM events UNION ALL SELECT event_id FROM events
         )
     )

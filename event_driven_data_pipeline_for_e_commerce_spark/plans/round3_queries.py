@@ -401,10 +401,11 @@ def q_event_volume_anomalies(spark, sf_dir):
     oracle="""
     WITH gaps AS (
         SELECT o_custkey,
-               date_diff('day',
-                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                                ORDER BY o_orderdate, o_orderkey),
-                         o_orderdate) AS gap_days
+               CAST(CAST(o_orderdate AS DATE)
+                    - CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate,
+                                                           o_orderkey)
+                           AS DATE) AS BIGINT) AS gap_days
         FROM orders
     )
     SELECT c.c_mktsegment,
@@ -463,10 +464,12 @@ def q_repeat_purchase_intervals(spark, sf_dir):
     oracle="""
     SELECT n.n_name,
            COUNT(*) AS n_lines,
-           ROUND(AVG(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+           ROUND(AVG(CAST(CAST(l.l_shipdate AS DATE)
+                          - CAST(o.o_orderdate AS DATE) AS BIGINT)), 4)
                AS avg_lead_days,
            ROUND(regr_slope(
-               date_diff('day', o.o_orderdate, l.l_shipdate),
+               CAST(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT),
                year(o.o_orderdate) * 12 + month(o.o_orderdate)), 4)
                AS lead_trend_per_month
     FROM lineitem l
@@ -687,10 +690,11 @@ def q_doc_dedup_rate_by_source(spark, sf_dir):
     WITH anchor AS (SELECT MAX(o_orderdate) AS d FROM orders),
     gaps AS (
         SELECT o_custkey,
-               date_diff('day',
-                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                                ORDER BY o_orderdate, o_orderkey),
-                         o_orderdate) AS gap_days,
+               CAST(CAST(o_orderdate AS DATE)
+                    - CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate,
+                                                           o_orderkey)
+                           AS DATE) AS BIGINT) AS gap_days,
                o_orderdate
         FROM orders
     ),
@@ -704,10 +708,11 @@ def q_doc_dedup_rate_by_source(spark, sf_dir):
     )
     SELECT o_custkey,
            n_orders,
-           CAST(date_diff('day', last_order, (SELECT d FROM anchor))
-                AS BIGINT) AS days_since_last,
+           CAST(CAST((SELECT d FROM anchor) AS DATE)
+                - CAST(last_order AS DATE) AS BIGINT) AS days_since_last,
            ROUND(median_gap_days, 4) AS median_gap_days,
-           date_diff('day', last_order, (SELECT d FROM anchor))
+           CAST(CAST((SELECT d FROM anchor) AS DATE)
+                - CAST(last_order AS DATE) AS BIGINT)
                > 2 * median_gap_days AS churn_risk
     FROM per_cust
     WHERE n_orders >= 3

@@ -1482,7 +1482,8 @@ def q_metric_cube_region_priority(spark, sf_dir):
 @query(
     "activity_heatmap",
     oracle="""
-    SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-04') % 7 AS BIGINT)
+    SELECT CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-04' AS BIGINT) % 7
+                AS BIGINT)
                AS dow,
            CAST(hour(ts) AS BIGINT) AS hour,
            COUNT(*) AS n_events,

@@ -161,8 +161,11 @@ def q_nation_revenue_rank_stability(spark, sf_dir):
     )
     SELECT w.week, w.cents,
            p.cents AS prev_cents,
-           CAST((w.cents - p.cents) * 10000 // p.cents AS BIGINT)
-               AS wow_delta_bp
+           -- truncating division in a form BOTH engines parse: p.cents > 0,
+           -- so SIGN(d)*FLOOR(ABS(d)/b) == d // b == d DIV b exactly
+           CAST(SIGN(w.cents - p.cents)
+                * FLOOR(ABS(w.cents - p.cents) * 10000.0 / p.cents)
+                AS BIGINT) AS wow_delta_bp
     FROM weekly w
     JOIN weekly p ON p.week = w.week - INTERVAL 7 DAY
     """,
@@ -1387,7 +1390,7 @@ def q_doc_lang_source_confusion(spark, sf_dir):
     )
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_customers,
-           CAST(SUM(s.span_days) * 100 // COUNT(*) AS BIGINT)
+           CAST(FLOOR(SUM(s.span_days) * 100.0 / COUNT(*)) AS BIGINT)
                AS avg_span_days_e2,
            MAX(s.span_days) AS max_span_days,
            CAST(SUM(s.n_orders) AS BIGINT) AS n_orders

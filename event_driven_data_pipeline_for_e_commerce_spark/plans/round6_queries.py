@@ -187,7 +187,7 @@ ORACLES["doc_contamination_by_split"] = f"""
     spend AS (
         SELECT o.o_custkey AS custkey,
                CASE WHEN CAST(o.o_orderdate AS DATE)
-                        < b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+                        < b.d0 + CAST(FLOOR(CAST(b.d1 - b.d0 AS BIGINT) / 2.0) AS INTEGER)
                     THEN 'h1' ELSE 'h2' END AS half,
                CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS cents

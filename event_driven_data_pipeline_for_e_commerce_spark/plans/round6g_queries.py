@@ -132,7 +132,7 @@ _PSI_TERM = (
     halves AS (
         SELECT e.event_type,
                CASE WHEN CAST(e.ts AS DATE)
-                        < b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+                        < b.d0 + CAST(FLOOR(CAST(b.d1 - b.d0 AS BIGINT) / 2.0) AS INTEGER)
                     THEN 'h1' ELSE 'h2' END AS half
         FROM events e, bounds b
     ),
