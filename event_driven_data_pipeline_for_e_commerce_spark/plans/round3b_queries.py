@@ -382,10 +382,12 @@ def _zvalue_spark(x, y):
 
 
 def _zvalue_sql(x: str, y: str) -> str:
+    # bit extraction via >> (portable to BOTH DuckDB and Spark SQL;
+    # x,y are non-negative, so x >> i == x // 2^i exactly)
     terms = []
     for i in range(ZORDER_BITS):
-        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({x} >> {i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) % 2) * {1 << (2 * i + 1)}")
     return " + ".join(terms)
 
 
@@ -394,15 +396,15 @@ def _zvalue_sql(x: str, y: str) -> str:
     oracle=f"""
     WITH keyed AS (
         SELECT o_custkey % 256 AS x,
-               date_diff('day', DATE '1992-01-01',
-                         CAST(o_orderdate AS DATE)) % 256 AS y
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                    AS BIGINT) % 256 AS y
         FROM orders
     ),
     z AS (
         SELECT x, y, CAST(({_zvalue_sql('x', 'y')}) AS BIGINT) AS zvalue
         FROM keyed
     )
-    SELECT CAST(zvalue // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+    SELECT CAST(zvalue >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
            COUNT(*) AS n_rows,
            MAX(x) - MIN(x) AS cust_span,
            MAX(y) - MIN(y) AS day_span

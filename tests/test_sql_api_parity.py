@@ -2,31 +2,33 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 170 of
-the 282 ANALYZE VERBATIM on Spark SQL and 168 of those are row-equal
-to the DataFrame implementation at sf0.001. The non-analyzable rest
-use DuckDB-specific surfaces — list_dot_product / string_split_regex
-/ UNNEST over computed-bound generate_series / `//` division /
-1-based list indexing / date-minus-date day arithmetic / epoch_us /
-correlated aggregate subqueries. Constant-bound series, strpos,
-quantile_cont/disc, strftime renders, GROUPING(a,b), and
-regexp_full_match were all rewritten to forms BOTH engines run
-(range TVF, instr, percentile_* WITHIN GROUP, substr(CAST ... AS
-STRING), GROUPING_ID, anchored regexp_replace) — verified
-output-identical in DuckDB before/after. Basis-point `//`
-floor-divisions likewise became CAST(FLOOR(a / b) AS BIGINT) (equal
-while a < 2^53 — true at every tested SF; Spark impls keep exact
-integral DIV); the remaining `//` sites guard documented exact-BIGINT
-arithmetic (multi_touch_attribution, segment_clv_projection) or sit
-in already-DuckDB-only oracles. The 2 analyzable-but-unequal
-(doc_clean_normalize, source_char_class_profile) depend on `\s`-class
-regexes, which Spark SQL string literals swallow (its parser consumes
-the backslash; DuckDB keeps it) with no escape form both engines
-accept. This test pins a diverse 91-query subset and
-requires exact row-level equality between `spark.sql(oracle_text)`
-and the DataFrame-API implementation — the in-engine proof that a
-SQL-first user of the reference can bring their queries over
-unchanged.
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 182 of
+the 282 ANALYZE VERBATIM on Spark SQL and 180 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 100
+non-analyzable oracles carries a per-query reason in NONPORTABLE
+below, and ``test_nonportable_inventory_is_exact`` keeps the
+partition honest both ways (an entry that starts analyzing, or a new
+oracle that stops, fails the suite). Constant-bound series, strpos,
+quantile_cont/disc, strftime renders, GROUPING(a,b),
+regexp_full_match, DISTINCT ON projections, double-quoted aliases,
+date_diff('day', ...)/date-minus-date (→ CAST(d2 - d1 AS BIGINT),
+int days in BOTH engines), bit-shift `//` powers of two (→ `>>`),
+non-negative `//` (→ CAST(FLOOR(a * 1.0 / b) AS BIGINT)) and
+possibly-negative truncating `//` (→ SIGN(a) * FLOOR(ABS(a) / b);
+DuckDB `//` truncates exactly like Spark DIV) were all rewritten to
+forms BOTH engines run — each verified output-identical in DuckDB
+before/after at sf0.01 AND sf0.1. The remaining `//` sites guard
+documented exact-BIGINT arithmetic past 2^53
+(multi_touch_attribution, segment_clv_projection,
+orders_weekday_seasonality) or sit in already-DuckDB-only oracles.
+The 2 analyzable-but-unequal (doc_clean_normalize,
+source_char_class_profile) depend on `\s`-class regexes, which Spark
+SQL string literals swallow (its parser consumes the backslash;
+DuckDB keeps it) with no escape form both engines accept. This test
+pins a diverse 125-query subset and requires exact row-level
+equality between `spark.sql(oracle_text)` and the DataFrame-API
+implementation — the in-engine proof that a SQL-first user of the
+reference can bring their queries over unchanged.
 """
 
 from __future__ import annotations
@@ -36,10 +38,10 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 168 verbatim-portable row-equal
+# Diverse pinned subset of the 180 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
-# streaming-batch twins, multimodal, and round-4/5 additions.
+# streaming-batch twins, multimodal, and round-4/5/6 additions.
 PORTABLE = [
     "funnel", "filter_status_revenue", "dedup_keyed_ordered",
     "revenue_by_region", "brand_performance", "rollup_revenue",
@@ -91,6 +93,28 @@ PORTABLE = [
     "brand_weighted_median_price", "ab_test_conversion_lift",
     "purchase_path_topk", "daily_revenue_cusum_drift",
     "daily_revenue_stl_decomposition",
+    # round-6 portability conversions (DISTINCT ON, quoted aliases,
+    # date_diff('day')/date-minus-date → CAST(d2-d1 AS BIGINT),
+    # sign/floor truncating division, >> bit shifts)
+    "event_id_dedup", "priority_status_pivot",
+    "weekly_revenue_wow_delta", "customer_order_span_stats",
+    "customer_value_migration", "event_type_psi_drift",
+    "activity_heatmap", "rfm_segments", "repeat_purchase_intervals",
+    "lead_time_trend_by_nation", "customer_churn_risk",
+    "zorder_locality_audit",
+    # round-6 pin widening toward full row-equal coverage (diverse:
+    # TPC-H, skew salting, snapshots, audits, media, metric cubes)
+    "q2_min_cost_supplier", "q5_local_supplier_volume",
+    "q17_small_quantity_revenue", "q22_prospective_customers",
+    "salted_join_revenue", "orders_last_event",
+    "snapshot_diff_reconciliation", "referential_integrity_audit",
+    "supplier_scorecard", "benford_first_digit_audit",
+    "media_exact_dedup", "doc_stratified_sample", "doc_source_mixing",
+    "order_value_quantile_bands", "daily_conversion_rates",
+    "lineitem_suppkey_skew", "pit_status_at_ship",
+    "supplier_ship_cumulative", "user_event_entropy",
+    "metric_cube_quarter_segment", "daily_revenue_autocorr",
+    "part_size_price_regression",
 ]
 
 
@@ -123,3 +147,141 @@ def test_sql_text_matches_dataframe_api(spark, sf_dir, views, name):
     sql_rows = _norm(spark.sql(ORACLES[name]).collect())
     df_rows = _norm(QUERIES[name](spark, sf_dir).collect())
     assert sql_rows == df_rows, name
+
+
+# Per-query inventory of the oracles that can NOT run verbatim as
+# spark.sql(...) — value = '+'-joined blocking construct keys:
+#   list_dot_product: DuckDB list_dot_product (no Spark SQL dot-product function)
+#   string_split_regex: DuckDB string_split_regex (no shared regex-split name)
+#   regex-class: backslash regex class (Spark SQL literal eats the backslash)
+#   epoch: DuckDB epoch()/epoch_us() (no common epoch; DuckDB cannot CAST(interval AS BIGINT))
+#   computed-series: UNNEST over computed-bound generate_series (portable range() TVF needs constant bounds)
+#   list-index: 1-based DuckDB list indexing / list lambdas (Spark is 0-based element_at)
+#   floor-div: DuckDB // guarding exact >2^53 BIGINT arithmetic (float FLOOR form would lose exactness)
+#   json: DuckDB json_extract_string (Spark get_json_object: different name and path dialect)
+#   strftime: DuckDB strftime (Spark date_format: different name and format dialect)
+#   recursive-union: recursive CTE with UNION (Spark 4.1 supports UNION ALL only)
+#   ts-diff: sub-day date_diff unit (quoted vs unquoted unit; DuckDB cannot CAST(interval AS BIGINT))
+# test_nonportable_inventory_is_exact asserts this dict and the set of
+# analyzable oracles partition the corpus exactly.
+NONPORTABLE = {
+    "audio_pcm_stats": "computed-series+floor-div",
+    "conversion_latency_histogram": "epoch+floor-div",
+    "corpus_quality_report": "string_split_regex+regex-class+list-index+floor-div",
+    "customer_entity_clusters": "recursive-union",
+    "customer_geo_nearest": "computed-series+floor-div",
+    "daily_revenue_gapfill_ma7": "computed-series",
+    "deterministic_segments": "computed-series+list-index",
+    "dim_date_build": "computed-series+strftime",
+    "doc_bigram_cond_entropy": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_bigram_lm_score": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_chunks": "computed-series+floor-div",
+    "doc_compressibility_proxy": "computed-series",
+    "doc_containment_pairs": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_contamination_by_split": "computed-series+floor-div",
+    "doc_contamination_overlap": "computed-series",
+    "doc_curriculum_phases": "string_split_regex+regex-class+list-index+floor-div",
+    "doc_dedup_keeper_quality_delta": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
+    "doc_dedup_survivors": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
+    "doc_dedup_threshold_sweep": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_dup_cluster_size_histogram": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
+    "doc_dup_clusters": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
+    "doc_fingerprints": "string_split_regex+regex-class+list-index",
+    "doc_hapax_rate": "string_split_regex+regex-class+computed-series+floor-div",
+    "doc_heaps_law_fit": "string_split_regex+regex-class+computed-series",
+    "doc_keyword_search": "string_split_regex+regex-class+computed-series",
+    "doc_language_id": "string_split_regex+regex-class+list-index",
+    "doc_length_percentiles": "string_split_regex+regex-class",
+    "doc_minhash_near_dup": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_near_dup_consensus": "list_dot_product+string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "doc_near_dup_cross_source": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_ngram_jaccard_pairs": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_ngram_novelty": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_perplexity_by_source": "string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "doc_pii_redact": "list-index",
+    "doc_pmi_collocations": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_prefix_dup_rate": "string_split_regex+regex-class+list-index+floor-div",
+    "doc_quality_filter": "string_split_regex+regex-class+list-index",
+    "doc_quality_scores": "string_split_regex+regex-class+list-index",
+    "doc_repetition_ratio": "computed-series",
+    "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "doc_sentence_stats": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_sequence_pack": "string_split_regex+regex-class+floor-div",
+    "doc_shingle_df_skew": "string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "doc_simhash": "string_split_regex+regex-class+computed-series+floor-div",
+    "doc_simhash_near_dup": "string_split_regex+regex-class+computed-series+floor-div",
+    "doc_source_kl_divergence": "string_split_regex+regex-class+computed-series",
+    "doc_tfidf_top_terms": "string_split_regex+regex-class+computed-series",
+    "doc_token_budget_curve": "string_split_regex+regex-class+list-index",
+    "doc_token_stats": "string_split_regex+regex-class+list-index",
+    "doc_vocab_encode": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_vocab_growth_by_source": "string_split_regex+regex-class+computed-series+floor-div",
+    "doc_winnow_fingerprint_matches": "computed-series+list-index",
+    "doc_zipf_slope": "string_split_regex+regex-class+computed-series",
+    "emb_ann_recall_contract": "list_dot_product+computed-series+list-index+floor-div",
+    "emb_centroid_split_drift": "computed-series+list-index",
+    "emb_cosine_near_dup": "list_dot_product+computed-series+list-index+floor-div",
+    "emb_cosine_topk": "list_dot_product+list-index",
+    "emb_dim_correlation_pairs": "computed-series+list-index",
+    "emb_dim_stats": "computed-series+list-index",
+    "emb_exact_dedup": "list-index",
+    "emb_int8_quant_error_by_label": "computed-series+list-index+floor-div",
+    "emb_int8_quantize": "computed-series+list-index",
+    "emb_int8_recall_contract": "list_dot_product+list-index",
+    "emb_ivf_list_balance": "list_dot_product+list-index+floor-div",
+    "emb_ivf_nprobe_sweep": "list_dot_product+list-index",
+    "emb_ivf_topk": "list_dot_product+list-index",
+    "emb_kmeans_assign": "computed-series+list-index",
+    "emb_kmeans_inertia": "computed-series+list-index",
+    "emb_label_centroids": "computed-series+list-index",
+    "emb_label_knn_accuracy": "list_dot_product+list-index+floor-div",
+    "emb_lsh_bucket_label_purity": "list_dot_product+computed-series+list-index",
+    "emb_lsh_topk": "list_dot_product+computed-series+list-index+floor-div",
+    "emb_norm_extremes": "list-index",
+    "emb_norm_histogram": "list_dot_product+list-index",
+    "emb_pairwise_sim_histogram": "list_dot_product+list-index",
+    "emb_pca_reconstruction_error": "computed-series+list-index+floor-div",
+    "emb_pq_codes": "computed-series+list-index",
+    "emb_pq_topk": "computed-series+list-index",
+    "emb_quantile_clip_bounds": "computed-series+list-index",
+    "emb_silhouette_proxy": "computed-series+list-index",
+    "emb_top_principal_component": "computed-series+list-index",
+    "event_disorder_profile": "epoch",
+    "lsh_candidate_volume_forecast": "string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "masked_ship_kpis": "epoch",
+    "minhash_precision_stats": "string_split_regex+regex-class+computed-series+list-index",
+    "minhash_recall_stats": "string_split_regex+regex-class+computed-series+list-index",
+    "multi_touch_attribution": "epoch+floor-div",
+    "orders_quality_checks": "list-index",
+    "orders_weekday_seasonality": "floor-div",
+    "props_json_stats": "json",
+    "qsketch_price_quantiles": "computed-series+list-index+floor-div",
+    "segment_clv_projection": "floor-div",
+    "ship_delay_days": "epoch",
+    "source_vocab_overlap": "string_split_regex+regex-class+computed-series",
+    "user_event_paths": "list-index",
+    "user_peak_event_rate": "epoch+floor-div",
+    "user_value_twap": "epoch",
+    "video_frame_grid": "computed-series",
+    "view_click_pairs_2h": "ts-diff",
+    "weekly_active_users": "computed-series",
+}
+
+
+def test_nonportable_inventory_is_exact(spark, sf_dir, views):
+    """Every corpus oracle either analyzes verbatim on Spark SQL or
+    carries a per-query blocker entry in NONPORTABLE — and never
+    both, so conversions and regressions surface immediately."""
+    wrongly_listed, unlisted = [], []
+    for name, sql in ORACLES.items():
+        try:
+            spark.sql(sql).schema
+            analyzable = True
+        except Exception:
+            analyzable = False
+        if analyzable and name in NONPORTABLE:
+            wrongly_listed.append(name)
+        if not analyzable and name not in NONPORTABLE:
+            unlisted.append(name)
+    assert not wrongly_listed, f'now analyzable, delist: {wrongly_listed}'
+    assert not unlisted, f'not analyzable, document: {unlisted}'
