@@ -44,10 +44,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # event_type_psi_drift and daily_revenue_stl_decomposition (both
 # strict-checked green at sf0.01 in rounds 5 and 6; they sit first in
 # the mid section, i.e. positions 51–52). After CORRECTNESS_r06
-# lands, demote this head's greens to _PRIOR_GREEN, promote those two
-# deferred queries plus any round-6-code-touched re-checks, and cap
-# new registrations at (50 − re-checks − 2) so the backlog reaches
-# zero with cumulative 282/282.
+# lands, demote this head's greens to _PRIOR_GREEN and build the r7
+# head from: (a) the 2 deferred queries above; (b) re-checks for the
+# round-6 code/oracle-touched greens not in this window —
+# emb_ivf_topk (map-side _assign_lists rewrite; also re-verify
+# emb_lsh_topk/emb_pq_topk if their helpers move), event_id_dedup,
+# priority_status_pivot, weekly_revenue_wow_delta,
+# customer_order_span_stats, activity_heatmap, rfm_segments,
+# repeat_purchase_intervals, lead_time_trend_by_nation,
+# customer_churn_risk, zorder_locality_audit (output-preserving
+# oracle portability rewrites, each verified DuckDB-identical at
+# sf0.01+sf0.1 AND strict-checked in round 6 — low risk, but the
+# driver row is the hard signal); (c) the 9 round-7-staged
+# registrations (doc_gopher_quality_flags, doc_minhash_band_planner,
+# customer_survival_km, brand_price_elasticity,
+# repeat_customer_share_by_quarter, doc_stopword_coverage_by_source,
+# doc_bpe_pair_merges, emb_semdedup_prune, events_hill_tail_index —
+# all strict-checked green at sf0.01 in round 6). That is 2 + 11 + 9
+# = 22 slots; cap round-7 registrations at 28 so the backlog stays
+# zero and cumulative reaches 291/291.
 _PRIORITY = (
     # (a) code-touched driver re-checks
     "scd2_merge_orders", "customer_pareto_abc", "part_revenue_gini",

@@ -1885,3 +1885,8 @@ from . import round6f_queries  # noqa: E402,F401
 
 # round-6-staged additions, part 7: drift & change-point detection
 from . import round6g_queries  # noqa: E402,F401
+
+# round-7-staged additions: Gopher quality rules / band planner / KM
+# survival / price elasticity / repeat-revenue split / stopword
+# coverage / BPE merges / SemDeDup prune / Hill tail index
+from . import round7_queries  # noqa: E402,F401

@@ -1,0 +1,743 @@
+"""Round-7-staged corpus additions: training-data quality gates and
+e-commerce survival/elasticity analytics.
+
+LLM-data side: Gopher-style rule screening (doc_gopher_quality_flags),
+the MinHash band-count planner S-curve (doc_minhash_band_planner),
+stopword coverage (doc_stopword_coverage_by_source), first-round BPE
+merge candidates (doc_bpe_pair_merges), and SemDeDup-style
+cluster-then-prune semantic dedup (emb_semdedup_prune — Abbas et al.
+2023 shape: k-means buckets bound the pairwise cosine work exactly
+like LSH buckets bound MinHash verification).
+
+Analytics side: Kaplan-Meier repurchase survival with censoring
+(customer_survival_km), log-log price elasticity per brand
+(brand_price_elasticity), new-vs-repeat revenue split
+(repeat_customer_share_by_quarter), and the Hill tail-index estimator
+of user-activity skew (events_hill_tail_index — the number that says
+whether the user key distribution is heavy-tailed enough to need
+salting).
+
+Reference anchors: the quality gates generalize the reference's
+Silver-layer cleanse checks (ecom_Silver_Layer.ipynb:191-289); the
+survival/elasticity marts extend its dashboard KPI family
+(app.py:286-470).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from event_driven_data_pipeline_for_e_commerce_spark.operators.partitioning import (
+    ensure_parallelism,
+)
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import pin
+
+from .corpus import query
+from .tables import load_tables
+
+CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (map-side string arithmetic only)
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_gopher_quality_flags",
+    oracle="""
+    WITH d AS (
+        SELECT source, trim(text) AS s FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    m AS (
+        SELECT source, s,
+               length(s) - length(replace(s, ' ', '')) + 1 AS n_tokens,
+               length(replace(s, ' ', '')) AS n_chars
+        FROM d
+    ),
+    r AS (
+        SELECT source,
+               CASE WHEN n_chars * 1.0 / n_tokens BETWEEN 3 AND 10
+                    THEN 0 ELSE 1 END AS fail_wordlen,
+               CASE WHEN n_tokens BETWEEN 5 AND 5000
+                    THEN 0 ELSE 1 END AS fail_nwords,
+               CASE WHEN substr(s, length(s), 1) IN ('.', '!', '?')
+                    THEN 0 ELSE 1 END AS fail_terminal,
+               CASE WHEN substr(s, 1, 1) BETWEEN 'A' AND 'Z'
+                    THEN 0 ELSE 1 END AS fail_upper_start
+        FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(fail_wordlen) AS BIGINT) AS n_fail_wordlen,
+           CAST(SUM(fail_nwords) AS BIGINT) AS n_fail_nwords,
+           CAST(SUM(fail_terminal) AS BIGINT) AS n_fail_terminal,
+           CAST(SUM(fail_upper_start) AS BIGINT) AS n_fail_upper_start,
+           CAST(SUM(CASE WHEN fail_wordlen + fail_nwords + fail_terminal
+                              + fail_upper_start = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM r GROUP BY source
+    """,
+)
+def q_doc_gopher_quality_flags(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021) rule screening per source: mean
+    word length in [3, 10], word count in [5, 5000], terminal
+    punctuation, capitalized start. Token counts use the
+    space-delimited contract (tokens = spaces + 1) so the whole screen
+    is pure string arithmetic — length/replace/substr — identical in
+    both engines, with no regex (DuckDB regexp_replace is first-match
+    by default while Spark's is global, so regex COUNTING is banned
+    from portable oracles).
+
+    Scale shape: entirely map-side per document (no explode, no
+    arrays) followed by one source-grain rollup — the cheapest
+    possible quality gate at 100 TB; ecom_Silver_Layer.ipynb:191-289
+    is the hand-rolled reference equivalent."""
+    t = load_tables(spark, sf_dir)
+    s = F.trim(F.col("text"))
+    d = (
+        t["documents"]
+        .filter(F.col("text").isNotNull() & (F.length(s) > 0))
+        .select("source", s.alias("s"))
+    )
+    n_tokens = (
+        F.length("s") - F.length(F.replace(F.col("s"), F.lit(" "))) + 1
+    )
+    n_chars = F.length(F.replace(F.col("s"), F.lit(" ")))
+    m = d.select("source", n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
+                 F.col("s"))
+    mean_ok = (F.col("n_chars") * 1.0 / F.col("n_tokens")).between(3, 10)
+    r = m.select(
+        "source",
+        F.when(mean_ok, 0).otherwise(1).alias("fail_wordlen"),
+        F.when(F.col("n_tokens").between(5, 5000), 0)
+        .otherwise(1)
+        .alias("fail_nwords"),
+        F.when(
+            F.substring(F.col("s"), -1, 1).isin(".", "!", "?"), 0
+        )
+        .otherwise(1)
+        .alias("fail_terminal"),
+        F.when(F.substring("s", 1, 1).between("A", "Z"), 0)
+        .otherwise(1)
+        .alias("fail_upper_start"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fail_wordlen").alias("n_fail_wordlen"),
+        F.sum("fail_nwords").alias("n_fail_nwords"),
+        F.sum("fail_terminal").alias("n_fail_terminal"),
+        F.sum("fail_upper_start").alias("n_fail_upper_start"),
+        F.sum(
+            F.when(
+                F.col("fail_wordlen")
+                + F.col("fail_nwords")
+                + F.col("fail_terminal")
+                + F.col("fail_upper_start")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash band planner (pure S-curve computation; no table scan)
+# --------------------------------------------------------------------------
+
+_BAND_CONFIGS = [(32, 2), (16, 4), (8, 8), (4, 16)]  # bands x rows = 64
+
+
+@query(
+    "doc_minhash_band_planner",
+    oracle=f"""
+    WITH cfg(bands, rows) AS (
+        VALUES {", ".join(f"({b}, {r})" for b, r in _BAND_CONFIGS)}
+    ),
+    s AS (SELECT i AS s10 FROM range(1, 10) t(i))
+    SELECT CAST(cfg.bands AS BIGINT) AS bands,
+           CAST(cfg.rows AS BIGINT) AS rows,
+           CAST(s.s10 AS BIGINT) AS s10,
+           ROUND(1 - POWER(1 - POWER(s.s10 / 10.0, cfg.rows), cfg.bands), 6)
+               AS p_candidate
+    FROM cfg, s
+    """,
+)
+def q_doc_minhash_band_planner(spark, sf_dir):
+    """The LSH banding S-curve planner: candidate probability
+    P = 1 - (1 - s^r)^b for every (bands, rows) split of a 64-hash
+    MinHash signature at Jaccard similarities 0.1..0.9 — the table an
+    operator reads BEFORE picking the dedup family's band config
+    (llmdata/dedup.py banding), sibling of the volume forecast
+    contract (lsh_candidate_volume_forecast).
+
+    Scale shape: constant-size computation (36 rows) — broadcast
+    cross join of two literal frames, no table scan at any SF."""
+    cfg = spark.createDataFrame(_BAND_CONFIGS, "bands INT, rows INT")
+    s = spark.range(1, 10).select(F.col("id").alias("s10"))
+    return (
+        s.crossJoin(F.broadcast(cfg))
+        .select(
+            F.col("bands").cast("long").alias("bands"),
+            F.col("rows").cast("long").alias("rows"),
+            F.col("s10").cast("long").alias("s10"),
+            F.round(
+                1
+                - F.pow(
+                    1 - F.pow(F.col("s10") / 10.0, F.col("rows")),
+                    F.col("bands"),
+                ),
+                6,
+            ).alias("p_candidate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier repurchase survival (censored at the table's anchor date)
+# --------------------------------------------------------------------------
+
+@query(
+    "customer_survival_km",
+    oracle="""
+    WITH anchor AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS ad FROM orders),
+    seq AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               LEAD(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders
+    ),
+    dur AS (
+        SELECT CASE WHEN nxt IS NULL THEN CAST(ad - d AS BIGINT)
+                    ELSE CAST(nxt - d AS BIGINT) END AS t,
+               CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        FROM seq, anchor
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM dur),
+    by_t AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events, COUNT(*) AS n_ending
+        FROM dur GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d_events,
+               tot.n - COALESCE(SUM(n_ending) OVER (
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM by_t, tot
+    ),
+    km AS (
+        -- KM product runs over EVENT times only (censor-only days are
+        -- factor-1 no-ops); the one day where d == n_risk (the global
+        -- last event time, S -> 0) is excluded so LN never sees 0 —
+        -- it lies far beyond the 30 reported rows
+        SELECT t, d_events, n_risk,
+               EXP(SUM(LN(1 - d_events * 1.0 / n_risk)) OVER (
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS surv
+        FROM risk
+        WHERE d_events > 0 AND n_risk > d_events
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d_events AS n_events,
+           ROUND(surv, 4) AS s_km
+    FROM km
+    ORDER BY t_days
+    LIMIT 30
+    """,
+)
+def q_customer_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival of the days-to-next-order duration with
+    right-censoring: each consecutive-order gap is an event, each
+    customer's last order is censored at the table anchor date — the
+    canonical repurchase-curve estimator (the correct replacement for
+    the naive average the reference's KPI tab would print). Reports
+    the first 30 event times with at-risk counts and the KM product.
+
+    Scale shape: the per-customer LEAD window is customer-partitioned
+    (fact-grain, parallel); everything after is GAP-DAY grain —
+    bounded by the order-date span, so the two unpartitioned running
+    windows (at-risk depletion, log-survival sum) sort a few thousand
+    rows, the same bounded-calendar class as daily_revenue_autocorr
+    (tests/test_plans.py allowlist)."""
+    t = load_tables(spark, sf_dir)
+    anchor = t["orders"].agg(
+        F.max(F.to_date("o_orderdate")).alias("ad")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = t["orders"].select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lead(F.to_date("o_orderdate")).over(w).alias("nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(anchor)).select(
+        F.when(F.col("nxt").isNull(), F.datediff("ad", "d").cast("long"))
+        .otherwise(F.datediff("nxt", "d").cast("long"))
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    by_t = pin(
+        dur.groupBy("t").agg(
+            F.sum("ev").alias("d_events"),
+            F.count(F.lit(1)).alias("n_ending"),
+        )
+    )
+    tot = by_t.agg(F.sum("n_ending").alias("n"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_events",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("n_ending").over(wt), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wk = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.filter(
+        (F.col("d_events") > 0) & (F.col("n_risk") > F.col("d_events"))
+    ).withColumn(
+        "surv",
+        F.exp(
+            F.sum(
+                F.log(1 - F.col("d_events") * 1.0 / F.col("n_risk"))
+            ).over(wk)
+        ),
+    )
+    return (
+        km
+        .select(
+            F.col("t").cast("long").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d_events").alias("n_events"),
+            F.round("surv", 4).alias("s_km"),
+        )
+        .orderBy("t_days")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-log price elasticity per brand
+# --------------------------------------------------------------------------
+
+@query(
+    "brand_price_elasticity",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(regr_slope(LN(l.l_quantity),
+                            LN(l.l_extendedprice / l.l_quantity)), 4)
+               AS elasticity,
+           ROUND(regr_r2(LN(l.l_quantity),
+                         LN(l.l_extendedprice / l.l_quantity)), 4)
+               AS r2
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_price_elasticity(spark, sf_dir):
+    """Price elasticity of demand per brand: OLS slope of
+    ln(quantity) on ln(unit price) over order lines (elasticity < 0 =
+    normal demand response), with the fit's R² — the pricing mart the
+    reference dashboard's brand tab stops short of (app.py:377-470
+    prints revenue per brand; this regresses it).
+
+    Scale shape: broadcast part dimension into the fact scan, then
+    ONE partial-aggregated regr_slope/regr_r2 rollup (Spark's regr_*
+    are mergeable moment aggregates — sum/sum-of-squares partials), no
+    window, no second pass."""
+    t = load_tables(spark, sf_dir)
+    ln_q = F.log(F.col("l_quantity"))
+    ln_p = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(ln_q, ln_p), 4).alias("elasticity"),
+            F.round(F.regr_r2(ln_q, ln_p), 4).alias("r2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# New-vs-repeat revenue split per quarter
+# --------------------------------------------------------------------------
+
+@query(
+    "repeat_customer_share_by_quarter",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY 1
+    ),
+    q AS (
+        SELECT year(o.o_orderdate) * 10 + quarter(o.o_orderdate) AS yq,
+               CASE WHEN year(f.f) * 10 + quarter(f.f)
+                         < year(o.o_orderdate) * 10 + quarter(o.o_orderdate)
+                    THEN 1 ELSE 0 END AS is_repeat,
+               {CENTS} AS cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT CAST(yq AS BIGINT) AS yq,
+           COUNT(*) AS n_orders,
+           CAST(SUM(is_repeat) AS BIGINT) AS repeat_orders,
+           CAST(SUM(CASE WHEN is_repeat = 1 THEN cents ELSE 0 END)
+                AS BIGINT) AS repeat_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM q GROUP BY yq
+    """,
+)
+def q_repeat_customer_share_by_quarter(spark, sf_dir):
+    """New-vs-repeat revenue decomposition per quarter: an order is
+    'repeat' once its customer's first order lies in an earlier
+    quarter — the acquisition-vs-retention split behind every
+    e-commerce growth report (the reference dashboard shows revenue
+    only in aggregate, app.py:286-330). Exact integer cents.
+
+    Scale shape: the firsts frame is customer-grain; both sides hash
+    on o_custkey so the join reuses one partitioning, then a bounded
+    quarter-grain rollup."""
+    t = load_tables(spark, sf_dir)
+    firsts = t["orders"].groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f")
+    )
+    yq = (F.year("o_orderdate") * 10 + F.quarter("o_orderdate"))
+    fyq = (F.year("f") * 10 + F.quarter("f"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    q = (
+        t["orders"]
+        .join(firsts, "o_custkey")
+        .select(
+            yq.alias("yq"),
+            F.when(fyq < yq, 1).otherwise(0).alias("is_repeat"),
+            cents.alias("cents"),
+        )
+    )
+    return q.groupBy(F.col("yq").cast("long").alias("yq")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("is_repeat").alias("repeat_orders"),
+        F.sum(F.when(F.col("is_repeat") == 1, F.col("cents")).otherwise(0))
+        .alias("repeat_cents"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stopword coverage per source (vocabulary-quality screen)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at",
+]
+
+
+@query(
+    "doc_stopword_coverage_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS w
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+           ROUND(SUM(CASE WHEN w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS coverage
+    FROM tok GROUP BY source
+    """,
+)
+def q_doc_stopword_coverage_by_source(spark, sf_dir):
+    """Stopword coverage per source — the classic natural-language
+    screen (C4/Gopher both use it): real prose carries a stable share
+    of function words; machine-generated or non-linguistic text does
+    not. Fixed 15-word English list.
+
+    Scale shape: map-side explode of the whitespace tokens, a
+    15-element IN compare per token (broadcast-free — the list is a
+    literal), one source-grain rollup with map-side partials. The
+    token explosion never shuffles text, only (source, flag) pairs
+    pre-aggregated per partition."""
+    from ..llmdata.text import tokens_col
+
+    t = load_tables(spark, sf_dir)
+    tok = (
+        ensure_parallelism(t["documents"])
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(tokens_col("text")).alias("w"))
+    )
+    is_stop = F.col("w").isin(_STOPWORDS)
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).alias("n_stopwords"),
+        F.round(
+            F.sum(F.when(is_stop, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# First-round BPE merge candidates (adjacent symbol-pair frequencies)
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_bpe_pair_merges",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT substr(w, u.i, 2) AS pair
+        FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+)
+def q_doc_bpe_pair_merges(spark, sf_dir):
+    """The first BPE merge decision, distributed: frequency of every
+    adjacent character pair inside whitespace tokens, top 20 — the
+    per-iteration primitive of byte-pair-encoding tokenizer training
+    (each training round = this count + a broadcast merge-table
+    rewrite of the token stream).
+
+    Scale shape: tokens explode map-side; the character-pair expansion
+    is a transform over sequence(1, len-1) evaluated per row (no
+    shuffle), so the only exchange is the pair-count groupBy with
+    map-side partials, and the top-20 cut is TakeOrdered, never a
+    global sort."""
+    from ..llmdata.text import tokens_col
+
+    t = load_tables(spark, sf_dir)
+    tok = (
+        ensure_parallelism(t["documents"])
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: k-means bucket, prune by cosine
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.97
+
+
+@query(
+    "emb_semdedup_prune",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster_id, v AS cv FROM e
+              WHERE vec_id < {_SEMDEDUP_K}),
+    ranked AS (
+        SELECT e.vec_id, e.v, s.cluster_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, s.cv), s.cluster_id
+               ) AS rn
+        FROM e, seeds s
+    ),
+    a AS (SELECT vec_id, v, cluster_id FROM ranked WHERE rn = 1),
+    pairs AS (
+        SELECT x.cluster_id, x.vec_id AS id_lo, y.vec_id AS id_hi,
+               list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) AS cos_sim
+        FROM a x JOIN a y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    ),
+    dropped AS (
+        SELECT cluster_id, id_hi
+        FROM pairs WHERE cos_sim >= {_SEMDEDUP_THRESHOLD}
+        GROUP BY cluster_id, id_hi
+    ),
+    dcnt AS (SELECT cluster_id, COUNT(*) AS n_dropped
+             FROM dropped GROUP BY cluster_id)
+    SELECT a2.cluster_id,
+           COUNT(*) AS n_vectors,
+           CAST(COALESCE(ANY_VALUE(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(ANY_VALUE(d.n_dropped), 0) AS BIGINT)
+               AS n_kept
+    FROM a a2 LEFT JOIN dcnt d ON d.cluster_id = a2.cluster_id
+    GROUP BY a2.cluster_id
+    ORDER BY a2.cluster_id
+    """,
+)
+def q_emb_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: k-means-bucket the
+    embeddings (deterministic lowest-id seeds, map-side argmin
+    assignment), compute pairwise cosine ONLY within each cluster, and
+    drop every vector that has a lower-id neighbor above the 0.97
+    cosine threshold (keep-lowest survivor rule) — the
+    embedding-space generalization of the MinHash keeper pipeline
+    (doc_dedup_survivors).
+
+    Scale shape: the cluster id bounds the quadratic work exactly like
+    an LSH band bucket — candidate pairs shuffle BARE ids keyed by
+    cluster, vectors re-attach from the slim per-vector frame, and at
+    100 TB a production run sub-buckets oversized clusters (the same
+    max_bucket cap the MinHash path uses in llmdata/dedup.py).
+    """
+    from ..llmdata.similarity import dot, nearest_seed_l2
+
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < _SEMDEDUP_K).collect()
+    ]
+    assigned = pin(
+        e.withColumn("__best", nearest_seed_l2(F.col("v"), seeds)).select(
+            "vec_id", "v", F.col("__best.cluster_id").alias("cluster_id")
+        )
+    )
+    slim = assigned.select("vec_id", "cluster_id")
+    cand = (
+        slim.alias("x")
+        .join(
+            slim.alias("y"),
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.cluster_id").alias("cluster_id"),
+            F.col("x.vec_id").alias("id_lo"),
+            F.col("y.vec_id").alias("id_hi"),
+        )
+    )
+    vecs = assigned.select("vec_id", "v")
+    with_vecs = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("id_lo"), F.col("v").alias("v_lo")
+            ),
+            "id_lo",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("id_hi"), F.col("v").alias("v_hi")
+            ),
+            "id_hi",
+        )
+    )
+    cos = dot(F.col("v_lo"), F.col("v_hi")) / (
+        F.sqrt(dot(F.col("v_lo"), F.col("v_lo")))
+        * F.sqrt(dot(F.col("v_hi"), F.col("v_hi")))
+    )
+    dropped = (
+        with_vecs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
+        .groupBy("cluster_id", "id_hi")
+        .agg(F.count(F.lit(1)).alias("_"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator of user-activity skew
+# --------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+@query(
+    "events_hill_tail_index",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    topk AS (
+        SELECT n FROM cnt ORDER BY n DESC, user_id LIMIT {_HILL_K}
+    ),
+    xk AS (SELECT MIN(n) AS kth FROM topk)
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM cnt) AS n_users,
+           CAST(xk.kth AS BIGINT) AS kth_count,
+           ROUND(1.0 / AVG(LN(t.n * 1.0 / xk.kth)), 4) AS hill_alpha
+    FROM topk t, xk
+    GROUP BY xk.kth
+    """,
+)
+def q_events_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the user-activity tail exponent over the top
+    100 users by event count: alpha = 1 / mean(ln(x_i / x_k)) — the
+    heavy-tail diagnostic that quantifies whether the user_id key
+    distribution needs salting (alpha <= 2 means variance-infinite
+    skew; compare lineitem_suppkey_skew's empirical share view).
+
+    Scale shape: one map-combined groupBy to user grain, a TakeOrdered
+    top-100 (never a global sort), then scalar arithmetic on the
+    bounded 100-row frame."""
+    t = load_tables(spark, sf_dir)
+    cnt = pin(
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = cnt.orderBy(F.desc("n"), "user_id").limit(_HILL_K)
+    xk = topk.agg(F.min("n").alias("kth"))
+    n_users = cnt.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        topk.crossJoin(F.broadcast(xk))
+        .groupBy("kth")
+        .agg(
+            F.round(
+                1.0 / F.avg(F.log(F.col("n") * 1.0 / F.col("kth"))), 4
+            ).alias("hill_alpha")
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.lit(_HILL_K).cast("long").alias("k"),
+            F.col("n_users"),
+            F.col("kth").cast("long").alias("kth_count"),
+            "hill_alpha",
+        )
+    )

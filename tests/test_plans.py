@@ -392,6 +392,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "doc_dedup_threshold_sweep": "10-row decile grain",
     "revenue_motif_search": "calendar-day grain (7-day LAG chain + "
     "top-k rank over the bounded day-grain distance frame)",
+    "customer_survival_km": "gap-day grain (bounded by the order-date "
+    "span; at-risk depletion + log-survival running sums)",
 }
 
 

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 182 of
-the 282 ANALYZE VERBATIM on Spark SQL and 180 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 100
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 188 of
+the 291 ANALYZE VERBATIM on Spark SQL and 186 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 103
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -25,7 +25,7 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 125-query subset and requires exact row-level
+pins a diverse 131-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
 reference can bring their queries over unchanged.
@@ -38,7 +38,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 180 verbatim-portable row-equal
+# Diverse pinned subset of the 186 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6 additions.
@@ -115,6 +115,12 @@ PORTABLE = [
     "supplier_ship_cumulative", "user_event_entropy",
     "metric_cube_quarter_segment", "daily_revenue_autocorr",
     "part_size_price_regression",
+    # round-7-staged additions (string-arithmetic quality rules, VALUES
+    # CTE + range TVF planner, KM survival via date-diff lever,
+    # regr_slope/regr_r2 elasticity, Hill tail index)
+    "doc_gopher_quality_flags", "doc_minhash_band_planner",
+    "customer_survival_km", "brand_price_elasticity",
+    "repeat_customer_share_by_quarter", "events_hill_tail_index",
 ]
 
 
@@ -175,6 +181,7 @@ NONPORTABLE = {
     "dim_date_build": "computed-series+strftime",
     "doc_bigram_cond_entropy": "string_split_regex+regex-class+computed-series+list-index",
     "doc_bigram_lm_score": "string_split_regex+regex-class+computed-series+list-index",
+    "doc_bpe_pair_merges": "string_split_regex+regex-class+computed-series",
     "doc_chunks": "computed-series+floor-div",
     "doc_compressibility_proxy": "computed-series",
     "doc_containment_pairs": "string_split_regex+regex-class+computed-series+list-index",
@@ -211,6 +218,7 @@ NONPORTABLE = {
     "doc_simhash": "string_split_regex+regex-class+computed-series+floor-div",
     "doc_simhash_near_dup": "string_split_regex+regex-class+computed-series+floor-div",
     "doc_source_kl_divergence": "string_split_regex+regex-class+computed-series",
+    "doc_stopword_coverage_by_source": "string_split_regex+regex-class+computed-series",
     "doc_tfidf_top_terms": "string_split_regex+regex-class+computed-series",
     "doc_token_budget_curve": "string_split_regex+regex-class+list-index",
     "doc_token_stats": "string_split_regex+regex-class+list-index",
@@ -244,6 +252,7 @@ NONPORTABLE = {
     "emb_pq_codes": "computed-series+list-index",
     "emb_pq_topk": "computed-series+list-index",
     "emb_quantile_clip_bounds": "computed-series+list-index",
+    "emb_semdedup_prune": "list_dot_product+list-index",
     "emb_silhouette_proxy": "computed-series+list-index",
     "emb_top_principal_component": "computed-series+list-index",
     "event_disorder_profile": "epoch",
