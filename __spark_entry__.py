@@ -47,8 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # lands, demote this head's greens to _PRIOR_GREEN and build the r7
 # head from: (a) the 2 deferred queries above; (b) re-checks for the
 # round-6 code/oracle-touched greens not in this window —
-# emb_ivf_topk (map-side _assign_lists rewrite; also re-verify
-# emb_lsh_topk/emb_pq_topk if their helpers move), event_id_dedup,
+# emb_ivf_topk (map-side _assign_lists rewrite), emb_pq_topk (shared
+# hash(query_id) exchange for its aggregate + top-k window),
+# event_id_dedup,
 # priority_status_pivot, weekly_revenue_wow_delta,
 # customer_order_span_stats, activity_heatmap, rfm_segments,
 # repeat_purchase_intervals, lead_time_trend_by_nation,
@@ -60,8 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # customer_survival_km, brand_price_elasticity,
 # repeat_customer_share_by_quarter, doc_stopword_coverage_by_source,
 # doc_bpe_pair_merges, emb_semdedup_prune, events_hill_tail_index —
-# all strict-checked green at sf0.01 in round 6). That is 2 + 11 + 9
-# = 22 slots; cap round-7 registrations at 28 so the backlog stays
+# all strict-checked green at sf0.01 in round 6). That is 2 + 12 + 9
+# = 23 slots; cap round-7 registrations at 27 so the backlog stays
 # zero and cumulative reaches 291/291.
 _PRIORITY = (
     # (a) code-touched driver re-checks

@@ -930,6 +930,11 @@ def q_emb_pq_topk(spark, sf_dir):
             (F.col("m") == F.col("qm")) & (F.col("code") == F.col("k")),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
+        # one explicit hash(query_id) exchange serves BOTH the
+        # (query, neighbor) partial-sum aggregate (query_id ⊆ keys)
+        # and the per-query top-k window below — the default plan paid
+        # two exchanges, one per operator
+        .repartition("query_id")
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(
             *[
