@@ -60,10 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations (doc_gopher_quality_flags, doc_minhash_band_planner,
 # customer_survival_km, brand_price_elasticity,
 # repeat_customer_share_by_quarter, doc_stopword_coverage_by_source,
-# doc_bpe_pair_merges, emb_semdedup_prune, events_hill_tail_index —
-# all strict-checked green at sf0.01 in round 6). That is 2 + 12 + 9
-# = 23 slots; cap round-7 registrations at 27 so the backlog stays
-# zero and cumulative reaches 291/291.
+# doc_bpe_pair_merges, emb_semdedup_prune, events_hill_tail_index,
+# doc_vocab_coverage_curve, emb_assignment_margin — all
+# strict-checked green at sf0.01 in round 6). That is 2 + 12 + 11
+# = 25 slots; cap round-7 registrations at 25 so the backlog stays
+# zero and cumulative reaches 293/293.
 _PRIORITY = (
     # (a) code-touched driver re-checks
     "scd2_merge_orders", "customer_pareto_abc", "part_revenue_gini",

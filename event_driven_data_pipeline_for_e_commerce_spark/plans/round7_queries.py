@@ -741,3 +741,160 @@ def q_events_hill_tail_index(spark, sf_dir):
             "hill_alpha",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer-size planner)
+# --------------------------------------------------------------------------
+
+_COVERAGE_CHECKPOINTS = [10, 100, 1000, 10000]
+
+
+def _coverage_oracle() -> str:
+    blocks = []
+    for n in _COVERAGE_CHECKPOINTS:
+        blocks.append(f"""
+    SELECT CAST({n} AS BIGINT) AS n_top,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM (
+                SELECT cnt FROM freq ORDER BY cnt DESC, w LIMIT {n}) t)
+               AS covered_tokens
+    FROM (SELECT 1)""")
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM freq),
+    pts AS ({union})
+    SELECT p.n_top, p.covered_tokens, t.total_tokens,
+           ROUND(p.covered_tokens * 1.0 / t.total_tokens, 6) AS coverage
+    FROM pts p, total t
+    """
+
+
+@query("doc_vocab_coverage_curve", oracle=_coverage_oracle())
+def q_doc_vocab_coverage_curve(spark, sf_dir):
+    """Token-mass coverage of the top-N vocabulary types for N in
+    {10, 100, 1k, 10k} — the curve that sizes a tokenizer vocabulary
+    (where it flattens, extra types stop paying for themselves);
+    companion to doc_vocab_growth_by_source (type growth) and
+    doc_zipf_slope (the power law the curve follows).
+
+    Scale shape: one explode + map-combined groupBy builds the
+    vocab-grain frequency frame (pinned — four consumers); each
+    checkpoint is a TakeOrdered top-N (never a global sort, never an
+    unpartitioned rank window over the vocab) reduced to one scalar.
+    Checkpoints are a fixed 4-row output at any corpus size."""
+    from functools import reduce
+
+    from ..llmdata.text import tokens_col
+
+    t = load_tables(spark, sf_dir)
+    freq = pin(
+        ensure_parallelism(t["documents"])
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    rows = [
+        freq.orderBy(F.desc("cnt"), "w")
+        .limit(n)
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+        .select(F.lit(n).cast("long").alias("n_top"), "covered_tokens")
+        for n in _COVERAGE_CHECKPOINTS
+    ]
+    pts = reduce(lambda a, b: a.unionByName(b), rows)
+    return pts.crossJoin(F.broadcast(total)).select(
+        "n_top",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens") * 1.0 / F.col("total_tokens"), 6
+        ).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Centroid assignment-margin audit (cluster confidence)
+# --------------------------------------------------------------------------
+
+_MARGIN_K = 8
+
+
+@query(
+    "emb_assignment_margin",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster_id, v AS cv FROM e
+              WHERE vec_id < {_MARGIN_K}),
+    ranked AS (
+        SELECT e.vec_id, s.cluster_id,
+               list_dot_product(e.v, s.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(s.cv, s.cv))) AS csim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, s.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                            s.cluster_id
+               ) AS rn
+        FROM e, seeds s
+    ),
+    m AS (
+        SELECT r1.vec_id, r1.cluster_id, r1.csim - r2.csim AS margin
+        FROM ranked r1 JOIN ranked r2
+          ON r2.vec_id = r1.vec_id AND r1.rn = 1 AND r2.rn = 2
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(margin), 4) AS avg_margin,
+           ROUND(MIN(margin), 6) AS min_margin,
+           ROUND(MAX(margin), 6) AS max_margin
+    FROM m GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def q_emb_assignment_margin(spark, sf_dir):
+    """Assignment-confidence margin per cluster: cosine(top centroid)
+    minus cosine(second centroid) for every vector — low margins mark
+    boundary vectors (the ones active-learning / re-clustering passes
+    sample first), and a cluster whose average margin collapses is two
+    clusters wearing one id. Completes the clustering audit family
+    (kmeans inertia, silhouette proxy, centroid drift).
+
+    Scale shape: the top-2 ranking is the zero-shuffle map-side
+    top_seeds_cosine projection over driver-collected seeds (the same
+    codebook-broadcast pattern as IVF assignment — no corpus×k window
+    shuffle); the only exchange is the bounded cluster-grain rollup."""
+    from ..llmdata.similarity import top_seeds_cosine
+
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < _MARGIN_K).collect()
+    ]
+    top2 = top_seeds_cosine(F.col("v"), seeds, 2, id_field="cluster_id")
+    m = e.select(
+        F.element_at(top2, 1).alias("b1"), F.element_at(top2, 2).alias("b2")
+    ).select(
+        F.col("b1.cluster_id").alias("cluster_id"),
+        (F.col("b2.__neg_csim") - F.col("b1.__neg_csim")).alias("margin"),
+    )
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("margin"), 4).alias("avg_margin"),
+            F.round(F.min("margin"), 6).alias("min_margin"),
+            F.round(F.max("margin"), 6).alias("max_margin"),
+        )
+        .orderBy("cluster_id")
+    )

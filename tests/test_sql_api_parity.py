@@ -3,8 +3,8 @@ BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
 The corpus oracles are written in ANSI-leaning DuckDB SQL; 188 of
-the 291 ANALYZE VERBATIM on Spark SQL and 186 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 103
+the 293 ANALYZE VERBATIM on Spark SQL and 186 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 105
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -222,11 +222,13 @@ NONPORTABLE = {
     "doc_tfidf_top_terms": "string_split_regex+regex-class+computed-series",
     "doc_token_budget_curve": "string_split_regex+regex-class+list-index",
     "doc_token_stats": "string_split_regex+regex-class+list-index",
+    "doc_vocab_coverage_curve": "string_split_regex+regex-class+computed-series",
     "doc_vocab_encode": "string_split_regex+regex-class+computed-series+list-index",
     "doc_vocab_growth_by_source": "string_split_regex+regex-class+computed-series+floor-div",
     "doc_winnow_fingerprint_matches": "computed-series+list-index",
     "doc_zipf_slope": "string_split_regex+regex-class+computed-series",
     "emb_ann_recall_contract": "list_dot_product+computed-series+list-index+floor-div",
+    "emb_assignment_margin": "list_dot_product+list-index",
     "emb_centroid_split_drift": "computed-series+list-index",
     "emb_cosine_near_dup": "list_dot_product+computed-series+list-index+floor-div",
     "emb_cosine_topk": "list_dot_product+list-index",
