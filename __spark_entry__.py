@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # customer_churn_risk, zorder_locality_audit (output-preserving
 # oracle portability rewrites, each verified DuckDB-identical at
 # sf0.01+sf0.1 AND strict-checked in round 6 — low risk, but the
-# driver row is the hard signal); (c) the 9 round-7-staged
+# driver row is the hard signal); (c) the 11 round-7-staged
 # registrations (doc_gopher_quality_flags, doc_minhash_band_planner,
 # customer_survival_km, brand_price_elasticity,
 # repeat_customer_share_by_quarter, doc_stopword_coverage_by_source,

@@ -132,36 +132,38 @@ def top_seeds_cosine(
     zero shuffle — the caller explodes the slice instead of windowing
     a corpus×seeds cross join. Pass a precomputed vector-norm column
     via ``n_col`` when the projection already carries one (avoids the
-    no-CSE-across-array-elements re-evaluation of the norm fold)."""
+    no-CSE-across-array-elements re-evaluation of the norm fold).
+
+    Degenerate cosines (NULL from a null vector, NaN from a zero-norm
+    vector or seed) are clamped to -inf similarity so they rank LAST
+    deterministically — a bare struct sort would instead float a NULL
+    field to the FRONT and make a degenerate seed every row's top
+    probe."""
     import math
 
     n_v = n_col if n_col is not None else norm(vec_col)
-    cands = F.array(*[
-        F.struct(
-            (
-                -(
-                    F.aggregate(
-                        F.zip_with(
-                            vec_col,
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (
-                        n_v
-                        * F.lit(
-                            math.sqrt(sum(float(x) * float(x) for x in cv))
-                        )
-                    )
-                )
-            ).alias("__neg_csim"),
-            F.lit(int(sid)).alias(id_field),
+    elems = []
+    for sid, cv in seeds:
+        csim = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in cv]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / (n_v * F.lit(math.sqrt(sum(float(x) * float(x) for x in cv))))
+        neg = -csim
+        guarded = F.when(
+            neg.isNull() | F.isnan(neg), F.lit(float("inf"))
+        ).otherwise(neg)
+        elems.append(
+            F.struct(
+                guarded.alias("__neg_csim"),
+                F.lit(int(sid)).alias(id_field),
+            )
         )
-        for sid, cv in seeds
-    ])
-    return F.slice(F.array_sort(cands), 1, nprobe)
+    return F.slice(F.array_sort(F.array(*elems)), 1, nprobe)
 
 
 def brute_force_topk(

@@ -26,7 +26,12 @@ Pins come in two kinds (ADVICE r5):
   FIFO pressure from later performance pins can never silently
   un-pin them and corrupt keys/offsets. They are released only by
   ``release_pinned`` (or ``unpin``), once the caller's results are
-  materialized.
+  materialized. Batch harnesses MUST call ``release_pinned`` at
+  query boundaries (the corpus pytest suite and
+  ``scripts/strict_driver_check.py`` do, after each query's full
+  materialization) — the non-evictable registry is bounded by the
+  batch contract, not by a cap; between releases, memory pressure
+  degrades to disk (MEMORY_AND_DISK), never to recomputation.
 
 ``release_pinned`` drops everything tracked (both kinds) — the
 between-batches hook for harnesses that want a clean cache.

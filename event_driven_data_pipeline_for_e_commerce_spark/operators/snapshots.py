@@ -115,7 +115,18 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     dirs with no claim (e.g. left by an older layout) are skipped,
     never reused."""
     os.makedirs(os.path.join(table_dir, "_claims"), exist_ok=True)
-    version = _load_manifest(table_dir)["current"]
+    manifest = _load_manifest(table_dir)
+    # Allocate ABOVE the high-water mark, never above 'current': after
+    # a rollback, current sits below already-committed versions, and
+    # after expire_versions has reclaimed those versions' dirs/claims
+    # nothing on disk would stop current+1 from re-claiming a
+    # previously-committed number — a fresh commit would then be
+    # shadowed by stale higher-numbered snapshots in as-of resolution.
+    version = max(
+        manifest["current"],
+        manifest.get("max_version", 0),
+        max((e["version"] for e in manifest["versions"]), default=0),
+    )
     while True:
         version += 1
         vdir = os.path.join(table_dir, f"v{version:05d}")
@@ -144,6 +155,10 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
         )
         manifest["versions"].sort(key=lambda e: e["version"])
         manifest["current"] = max(manifest["current"], version)
+        # the never-reused ledger: survives rollback AND expiration
+        manifest["max_version"] = max(
+            manifest.get("max_version", 0), version
+        )
         _store_manifest(table_dir, manifest)
     return version
 

@@ -718,7 +718,7 @@ def q_events_hill_tail_index(spark, sf_dir):
     bounded 100-row frame."""
     t = load_tables(spark, sf_dir)
     cnt = pin(
-        load_tables(spark, sf_dir)["events"]
+        t["events"]
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

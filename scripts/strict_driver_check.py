@@ -14,6 +14,9 @@ sys.path.insert(0, ".")
 
 import pandas as pd
 
+from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import (
+    release_pinned,
+)
 from event_driven_data_pipeline_for_e_commerce_spark.session import get_spark
 from tests.oracle_utils import duckdb_con
 import __spark_entry__ as entry
@@ -82,6 +85,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {k}: {type(e).__name__}: {str(e)[:200]}")
             bad += 1
+        finally:
+            # batch boundary: the query's result is fully materialized
+            # (toPandas above), so every pin it took — including
+            # non-evictable correctness pins — can be released before
+            # the next query runs; without this a long batch
+            # accumulates one persisted frame per pin site
+            release_pinned()
     return 1 if bad else 0
 
 

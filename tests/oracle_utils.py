@@ -57,6 +57,14 @@ def compare_query(spark, sf_dir: str, spark_df, oracle_sql: str):
     assert len(sr) == len(orr), f"row count mismatch: spark={len(sr)} oracle={len(orr)}"
     for i, (a, b) in enumerate(zip(sr, orr)):
         assert _rows_close(a, b), f"row {i} mismatch:\n  spark={a}\n  oracle={b}"
+    # batch boundary: this query is fully materialized (collect above),
+    # so its pins — correctness pins included — are safe to release;
+    # the parametrized corpus suite runs 290+ queries in one session
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import (
+        release_pinned,
+    )
+
+    release_pinned()
 
 
 def _rows_close(a, b) -> bool:

@@ -263,3 +263,23 @@ def test_minhash_pipeline_survives_mass_duplicated_corpus(spark):
     rows = pairs.collect()
     assert len(rows) == cap * (cap - 1) // 2  # capped, not n*(n-1)/2
     assert all(r["jaccard"] == 1.0 for r in rows[:100])
+
+
+def test_top_seeds_cosine_degenerate_seed_ranks_last(spark):
+    """A zero-norm seed yields NaN cosine (0/0); the guard must clamp
+    it to -inf similarity so it ranks LAST — a bare struct sort would
+    float the degenerate field to the FRONT and make the broken seed
+    every vector's top probe (code-review r6 finding)."""
+    import pyspark.sql.functions as F
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.similarity import (
+        top_seeds_cosine,
+    )
+
+    seeds = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame([(10, [3.0, 4.0])], "vec_id INT, v ARRAY<DOUBLE>")
+    ranked = df.select(
+        top_seeds_cosine(F.col("v"), seeds, 3, id_field="list_id").alias("r")
+    ).collect()[0]["r"]
+    # cos(v, seed1)=0.6, cos(v, seed2)=0.8, seed0 degenerate -> last
+    assert [e["list_id"] for e in ranked] == [2, 1, 0]

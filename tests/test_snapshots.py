@@ -127,6 +127,28 @@ def test_orphan_version_dir_is_skipped_not_reused(spark, sf_dir, tmp_path):
     assert [e["version"] for e in list_versions(tdir)] == [1, 3]
 
 
+def test_version_numbers_never_reused_after_rollback_and_expire(
+    spark, sf_dir, tmp_path
+):
+    """Version allocation comes from the manifest's high-water mark:
+    after rollback(2) + expire (which deletes expired versions' dirs
+    and claims), the next write must take a NUMBER ABOVE EVERYTHING
+    EVER COMMITTED — re-claiming an expired number would let stale
+    higher-numbered snapshots shadow the fresh commit in as-of reads."""
+    tdir = str(tmp_path / "hwm_nation")
+    nation = load_tables(spark, sf_dir)["nation"]
+    for i in range(4):
+        write_snapshot(nation.limit(i + 1), tdir)
+    rollback(tdir, 2)
+    expire_versions(tdir, keep_last=1, orphan_grace=0)
+    # survivors: v4 (newest) + v2 (current); v1, v3 reclaimed
+    assert sorted(e["version"] for e in list_versions(tdir)) == [2, 4]
+    v = write_snapshot(nation.limit(5), tdir)
+    assert v == 5  # not 3: above the high-water mark
+    assert read_snapshot(spark, tdir).count() == 5
+    assert read_snapshot(spark, tdir, as_of=time.time()).count() == 5
+
+
 def test_claim_marker_survives_data_overwrite(spark, sf_dir, tmp_path):
     """The version-number claim must outlive Spark's overwrite of the
     data dir (ADVICE r5): after a commit, the claim marker for that
