@@ -88,13 +88,21 @@ def nearest_seed_cosine(vec_col: Column, seeds, id_field: str = "list_id") -> Co
     ties to the LOWEST id (the id is negated inside the comparison
     struct so ``array_max`` breaks equal-similarity ties toward the
     smallest id — identical to ``ROW_NUMBER() OVER (ORDER BY csim
-    DESC, id ASC) = 1``). Returns a struct ``(csim, <id_field>)``."""
+    DESC, id ASC) = 1``). Returns a struct ``(csim, <id_field>)``.
+    Degenerate cosines (NaN from a zero-norm seed or vector, NULL
+    from a null vector) are clamped to -inf so a broken seed can never
+    win the argmax (Spark orders NaN ABOVE every double, so unguarded
+    a zero-norm seed would be every row's nearest)."""
     import math
 
     n_v = norm(vec_col)
+
+    def _guarded(c: Column) -> Column:
+        return F.when(c.isNull() | F.isnan(c), F.lit(float("-inf"))).otherwise(c)
+
     cands = F.array(*[
         F.struct(
-            (
+            _guarded(
                 F.aggregate(
                     F.zip_with(
                         vec_col,

@@ -283,3 +283,21 @@ def test_top_seeds_cosine_degenerate_seed_ranks_last(spark):
     ).collect()[0]["r"]
     # cos(v, seed1)=0.6, cos(v, seed2)=0.8, seed0 degenerate -> last
     assert [e["list_id"] for e in ranked] == [2, 1, 0]
+
+
+def test_nearest_seed_cosine_degenerate_seed_never_wins(spark):
+    """Spark orders NaN above every double, so an unguarded zero-norm
+    seed (NaN cosine) would win the argmax for every row; the clamp
+    makes it lose deterministically."""
+    import pyspark.sql.functions as F
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.similarity import (
+        nearest_seed_cosine,
+    )
+
+    seeds = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame([(10, [3.0, 4.0])], "vec_id INT, v ARRAY<DOUBLE>")
+    best = df.select(
+        nearest_seed_cosine(F.col("v"), seeds).alias("b")
+    ).collect()[0]["b"]
+    assert best["list_id"] == 2  # cos = 0.8 beats 0.6; degenerate loses
