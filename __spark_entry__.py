@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # lands, demote this head's greens to _PRIOR_GREEN and build the r7
 # head from: (a) the 2 deferred queries above; (b) re-checks for the
 # round-6 code/oracle-touched greens not in this window —
-# emb_ivf_topk (map-side _assign_lists rewrite), emb_pq_topk (shared
+# emb_ivf_topk + emb_ivf_nprobe_sweep (map-side _assign_lists rewrite
+# + degenerate-seed guards), emb_pq_topk (shared
 # hash(query_id) exchange for its aggregate + top-k window),
 # event_id_dedup,
 # priority_status_pivot, weekly_revenue_wow_delta,
