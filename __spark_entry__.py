@@ -20,59 +20,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks exactly the first 50 registered queries per round.
-# Cumulative driver-green after round 5: 238 of 282 (CORRECTNESS_r01 ∪
-# … ∪ r05, zero red ever).
+# Cumulative driver-green after round 6: 280 of 293 (CORRECTNESS_r01 ∪
+# … ∪ r06, zero red ever).
 #
-# ROUND-6 WINDOW (this head is exactly 50 entries): (a) 8 driver
-# re-checks of queries whose code was touched after their last green
-# row — scd2_merge_orders (r5 merge-join pin), customer_pareto_abc /
-# part_revenue_gini / emb_ann_recall_contract (r5 pin-registry
-# refactor; the last also carries round 6's shared scoring-pass
-# rewrite), media_feature_extract (r5 real-PNG-decode seam),
-# emb_kmeans_assign (r5 map-side argmin rewrite),
-# part_copurchase_pagerank (round 6 loop-frame pinning),
-# orders_column_profile (round 6 single-pass melted profiler);
-# (b) 42 of the 44 round-5-staged registrations, in registration
-# order (emb_label_knn_accuracy .. daily_revenue_cusum_drift — all
-# strict-checked green at sf0.01 during round 5).
-# NOTE: basket_association_rules and minhash_recall_stats, flagged
-# for re-check in the r5 rotation note, already received green r5
-# driver rows (they sat in the r5 head), so they need no slot here.
-#
-# ROUND-7 ROTATION NOTE / window budget: 8 + 44 = 52 candidates for
-# 50 slots, so TWO staged queries are explicitly deferred to round 7:
-# event_type_psi_drift and daily_revenue_stl_decomposition (both
-# strict-checked green at sf0.01 in rounds 5 and 6; they sit first in
-# the mid section, i.e. positions 51–52). After CORRECTNESS_r06
-# lands, demote this head's greens to _PRIOR_GREEN and build the r7
-# head from: (a) the 2 deferred queries above; (b) re-checks for the
-# round-6 code/oracle-touched greens not in this window —
+# ROUND-7 WINDOW (head below is 26 entries; the round-7 NEW
+# registrations land in the mid section, positions 27+, in
+# registration order — cap them at 24 so the window stays exactly 50):
+# (a) the 2 queries explicitly deferred from the r6 window
+# (event_type_psi_drift, daily_revenue_stl_decomposition — both
+# strict-checked green at sf0.01 in rounds 5 AND 6);
+# (b) 13 driver re-checks for round-6 code/oracle-touched greens —
 # emb_ivf_topk + emb_ivf_nprobe_sweep (map-side _assign_lists rewrite
-# + degenerate-seed guards), emb_pq_topk (shared
-# hash(query_id) exchange for its aggregate + top-k window),
-# event_id_dedup,
-# priority_status_pivot, weekly_revenue_wow_delta,
-# customer_order_span_stats, activity_heatmap, rfm_segments,
-# repeat_purchase_intervals, lead_time_trend_by_nation,
+# + degenerate-seed guards), emb_pq_topk (shared hash(query_id)
+# exchange), event_id_dedup, priority_status_pivot,
+# weekly_revenue_wow_delta (plus this round's exact-BIGINT oracle
+# fix per ADVICE r6), customer_order_span_stats, activity_heatmap,
+# rfm_segments, repeat_purchase_intervals, lead_time_trend_by_nation,
 # customer_churn_risk, zorder_locality_audit (output-preserving
-# oracle portability rewrites, each verified DuckDB-identical at
-# sf0.01+sf0.1 AND strict-checked in round 6 — low risk, but the
-# driver row is the hard signal); (c) the 11 round-7-staged
-# registrations (doc_gopher_quality_flags, doc_minhash_band_planner,
-# customer_survival_km, brand_price_elasticity,
-# repeat_customer_share_by_quarter, doc_stopword_coverage_by_source,
-# doc_bpe_pair_merges, emb_semdedup_prune, events_hill_tail_index,
-# doc_vocab_coverage_curve, emb_assignment_margin — all
-# strict-checked green at sf0.01 in round 6). That is 2 + 12 + 11
-# = 25 slots; cap round-7 registrations at 25 so the backlog stays
-# zero and cumulative reaches 293/293.
+# oracle portability rewrites, verified DuckDB-identical at
+# sf0.01+sf0.1 and strict-checked in round 6);
+# (c) the 11 round-7-staged registrations
+# (doc_gopher_quality_flags .. emb_assignment_margin — all
+# strict-checked green at sf0.01 in round 6). 2 + 13 + 11 = 26.
+# Also code-touched THIS round and therefore re-checked here:
+# emb_ann_recall_contract and minhash_recall_stats would need slots
+# if their query code changes land (see rotation bookkeeping at the
+# end of the round); emb_semdedup_prune's SemDeDup cap rewrite is
+# already covered by its staged slot in (c).
+#
+# ROUND-8 ROTATION NOTE: after CORRECTNESS_r07 lands, demote this
+# head's greens (and the round-7 mid-section registrations) to
+# _PRIOR_GREEN and build the r8 head from: re-checks for any
+# round-7 code/oracle-touched greens + the round-8 staged
+# registrations; then cap round-8 new registrations so the window
+# stays exactly 50. Cumulative after a green round 7 is 293 + (r7
+# registrations ≤ 24) with zero never-checked backlog.
 _PRIORITY = (
-    # (a) code-touched driver re-checks
+    # (a) deferred from the r6 window (positions 51–52 there)
+    "event_type_psi_drift", "daily_revenue_stl_decomposition",
+    # (b) round-6 code/oracle-touched re-checks
+    "emb_ivf_topk", "emb_ivf_nprobe_sweep", "emb_pq_topk",
+    "event_id_dedup", "priority_status_pivot",
+    "weekly_revenue_wow_delta", "customer_order_span_stats",
+    "activity_heatmap", "rfm_segments", "repeat_purchase_intervals",
+    "lead_time_trend_by_nation", "customer_churn_risk",
+    "zorder_locality_audit",
+    # (c) round-7-staged registrations (strict-checked green r6)
+    "doc_gopher_quality_flags", "doc_minhash_band_planner",
+    "customer_survival_km", "brand_price_elasticity",
+    "repeat_customer_share_by_quarter",
+    "doc_stopword_coverage_by_source", "doc_bpe_pair_merges",
+    "emb_semdedup_prune", "events_hill_tail_index",
+    "doc_vocab_coverage_curve", "emb_assignment_margin",
+)
+
+
+# Queries with a green driver row in rounds 1-6 — demoted to the end
+# of the registration order so the driver's 50-row window spends its
+# budget on never-checked queries (and round-7 additions) first.
+# Thirteen historical greens (emb_ivf_topk, emb_ivf_nprobe_sweep,
+# emb_pq_topk, event_id_dedup, priority_status_pivot,
+# weekly_revenue_wow_delta, customer_order_span_stats,
+# activity_heatmap, rfm_segments, repeat_purchase_intervals,
+# lead_time_trend_by_nation, customer_churn_risk,
+# zorder_locality_audit) are promoted to _PRIORITY for code/oracle-
+# touched re-checks and therefore omitted from this tuple for round 7.
+_PRIOR_GREEN = (
+    # round-6 greens (CORRECTNESS_r06.json, 50/50)
     "scd2_merge_orders", "customer_pareto_abc", "part_revenue_gini",
     "emb_ann_recall_contract", "media_feature_extract",
     "emb_kmeans_assign", "part_copurchase_pagerank",
     "orders_column_profile",
-    # (b) round-5-staged registrations, first 42 of 44
     "emb_label_knn_accuracy", "doc_perplexity_by_source",
     "doc_contamination_by_split", "customer_value_migration",
     "orders_backlog_aging", "nation_trade_balance",
@@ -94,18 +112,6 @@ _PRIORITY = (
     "supplier_backlog_peak", "brand_weighted_median_price",
     "ab_test_conversion_lift", "purchase_path_topk",
     "doc_winnow_fingerprint_matches", "daily_revenue_cusum_drift",
-)
-
-
-# Queries with a green driver row in rounds 1-4 — demoted to the end
-# of the registration order so the driver's 50-row window spends its
-# budget on never-checked queries (and round-5 additions) first.
-# Eight of the historical greens (scd2_merge_orders,
-# customer_pareto_abc, part_revenue_gini, emb_ann_recall_contract,
-# media_feature_extract, emb_kmeans_assign, part_copurchase_pagerank,
-# orders_column_profile) are promoted to _PRIORITY for code-touched
-# re-checks and therefore omitted from this tuple for round 6.
-_PRIOR_GREEN = (
     # round-5 greens (CORRECTNESS_r05.json, 50/50)
     "doc_heaps_law_fit", "doc_compressibility_proxy",
     "emb_lsh_bucket_label_purity", "doc_sentence_stats",
@@ -114,13 +120,13 @@ _PRIOR_GREEN = (
     "emb_norm_histogram", "hourly_load_percentiles",
     "part_size_price_regression", "doc_dedup_threshold_sweep",
     "segment_clv_projection", "nation_order_coverage",
-    "emb_ivf_nprobe_sweep", "bloom_prefilter_audit",
+    "bloom_prefilter_audit",
     "basket_association_rules", "event_disorder_profile",
     "doc_incremental_dedup", "multi_touch_attribution",
     "minhash_recall_stats", "revenue_motif_search",
     "doc_simhash", "doc_simhash_near_dup",
     "customer_spend_quartile_bands", "nation_revenue_rank_stability",
-    "weekly_revenue_wow_delta", "orders_price_zscore_outliers",
+    "orders_price_zscore_outliers",
     "brand_price_iqr_outliers", "brand_price_variance_decomposition",
     "orders_weekday_seasonality", "event_type_share_by_hour",
     "quarter_end_load_share", "returned_rate_by_brand",
@@ -131,25 +137,24 @@ _PRIOR_GREEN = (
     "copurchase_jaccard_similar_parts", "customer_type_concentration",
     "ship_delay_p95_by_month", "discount_band_margin",
     "emb_norm_extremes", "doc_lang_source_confusion",
-    "customer_order_span_stats", "tax_discount_joint_histogram",
+    "tax_discount_joint_histogram",
     # round-4 greens (CORRECTNESS_r04.json, 50/50)
     "doc_pmi_collocations",
     "doc_dedup_survivors", "doc_length_percentiles",
     "doc_keyword_search", "emb_dim_stats", "event_volume_anomalies",
-    "repeat_purchase_intervals", "lead_time_trend_by_nation",
-    "emb_pq_codes", "doc_dedup_rate_by_source", "customer_churn_risk",
-    "orders_quality_checks", "lineitem_suppkey_skew", "emb_pq_topk",
+    "emb_pq_codes", "doc_dedup_rate_by_source",
+    "orders_quality_checks", "lineitem_suppkey_skew",
     "pit_status_at_ship", "ordered_funnel_conversions",
     "cms_heavy_hitters", "supplier_ship_cumulative",
     "conversion_latency_histogram", "priority_mix_drift",
-    "doc_ngram_novelty", "zorder_locality_audit", "user_value_twap",
+    "doc_ngram_novelty", "user_value_twap",
     "doc_zipf_slope", "emb_top_principal_component",
     "user_event_entropy", "source_vocab_overlap",
     "qsketch_price_quantiles", "copurchase_triangle_census",
     "selfjoin_size_estimate", "emb_pairwise_sim_histogram",
     "monthly_seasonal_index", "supplier_momentum_ewm",
     "weekly_conversion_sla", "metric_cube_quarter_segment",
-    "metric_cube_region_priority", "activity_heatmap",
+    "metric_cube_region_priority",
     "metric_events_type_segment", "corpus_quality_report",
     "benford_first_digit_audit", "part_recommendations",
     "media_exact_dedup",
@@ -166,7 +171,7 @@ _PRIOR_GREEN = (
     "q15_top_supplier", "q16_supplier_part_counts", "q2_min_cost_supplier",
     "q9_product_type_profit", "q11_important_parts", "q12_priority_shipping",
     "q18_large_volume_customers", "q20_excess_shipments",
-    "q21_waiting_suppliers", "cohort_retention", "rfm_segments",
+    "q21_waiting_suppliers", "cohort_retention",
     "basket_part_pairs", "hll_rollup_contract", "daily_revenue_gapfill_ma7",
     "customer_name_fuzzy_pairs",
     "segment_event_revenue",
@@ -189,19 +194,19 @@ _PRIOR_GREEN = (
     "surrogate_keys_dense", "topk_orders", "bottomk_customers",
     "limit_preview", "union_entities", "ship_delay_days",
     "row_hash_customers", "null_fill_policy", "display_truncate",
-    "sk_continuation", "tumbling_daily_revenue", "event_id_dedup",
+    "sk_continuation", "tumbling_daily_revenue",
     "sliding_weekly_revenue", "asof_last_click", "view_click_pairs_2h",
     "approx_distinct_contract", "customers_with_orders_semi",
     # round-2 greens (CORRECTNESS_r02.json)
     "customers_without_orders_anti", "nations_both_sides_intersect",
-    "nations_customers_only_except", "priority_status_pivot",
+    "nations_customers_only_except",
     "status_measures_unpivot", "grouping_sets_revenue", "pricing_summary",
     "user_event_transitions", "customer_order_ranks",
     "order_value_distribution", "user_event_paths", "order_price_histogram",
     "customer_geo_nearest", "doc_token_stats",
     "doc_quality_scores", "doc_language_id", "doc_fingerprints",
     "doc_ngram_jaccard_pairs", "emb_cosine_topk",
-    "emb_ivf_topk", "emb_lsh_topk", "emb_label_centroids",
+    "emb_lsh_topk", "emb_label_centroids",
     "session_windows", "doc_chunks", "doc_train_split",
     "doc_tfidf_top_terms", "doc_stratified_sample", "doc_quality_filter",
     "video_frame_grid", "doc_pii_redact",
