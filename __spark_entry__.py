@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Cumulative driver-green after round 6: 280 of 293 (CORRECTNESS_r01 ∪
 # … ∪ r06, zero red ever).
 #
-# ROUND-7 WINDOW (head below is 26 entries; the round-7 NEW
-# registrations land in the mid section, positions 27+, in
-# registration order — cap them at 24 so the window stays exactly 50):
+# ROUND-7 WINDOW (head below is 28 entries; the round-7 NEW
+# registrations land in the mid section, positions 29+, in
+# registration order — cap them at 22 so the window stays exactly 50):
 # (a) the 2 queries explicitly deferred from the r6 window
 # (event_type_psi_drift, daily_revenue_stl_decomposition — both
 # strict-checked green at sf0.01 in rounds 5 AND 6);
@@ -41,12 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01+sf0.1 and strict-checked in round 6);
 # (c) the 11 round-7-staged registrations
 # (doc_gopher_quality_flags .. emb_assignment_margin — all
-# strict-checked green at sf0.01 in round 6). 2 + 13 + 11 = 26.
-# Also code-touched THIS round and therefore re-checked here:
-# emb_ann_recall_contract and minhash_recall_stats would need slots
-# if their query code changes land (see rotation bookkeeping at the
-# end of the round); emb_semdedup_prune's SemDeDup cap rewrite is
-# already covered by its staged slot in (c).
+# strict-checked green at sf0.01 in round 6). Plus section (b')
+# below for round-7 code-touched re-checks: 2 + 13 + 2 + 11 = 28.
+# minhash_recall_stats would need a slot too if its query code
+# changes land (see rotation bookkeeping at the end of the round);
+# emb_semdedup_prune's SemDeDup cap rewrite is already covered by its
+# staged slot in (c).
 #
 # ROUND-8 ROTATION NOTE: after CORRECTNESS_r07 lands, demote this
 # head's greens (and the round-7 mid-section registrations) to
@@ -65,6 +65,12 @@ _PRIORITY = (
     "activity_heatmap", "rfm_segments", "repeat_purchase_intervals",
     "lead_time_trend_by_nation", "customer_churn_risk",
     "zorder_locality_audit",
+    # (b') round-7 code-touched re-checks: the ADVICE-r6 seed-sanity
+    # guard in similarity.top_seeds_cosine/nearest_seed_cosine touches
+    # emb_ivf_list_balance (direct caller) and emb_ann_recall_contract
+    # (runs emb_ivf_topk internally; also carries this round's
+    # regression rework)
+    "emb_ivf_list_balance", "emb_ann_recall_contract",
     # (c) round-7-staged registrations (strict-checked green r6)
     "doc_gopher_quality_flags", "doc_minhash_band_planner",
     "customer_survival_km", "brand_price_elasticity",
@@ -88,7 +94,7 @@ _PRIORITY = (
 _PRIOR_GREEN = (
     # round-6 greens (CORRECTNESS_r06.json, 50/50)
     "scd2_merge_orders", "customer_pareto_abc", "part_revenue_gini",
-    "emb_ann_recall_contract", "media_feature_extract",
+    "media_feature_extract",
     "emb_kmeans_assign", "part_copurchase_pagerank",
     "orders_column_profile",
     "emb_label_knn_accuracy", "doc_perplexity_by_source",
@@ -131,7 +137,7 @@ _PRIOR_GREEN = (
     "orders_weekday_seasonality", "event_type_share_by_hour",
     "quarter_end_load_share", "returned_rate_by_brand",
     "doc_shingle_df_skew", "doc_dup_cluster_size_histogram",
-    "emb_ivf_list_balance", "emb_kmeans_inertia",
+    "emb_kmeans_inertia",
     "emb_int8_quant_error_by_label", "doc_prefix_dup_rate",
     "doc_vocab_growth_by_source", "events_dedup_rate_by_day",
     "copurchase_jaccard_similar_parts", "customer_type_concentration",

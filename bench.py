@@ -26,6 +26,14 @@ sys.path.insert(0, REPO)
 
 # Headline set: one per operator family (SURVEY.md §2), weighted toward
 # the shuffling/joining queries that dominate cost at scale.
+#
+# Timing note: queries that pin() loop/shared frames (e.g.
+# part_copurchase_pagerank, doc_curriculum_phases, scd2_merge_orders)
+# materialize those pins at CONSTRUCTION time — i.e. before t0 — so
+# their timed number measures the post-pin execution (warm reads of
+# the pinned frames). That matches how a production pipeline would run
+# them; release_pinned() at each query boundary keeps one query's pins
+# from surviving into the next timed run.
 HEADLINE = [
     "funnel",                  # flagship: scan -> agg -> stage align
     "pricing_summary",         # TPC-H Q1 shape: raw scan-agg throughput
@@ -96,7 +104,14 @@ def main() -> None:
 
     spark = get_spark("edp-bench")
 
+    from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import (
+        release_pinned,
+    )
+
     def run(name: str) -> float:
+        # query boundary: pins from the previous query (FIFO and
+        # non-evictable critical pins alike) must not serve this one
+        release_pinned()
         df = queries[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -122,6 +137,7 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
+    release_pinned()
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -50,6 +50,24 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _require_sane_seeds(seeds) -> None:
+    """Reject degenerate seeds at collection time (driver-side, k tiny
+    vectors — free). A zero-norm / NaN / null seed makes every row's
+    cosine against it NaN; the Spark ranking clamps that to -inf
+    (ranks LAST) while an unguarded SQL oracle's ``ORDER BY csim
+    DESC`` ranks NaN FIRST (both Spark and DuckDB sort NaN above all
+    doubles) — a silent engine-vs-oracle divergence. Failing fast here
+    keeps the clamp a pure belt-and-braces path and the oracles
+    honest (ADVICE r6)."""
+    import math
+
+    for sid, cv in seeds:
+        if cv is None or any(x is None or math.isnan(float(x)) for x in cv):
+            raise ValueError(f"seed {sid} contains null/NaN components")
+        if not any(float(x) != 0.0 for x in cv):
+            raise ValueError(f"seed {sid} has zero norm")
+
+
 def nearest_seed_l2(vec_col: Column, seeds, id_field: str = "cluster_id") -> Column:
     """Map-side nearest-seed assignment: given ``seeds`` as a list of
     ``(seed_id, [floats])`` collected driver-side (the sanctioned
@@ -95,6 +113,7 @@ def nearest_seed_cosine(vec_col: Column, seeds, id_field: str = "list_id") -> Co
     a zero-norm seed would be every row's nearest)."""
     import math
 
+    _require_sane_seeds(seeds)
     n_v = norm(vec_col)
 
     def _guarded(c: Column) -> Column:
@@ -149,6 +168,7 @@ def top_seeds_cosine(
     probe."""
     import math
 
+    _require_sane_seeds(seeds)
     n_v = n_col if n_col is not None else norm(vec_col)
     elems = []
     for sid, cv in seeds:

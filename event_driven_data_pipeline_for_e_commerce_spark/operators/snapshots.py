@@ -141,6 +141,12 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
             break
         except FileExistsError:
             continue
+    # Refresh the claim at write start: the marker's mtime is the
+    # writer's liveness signal to expire_versions' orphan reclaim, and
+    # anything slow between claiming and writing (manifest contention,
+    # upstream plan materialization) must not age it past the grace
+    # window while the writer is still alive.
+    os.utime(_claim_path(table_dir, version))
     df.write.mode("overwrite").parquet(vdir)
     n_rows = df.sparkSession.read.parquet(vdir).count()
     with _ManifestLock(table_dir):
@@ -268,6 +274,26 @@ def expire_versions(
             for n in os.listdir(table_dir)
             if n.startswith("v") and n[1:].isdigit()
         ]
+        def _freshest_mtime(version: int) -> float:
+            """Newest liveness evidence for a claimed-but-uncommitted
+            version: the claim marker's mtime OR the data dir's (a
+            long Spark write keeps adding part files — the dir stays
+            fresh even while the claim marker ages), whichever is
+            newer. Keying the grace check on the freshest of the two
+            means a writer stalled between claim and first write, or
+            one mid-way through a multi-hour write, never loses its
+            claim to a concurrent expire."""
+            newest = 0.0
+            for p in (
+                _claim_path(table_dir, version),
+                os.path.join(table_dir, f"v{version:05d}"),
+            ):
+                try:
+                    newest = max(newest, os.stat(p).st_mtime)
+                except OSError:
+                    pass
+            return newest
+
         for path in stale_claims + stale_dirs:
             name = os.path.basename(path)
             if not (name.startswith("v") and name[1:].isdigit()):
@@ -275,7 +301,7 @@ def expire_versions(
             if int(name[1:]) in listed:
                 continue
             try:
-                if os.stat(path).st_mtime > cutoff:
+                if _freshest_mtime(int(name[1:])) > cutoff:
                     continue  # possibly an in-flight writer
                 if os.path.isdir(path):
                     shutil.rmtree(path, ignore_errors=True)

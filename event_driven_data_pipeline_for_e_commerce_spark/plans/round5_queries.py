@@ -161,8 +161,13 @@ def q_nation_revenue_rank_stability(spark, sf_dir):
     )
     SELECT w.week, w.cents,
            p.cents AS prev_cents,
-           -- truncating division in a form BOTH engines parse: p.cents > 0,
-           -- so SIGN(d)*FLOOR(ABS(d)/b) == d // b == d DIV b exactly
+           -- truncating division in a form BOTH engines parse AND both
+           -- compute identically: *, /, FLOOR, SIGN are correctly-rounded
+           -- IEEE double ops, so this expression is bit-identical across
+           -- engines at ANY magnitude (the Spark side evaluates the SAME
+           -- double expression — ADVICE r6: integer DIV on one side vs
+           -- double FLOOR on the other could differ by 1 bp once
+           -- |delta|*10000 exceeds 2^53)
            CAST(SIGN(w.cents - p.cents)
                 * FLOOR(ABS(w.cents - p.cents) * 10000.0 / p.cents)
                 AS BIGINT) AS wow_delta_bp
@@ -177,8 +182,11 @@ def q_weekly_revenue_wow_delta(spark, sf_dir):
     7 days), so the plan is a bounded self-join on the calendar grain
     that stays shuffle-parallel at any history length (a LAG over an
     unpartitioned calendar would be the single-task shape the corpus
-    bans). Integer cents and floor-division basis points on both
-    engines."""
+    bans). Integer cents; the basis-point column is the SAME
+    SIGN*FLOOR double expression on both engines (bit-identical IEEE
+    arithmetic at any magnitude — see the oracle comment), also
+    immune to the BIGINT overflow a d*10000 integer form would hit
+    at extreme deltas."""
     t = load_tables(spark, sf_dir)
     weekly = (
         t["orders"]
@@ -197,7 +205,9 @@ def q_weekly_revenue_wow_delta(spark, sf_dir):
             "cents",
             "prev_cents",
             F.expr(
-                "(cents - prev_cents) * 10000 DIV prev_cents"
+                "CAST(SIGN(cents - prev_cents)"
+                " * FLOOR(ABS(cents - prev_cents) * 10000.0 / prev_cents)"
+                " AS BIGINT)"
             ).alias("wow_delta_bp"),
         )
     )

@@ -42,29 +42,33 @@ def _norm_rows(cols, rows):
 
 def compare_query(spark, sf_dir: str, spark_df, oracle_sql: str):
     """Assert spark_df matches the oracle on cols + order-insensitive values."""
-    con = duckdb_con(sf_dir)
-    oracle = con.execute(oracle_sql)
-    o_cols = [d[0] for d in oracle.description]
-    o_rows = oracle.fetchall()
-
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-
-    sc, sr = _norm_rows(s_cols, s_rows)
-    oc, orr = _norm_rows(o_cols, o_rows)
-
-    assert sc == oc, f"column mismatch: spark={sc} oracle={oc}"
-    assert len(sr) == len(orr), f"row count mismatch: spark={len(sr)} oracle={len(orr)}"
-    for i, (a, b) in enumerate(zip(sr, orr)):
-        assert _rows_close(a, b), f"row {i} mismatch:\n  spark={a}\n  oracle={b}"
-    # batch boundary: this query is fully materialized (collect above),
-    # so its pins — correctness pins included — are safe to release;
-    # the parametrized corpus suite runs 290+ queries in one session
+    # batch boundary: pins (correctness pins included) are released in
+    # the finally even when an assertion fails — a red query must not
+    # leak its pins into the next 290+ queries of the session
     from event_driven_data_pipeline_for_e_commerce_spark.operators.pinning import (
         release_pinned,
     )
 
-    release_pinned()
+    try:
+        con = duckdb_con(sf_dir)
+        oracle = con.execute(oracle_sql)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+
+        s_cols = spark_df.columns
+        s_rows = [tuple(r) for r in spark_df.collect()]
+
+        sc, sr = _norm_rows(s_cols, s_rows)
+        oc, orr = _norm_rows(o_cols, o_rows)
+
+        assert sc == oc, f"column mismatch: spark={sc} oracle={oc}"
+        assert len(sr) == len(orr), (
+            f"row count mismatch: spark={len(sr)} oracle={len(orr)}"
+        )
+        for i, (a, b) in enumerate(zip(sr, orr)):
+            assert _rows_close(a, b), f"row {i} mismatch:\n  spark={a}\n  oracle={b}"
+    finally:
+        release_pinned()
 
 
 def _rows_close(a, b) -> bool:
