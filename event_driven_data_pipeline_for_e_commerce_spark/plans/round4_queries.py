@@ -106,8 +106,21 @@ def q_emb_ann_recall_contract(spark, sf_dir):
     joins and the per-query hit counts are on those tiny frames. The
     expensive parts are the underlying searches, whose plans are
     audited by their own queries; this contract adds only
-    query-set-grain work on top."""
-    truth_cos = pin(
+    query-set-grain work on top.
+
+    Pinning (round 7): exactly ONE pin — the unioned ``truths`` frame,
+    the only frame consumed twice (semi-join probe + the per-query
+    denominator). The round-6 form pinned all five inputs; a
+    standalone A/B (scripts/ab_ann_recall.py, release_pinned +
+    clearCache between runs, alternating) measured that form at
+    ~3.4s median vs ~3.1s for this one-pin form and ~3.2s for the
+    pre-round-6 three-chain form at sf0.1 — i.e. the extra pins cost
+    real persist passes, and the r5-vs-r6 bench swing (2.27s->4.26s)
+    was dominated by cross-query plan-keyed cache reuse that the
+    bench's release_pinned boundaries now prevent. The two truth
+    scans cannot share fold work: their query sets are disjoint
+    (cosine truth vec_id<5, L2 truth vec_id in [16,24))."""
+    truth_cos = (
         QUERIES["emb_cosine_topk"](spark, sf_dir)
         .select("query_id", "neighbor_id")
     )
@@ -138,7 +151,6 @@ def q_emb_ann_recall_contract(spark, sf_dir):
         .filter(F.col("__rn") <= PQ_TOPK)
         .select("query_id", "neighbor_id")
     )
-    truth_l2 = pin(truth_l2)
 
     # ONE shared scoring pass (VERDICT r5 diet): union-tag the three
     # methods' candidates and the two truth sets per method, then a
@@ -150,18 +162,15 @@ def q_emb_ann_recall_contract(spark, sf_dir):
             F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
 
-    # each search result is pinned: query-set-sized (k rows per
-    # query), computed exactly once into cache; the scoring below
-    # reads the caches, and each search's own plan stays audited by
-    # its registered query
+    # search results are NOT pinned: each is consumed exactly once
+    # (the semi-join probe side), so a persist pass would only add
+    # cost (the round-6 regression — see docstring)
     cands = reduce(
         lambda a, b: a.unionByName(b),
         [
             _tag(
-                pin(
-                    QUERIES[ann_name](spark, sf_dir).select(
-                        "query_id", "neighbor_id"
-                    )
+                QUERIES[ann_name](spark, sf_dir).select(
+                    "query_id", "neighbor_id"
                 ),
                 method,
             )
@@ -172,9 +181,10 @@ def q_emb_ann_recall_contract(spark, sf_dir):
             )
         ],
     )
-    # truth_cos serves both ivf and lsh: tag it once via explode so
-    # the cached frame is traversed once, not per method
-    truths = (
+    # truth_cos serves both ivf and lsh: tag it once via explode.
+    # truths is the ONE pinned frame — consumed by both the broadcast
+    # semi-join and the per-query denominator below.
+    truths = pin(
         truth_cos.withColumn(
             "method", F.explode(F.array(F.lit("ivf"), F.lit("lsh")))
         )
