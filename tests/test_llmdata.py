@@ -265,39 +265,134 @@ def test_minhash_pipeline_survives_mass_duplicated_corpus(spark):
     assert all(r["jaccard"] == 1.0 for r in rows[:100])
 
 
-def test_top_seeds_cosine_degenerate_seed_ranks_last(spark):
-    """A zero-norm seed yields NaN cosine (0/0); the guard must clamp
-    it to -inf similarity so it ranks LAST — a bare struct sort would
-    float the degenerate field to the FRONT and make the broken seed
-    every vector's top probe (code-review r6 finding)."""
+def test_cosine_seed_helpers_reject_degenerate_seeds(spark):
+    """A zero-norm / NaN / null seed is rejected at COLLECTION time
+    (ADVICE r6): the -inf clamp ranked it last on the Spark side, but
+    an unguarded SQL oracle's ``ORDER BY csim DESC`` ranks NaN FIRST
+    (both engines sort NaN above all doubles) — failing fast is the
+    only behavior both sides can agree on."""
     import pyspark.sql.functions as F
+    import pytest
 
     from event_driven_data_pipeline_for_e_commerce_spark.llmdata.similarity import (
+        nearest_seed_cosine,
         top_seeds_cosine,
     )
 
-    seeds = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
-    df = spark.createDataFrame([(10, [3.0, 4.0])], "vec_id INT, v ARRAY<DOUBLE>")
-    ranked = df.select(
-        top_seeds_cosine(F.col("v"), seeds, 3, id_field="list_id").alias("r")
-    ).collect()[0]["r"]
-    # cos(v, seed1)=0.6, cos(v, seed2)=0.8, seed0 degenerate -> last
-    assert [e["list_id"] for e in ranked] == [2, 1, 0]
+    zero = [(0, [0.0, 0.0]), (1, [1.0, 0.0])]
+    nan = [(0, [float("nan"), 1.0]), (1, [1.0, 0.0])]
+    null = [(0, None), (1, [1.0, 0.0])]
+    for bad, msg in ((zero, "zero norm"), (nan, "null/NaN"), (null, "null/NaN")):
+        with pytest.raises(ValueError, match=msg):
+            top_seeds_cosine(F.col("v"), bad, 2, id_field="list_id")
+        with pytest.raises(ValueError, match=msg):
+            nearest_seed_cosine(F.col("v"), bad)
 
 
-def test_nearest_seed_cosine_degenerate_seed_never_wins(spark):
-    """Spark orders NaN above every double, so an unguarded zero-norm
-    seed (NaN cosine) would win the argmax for every row; the clamp
-    makes it lose deterministically."""
+def test_cosine_seed_ranking_clamps_degenerate_vector(spark):
+    """The -inf clamp still guards the ROW side (a zero-norm data
+    vector is not rejectable driver-side): every cosine is NaN, the
+    clamp maps them all to -inf, and the id tie-break picks the
+    LOWEST seed id deterministically — the same row an oracle's
+    ``ORDER BY csim DESC, id`` picks when every csim is NaN."""
     import pyspark.sql.functions as F
 
     from event_driven_data_pipeline_for_e_commerce_spark.llmdata.similarity import (
         nearest_seed_cosine,
+        top_seeds_cosine,
     )
 
-    seeds = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
-    df = spark.createDataFrame([(10, [3.0, 4.0])], "vec_id INT, v ARRAY<DOUBLE>")
-    best = df.select(
-        nearest_seed_cosine(F.col("v"), seeds).alias("b")
-    ).collect()[0]["b"]
-    assert best["list_id"] == 2  # cos = 0.8 beats 0.6; degenerate loses
+    seeds = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [3.0, 4.0]), (11, [0.0, 0.0])], "vec_id INT, v ARRAY<DOUBLE>"
+    )
+    rows = {
+        r["vec_id"]: (r["b"], r["r"])
+        for r in df.select(
+            "vec_id",
+            nearest_seed_cosine(F.col("v"), seeds).alias("b"),
+            top_seeds_cosine(F.col("v"), seeds, 2, id_field="list_id").alias(
+                "r"
+            ),
+        ).collect()
+    }
+    assert rows[10][0]["list_id"] == 2  # cos 0.8 beats 0.6
+    assert [e["list_id"] for e in rows[10][1]] == [2, 1]
+    # degenerate vector: all-NaN cosines clamp, lowest id wins the tie
+    assert rows[11][0]["list_id"] == 1
+    assert [e["list_id"] for e in rows[11][1]] == [1, 2]
+
+
+def test_semdedup_prune_exact_under_cap_and_capped_above(spark):
+    """Under the cap the capped plan must be EXACTLY the uncapped
+    all-pairs-within-cluster semantics (nsub=1 ⇒ join key degenerates
+    to the cluster id) — that's what lets the registered query keep
+    the uncapped oracle."""
+    import pyspark.sql.functions as F
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        semdedup_prune,
+    )
+
+    # two clusters; 0/1/2 mutually near-identical in cluster A, 3 far
+    rows = [
+        (0, [1.0, 0.0, 0.0], 100),
+        (1, [0.999, 0.001, 0.0], 100),
+        (2, [0.998, 0.002, 0.0], 100),
+        (3, [0.0, 1.0, 0.0], 100),
+        (4, [0.0, 0.0, 1.0], 200),
+        (5, [0.0, 0.001, 0.9999], 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id INT, v ARRAY<DOUBLE>, cluster_id INT"
+    )
+    capped = semdedup_prune(df, threshold=0.97, max_cluster=10)
+    uncapped = semdedup_prune(df, threshold=0.97, max_cluster=None)
+    got = sorted((r["cluster_id"], r["vec_id"]) for r in capped.collect())
+    assert got == sorted(
+        (r["cluster_id"], r["vec_id"]) for r in uncapped.collect()
+    )
+    # keep-lowest: 1 and 2 drop (0 survives); 5 drops (4 survives)
+    assert got == [(100, 1), (100, 2), (200, 5)]
+
+
+def test_semdedup_cap_bounds_degenerate_corpus(spark):
+    """VERDICT r6: a mass-duplicated corpus (10k copies of one vector
+    in ONE cluster) must complete under the cap with bounded
+    per-task quadratics — uncapped this is a 50M-pair self-join.
+    Asserts every (cluster, sub-bucket) pairing group stays ~cap-sized
+    and the overflow audit reports the oversized cluster."""
+    import pyspark.sql.functions as F
+
+    from event_driven_data_pipeline_for_e_commerce_spark.llmdata.dedup import (
+        semdedup_cluster_overflow,
+        semdedup_prune,
+    )
+
+    n, cap = 10_000, 500
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"),
+        F.lit(0).alias("cluster_id"),
+    )
+    # completes: every copy except one-per-sub-bucket survivor drops
+    dropped = semdedup_prune(df, threshold=0.97, max_cluster=cap)
+    n_sub = -(-n // cap)  # 20 sub-buckets
+    n_dropped = dropped.count()
+    # each sub-bucket keeps exactly its lowest id: n - n_sub dropped
+    assert n_dropped == n - n_sub
+    # sub-bucket sizes stay near cap (hash-balanced, hard ceiling 2x)
+    sizes = (
+        df.select(
+            F.pmod(F.hash("vec_id"), F.lit(n_sub)).alias("sub")
+        )
+        .groupBy("sub")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes <= 2 * cap
+    audit = semdedup_cluster_overflow(df, max_cluster=cap).collect()
+    assert len(audit) == 1
+    assert audit[0]["cluster_size"] == n
+    assert audit[0]["n_subbuckets"] == n_sub
