@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Cumulative driver-green after round 6: 280 of 293 (CORRECTNESS_r01 ∪
 # … ∪ r06, zero red ever).
 #
-# ROUND-7 WINDOW (head below is 28 entries; the round-7 NEW
-# registrations land in the mid section, positions 29+, in
-# registration order — cap them at 22 so the window stays exactly 50):
+# ROUND-7 WINDOW (head below is 29 entries; the round-7 NEW
+# registrations land in the mid section, positions 30+, in
+# registration order — cap them at 21 so the window stays exactly 50):
 # (a) the 2 queries explicitly deferred from the r6 window
 # (event_type_psi_drift, daily_revenue_stl_decomposition — both
 # strict-checked green at sf0.01 in rounds 5 AND 6);
@@ -42,11 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the 11 round-7-staged registrations
 # (doc_gopher_quality_flags .. emb_assignment_margin — all
 # strict-checked green at sf0.01 in round 6). Plus section (b')
-# below for round-7 code-touched re-checks: 2 + 13 + 2 + 11 = 28.
-# minhash_recall_stats would need a slot too if its query code
-# changes land (see rotation bookkeeping at the end of the round);
-# emb_semdedup_prune's SemDeDup cap rewrite is already covered by its
-# staged slot in (c).
+# below for round-7 code-touched re-checks: 2 + 13 + 3 + 11 = 29;
+# emb_semdedup_prune's SemDeDup cap rewrite is covered by its staged
+# slot in (c).
 #
 # ROUND-8 ROTATION NOTE: after CORRECTNESS_r07 lands, demote this
 # head's greens (and the round-7 mid-section registrations) to
@@ -54,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-7 code/oracle-touched greens + the round-8 staged
 # registrations; then cap round-8 new registrations so the window
 # stays exactly 50. Cumulative after a green round 7 is 293 + (r7
-# registrations ≤ 24) with zero never-checked backlog.
+# registrations ≤ 21) with zero never-checked backlog.
 _PRIORITY = (
     # (a) deferred from the r6 window (positions 51–52 there)
     "event_type_psi_drift", "daily_revenue_stl_decomposition",
@@ -71,6 +69,9 @@ _PRIORITY = (
     # (runs emb_ivf_topk internally; also carries this round's
     # regression rework)
     "emb_ivf_list_balance", "emb_ann_recall_contract",
+    # minhash_recall_stats: round-7 explicit truth-side sampling
+    # (semantic change on BOTH engine and oracle — VERDICT r6 #4)
+    "minhash_recall_stats",
     # (c) round-7-staged registrations (strict-checked green r6)
     "doc_gopher_quality_flags", "doc_minhash_band_planner",
     "customer_survival_km", "brand_price_elasticity",
@@ -129,7 +130,7 @@ _PRIOR_GREEN = (
     "bloom_prefilter_audit",
     "basket_association_rules", "event_disorder_profile",
     "doc_incremental_dedup", "multi_touch_attribution",
-    "minhash_recall_stats", "revenue_motif_search",
+    "revenue_motif_search",
     "doc_simhash", "doc_simhash_near_dup",
     "customer_spend_quartile_bands", "nation_revenue_rank_stability",
     "orders_price_zscore_outliers",
