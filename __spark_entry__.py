@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Cumulative driver-green after round 6: 280 of 293 (CORRECTNESS_r01 ∪
 # … ∪ r06, zero red ever).
 #
-# ROUND-7 WINDOW (head below is 29 entries; the round-7 NEW
-# registrations land in the mid section, positions 30+, in
-# registration order — cap them at 21 so the window stays exactly 50):
+# ROUND-7 WINDOW (head below is 30 entries; the round-7 NEW
+# registrations land in the mid section, positions 31+, in
+# registration order — cap them at 20 so the window stays exactly 50):
 # (a) the 2 queries explicitly deferred from the r6 window
 # (event_type_psi_drift, daily_revenue_stl_decomposition — both
 # strict-checked green at sf0.01 in rounds 5 AND 6);
@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the 11 round-7-staged registrations
 # (doc_gopher_quality_flags .. emb_assignment_margin — all
 # strict-checked green at sf0.01 in round 6). Plus section (b')
-# below for round-7 code-touched re-checks: 2 + 13 + 3 + 11 = 29;
+# below for round-7 code-touched re-checks: 2 + 13 + 4 + 11 = 30;
 # emb_semdedup_prune's SemDeDup cap rewrite is covered by its staged
 # slot in (c).
 #
@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-7 code/oracle-touched greens + the round-8 staged
 # registrations; then cap round-8 new registrations so the window
 # stays exactly 50. Cumulative after a green round 7 is 293 + (r7
-# registrations ≤ 21) with zero never-checked backlog.
+# registrations ≤ 20) with zero never-checked backlog.
 _PRIORITY = (
     # (a) deferred from the r6 window (positions 51–52 there)
     "event_type_psi_drift", "daily_revenue_stl_decomposition",
@@ -72,6 +72,10 @@ _PRIORITY = (
     # minhash_recall_stats: round-7 explicit truth-side sampling
     # (semantic change on BOTH engine and oracle — VERDICT r6 #4)
     "minhash_recall_stats",
+    # doc_length_percentiles: round-7 token-count portability rewrite
+    # touches the Spark side too (regex split -> string arithmetic,
+    # output-preserving but code-touched)
+    "doc_length_percentiles",
     # (c) round-7-staged registrations (strict-checked green r6)
     "doc_gopher_quality_flags", "doc_minhash_band_planner",
     "customer_survival_km", "brand_price_elasticity",
@@ -147,7 +151,7 @@ _PRIOR_GREEN = (
     "tax_discount_joint_histogram",
     # round-4 greens (CORRECTNESS_r04.json, 50/50)
     "doc_pmi_collocations",
-    "doc_dedup_survivors", "doc_length_percentiles",
+    "doc_dedup_survivors",
     "doc_keyword_search", "emb_dim_stats", "event_volume_anomalies",
     "emb_pq_codes", "doc_dedup_rate_by_source",
     "orders_quality_checks", "lineitem_suppkey_skew",

@@ -55,6 +55,9 @@ HEADLINE = [
     "doc_minhash_near_dup",    # MinHash-LSH near-dedup (M7)
     "emb_cosine_topk",         # brute-force cosine top-k (M7)
     "emb_ivf_topk",            # IVF inverted-list ANN (M7)
+    "emb_lsh_topk",            # multi-table hyperplane-LSH ANN (M7)
+    "emb_pq_topk",             # product-quantization ADC ANN (M7) —
+                               # cost-tracks the r6 shared-exchange rewrite
     "emb_cosine_near_dup",     # embedding near-dup via LSH buckets (M7)
     "q9_product_type_profit",  # TPC-H Q9: 5-way join, 3 broadcast dims
     "q13_order_count_distribution",  # TPC-H Q13: outer join + double agg

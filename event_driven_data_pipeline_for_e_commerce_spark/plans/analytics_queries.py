@@ -298,8 +298,13 @@ def q_hll_rollup_contract(spark, sf_dir):
         FROM orders WHERE o_orderpriority = '1-URGENT'
     ),
     cal AS (
-        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-        FROM bounds
+        -- portable series: constant-bound range TVF + scalar-subquery
+        -- filter (both engines reject subqueries INSIDE TVF args);
+        -- 100000 days ~ 274 years, far past any order/event horizon
+        SELECT CAST((SELECT d0 FROM bounds) + i * INTERVAL 1 DAY AS DATE)
+               AS day
+        FROM range(0, 100000) t(i)
+        WHERE i <= (SELECT CAST(d1 - d0 AS BIGINT) FROM bounds)
     ),
     daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
@@ -773,8 +778,13 @@ def q_referential_integrity_audit(spark, sf_dir):
         FROM events
     ),
     cal AS (
-        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-        FROM bounds
+        -- portable series: constant-bound range TVF + scalar-subquery
+        -- filter (both engines reject subqueries INSIDE TVF args);
+        -- 100000 days ~ 274 years, far past any order/event horizon
+        SELECT CAST((SELECT d0 FROM bounds) + i * INTERVAL 1 DAY AS DATE)
+               AS day
+        FROM range(0, 100000) t(i)
+        WHERE i <= (SELECT CAST(d1 - d0 AS BIGINT) FROM bounds)
     ),
     act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
     SELECT c.day, COUNT(DISTINCT a.user_id) AS wau

@@ -193,7 +193,8 @@ def q_doc_dedup_survivors(spark, sf_dir):
     oracle=r"""
     WITH n AS (
         SELECT lang,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+               length(trim(text)) - length(replace(trim(text), ' ', ''))
+                   + 1 AS n_tokens
         FROM documents
     )
     SELECT lang,
@@ -212,7 +213,13 @@ def q_doc_length_percentiles(spark, sf_dir):
     computes all three quantiles in ONE aggregation pass per group
     (shuffle keyed by language, partial-aggregated map-side)."""
     t = load_tables(spark, sf_dir)
-    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    # space-delimited token contract (tokens = spaces + 1) — the same
+    # pure string arithmetic the oracle uses, replacing the former
+    # \s+ regex split (round 7: regex-split has no two-engine SQL
+    # form; the corpus text is single-space delimited so the count is
+    # identical, verified in DuckDB at sf0.01 and sf0.1)
+    st = F.trim(F.col("text"))
+    n_tokens = F.length(st) - F.length(F.replace(st, F.lit(" "))) + 1
     pct = F.expr("percentile(n_tokens, array(0.5, 0.9, 0.99))")
     return (
         ensure_parallelism(t["documents"])

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 188 of
-the 293 ANALYZE VERBATIM on Spark SQL and 186 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 105
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 191 of
+the 293 ANALYZE VERBATIM on Spark SQL and 189 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 102
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -13,9 +13,13 @@ quantile_cont/disc, strftime renders, GROUPING(a,b),
 regexp_full_match, DISTINCT ON projections, double-quoted aliases,
 date_diff('day', ...)/date-minus-date (→ CAST(d2 - d1 AS BIGINT),
 int days in BOTH engines), bit-shift `//` powers of two (→ `>>`),
-non-negative `//` (→ CAST(FLOOR(a * 1.0 / b) AS BIGINT)) and
+non-negative `//` (→ CAST(FLOOR(a * 1.0 / b) AS BIGINT)),
 possibly-negative truncating `//` (→ SIGN(a) * FLOOR(ABS(a) / b);
-DuckDB `//` truncates exactly like Spark DIV) were all rewritten to
+DuckDB `//` truncates exactly like Spark DIV), bounded calendar
+series (→ constant-bound `range(0, 100000) t(i)` + scalar-subquery
+day filter; neither engine allows subqueries inside TVF args) and
+`\s+`-regex token counting on single-space corpora (→ pure string
+arithmetic: length - length(replace) + 1) were all rewritten to
 forms BOTH engines run — each verified output-identical in DuckDB
 before/after at sf0.01 AND sf0.1. The remaining `//` sites guard
 documented exact-BIGINT arithmetic past 2^53
@@ -25,7 +29,7 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 131-query subset and requires exact row-level
+pins a diverse 143-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
 reference can bring their queries over unchanged.
@@ -38,10 +42,10 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 186 verbatim-portable row-equal
+# Diverse pinned subset of the 189 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
-# streaming-batch twins, multimodal, and round-4/5/6 additions.
+# streaming-batch twins, multimodal, and round-4/5/6/7 additions.
 PORTABLE = [
     "funnel", "filter_status_revenue", "dedup_keyed_ordered",
     "revenue_by_region", "brand_performance", "rollup_revenue",
@@ -121,6 +125,20 @@ PORTABLE = [
     "doc_gopher_quality_flags", "doc_minhash_band_planner",
     "customer_survival_km", "brand_price_elasticity",
     "repeat_customer_share_by_quarter", "events_hill_tail_index",
+    # round-7 conversions (calendar series -> constant-bound range TVF
+    # + scalar-subquery filter; \s+ token split -> space-arithmetic
+    # count, each verified output-identical in DuckDB at sf0.01+sf0.1)
+    "daily_revenue_gapfill_ma7", "weekly_active_users",
+    "doc_length_percentiles",
+    # round-7 pin widening toward full row-equal coverage (diverse:
+    # EXISTS semi-join, TPC-H trade/returns, disjunctive predicates,
+    # association rules, fuzzy matching, anomaly/percentile rollups,
+    # ordered funnel)
+    "q4_priority_semi_exists", "q7_nation_trade_volume",
+    "q10_returned_items", "q19_disjunctive_predicates",
+    "basket_association_rules", "customer_name_fuzzy_pairs",
+    "event_volume_anomalies", "hourly_load_percentiles",
+    "ordered_funnel_conversions",
 ]
 
 
@@ -176,7 +194,6 @@ NONPORTABLE = {
     "corpus_quality_report": "string_split_regex+regex-class+list-index+floor-div",
     "customer_entity_clusters": "recursive-union",
     "customer_geo_nearest": "computed-series+floor-div",
-    "daily_revenue_gapfill_ma7": "computed-series",
     "deterministic_segments": "computed-series+list-index",
     "dim_date_build": "computed-series+strftime",
     "doc_bigram_cond_entropy": "string_split_regex+regex-class+computed-series+list-index",
@@ -198,7 +215,6 @@ NONPORTABLE = {
     "doc_heaps_law_fit": "string_split_regex+regex-class+computed-series",
     "doc_keyword_search": "string_split_regex+regex-class+computed-series",
     "doc_language_id": "string_split_regex+regex-class+list-index",
-    "doc_length_percentiles": "string_split_regex+regex-class",
     "doc_minhash_near_dup": "string_split_regex+regex-class+computed-series+list-index",
     "doc_near_dup_consensus": "list_dot_product+string_split_regex+regex-class+computed-series+list-index+floor-div",
     "doc_near_dup_cross_source": "string_split_regex+regex-class+computed-series+list-index",
@@ -275,7 +291,6 @@ NONPORTABLE = {
     "user_value_twap": "epoch",
     "video_frame_grid": "computed-series",
     "view_click_pairs_2h": "ts-diff",
-    "weekly_active_users": "computed-series",
 }
 
 
