@@ -23,9 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Cumulative driver-green after round 6: 280 of 293 (CORRECTNESS_r01 ∪
 # … ∪ r06, zero red ever).
 #
-# ROUND-7 WINDOW (head below is 30 entries; the round-7 NEW
-# registrations land in the mid section, positions 31+, in
-# registration order — cap them at 20 so the window stays exactly 50):
+# ROUND-7 WINDOW (head below is 30 entries; the 20 round-7 NEW
+# registrations — plans/round7b_queries.py, nation_balance_spend_corr
+# .. emb_norm_vs_label_anova, all strict-checked green at sf0.01 —
+# fill the mid section, positions 31-50, in registration order, so
+# the window is exactly 50):
 # (a) the 2 queries explicitly deferred from the r6 window
 # (event_type_psi_drift, daily_revenue_stl_decomposition — both
 # strict-checked green at sf0.01 in rounds 5 AND 6);
@@ -51,8 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIOR_GREEN and build the r8 head from: re-checks for any
 # round-7 code/oracle-touched greens + the round-8 staged
 # registrations; then cap round-8 new registrations so the window
-# stays exactly 50. Cumulative after a green round 7 is 293 + (r7
-# registrations ≤ 20) with zero never-checked backlog.
+# stays exactly 50. Cumulative after a green round 7 is 313/313 with
+# zero never-checked backlog.
 _PRIORITY = (
     # (a) deferred from the r6 window (positions 51–52 there)
     "event_type_psi_drift", "daily_revenue_stl_decomposition",

@@ -88,6 +88,11 @@ HEADLINE = [
     "doc_winnow_fingerprint_matches",  # MOSS winnowing fingerprint join
     "doc_containment_pairs",   # exact containment audit (sample-scale)
     "part_copurchase_pagerank",  # 3 power iterations, pinned loop frames
+    # round-6 verdict: cost-track the LSH + PQ ANN paths next to IVF
+    # round-7 heavy additions (both dedup families in one query; the
+    # two-pass global running max over events)
+    "doc_dedup_family_agreement",
+    "events_watermark_drop_sweep",
 ]
 
 

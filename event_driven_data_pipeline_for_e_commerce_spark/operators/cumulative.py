@@ -109,3 +109,67 @@ def row_number_ranged(
     return based.withColumn(
         out_col, (F.row_number().over(w) + F.col("__base")).cast("long")
     ).drop("__pid", "__base")
+
+
+def running_max_ranged(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    value_col: str,
+    out_col: str,
+    inclusive: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``MAX(value_col) OVER (ORDER BY order_exprs ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING])`` with the global sort spread across
+    all executors — the running-extreme sibling of
+    ``running_sum_ranged`` (same two-pass shape; the driver-side
+    prefix is a max over #partitions scalars instead of a sum, so any
+    orderable type works — timestamps included). ``inclusive=False``
+    gives the strictly-preceding frame (the watermark semantics: a
+    row's high-water mark is the max of everything BEFORE it; the
+    first row sees NULL)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = _pin(
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id()),
+        critical=True,
+    )
+    partials = {
+        r["__pid"]: r["v"]
+        for r in part.groupBy("__pid")
+        .agg(F.max(value_col).alias("v"))
+        .collect()
+    }
+    value_type = dict(zip(part.schema.names, part.schema.fields))[
+        value_col
+    ].dataType
+    bases, cur = [], None
+    for pid in sorted(partials):
+        bases.append((int(pid), cur))  # max of strictly PRIOR partitions
+        v = partials[pid]
+        if v is not None and (cur is None or v > cur):
+            cur = v
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base_df = part.sparkSession.createDataFrame(
+        bases,
+        StructType(
+            [
+                StructField("__pid", IntegerType(), False),
+                StructField("__basemax", value_type, True),
+            ]
+        ),
+    )
+    hi = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    return (
+        part.join(F.broadcast(base_df), "__pid")
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(w), F.col("__basemax"))
+        )
+        .drop("__pid", "__basemax")
+    )

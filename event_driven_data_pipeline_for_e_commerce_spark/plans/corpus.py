@@ -1890,3 +1890,4 @@ from . import round6g_queries  # noqa: E402,F401
 # survival / price elasticity / repeat-revenue split / stopword
 # coverage / BPE merges / SemDeDup prune / Hill tail index
 from . import round7_queries  # noqa: E402,F401
+from . import round7b_queries  # noqa: E402,F401

@@ -394,6 +394,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "top-k rank over the bounded day-grain distance frame)",
     "customer_survival_km": "gap-day grain (bounded by the order-date "
     "span; at-risk depletion + log-survival running sums)",
+    "daily_revenue_volatility_regimes": "calendar-day grain (30-day "
+    "rolling moment sums + row_number over the bounded day series)",
+    "emb_cluster_size_gini": "k-row cluster-size grain (Gini rank "
+    "formula over the bounded k-means size frame)",
 }
 
 

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 191 of
-the 293 ANALYZE VERBATIM on Spark SQL and 189 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 102
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 205 of
+the 313 ANALYZE VERBATIM on Spark SQL and 203 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 108
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,7 +29,7 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 143-query subset and requires exact row-level
+pins a diverse 157-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
 reference can bring their queries over unchanged.
@@ -42,7 +42,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 189 verbatim-portable row-equal
+# Diverse pinned subset of the 203 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -139,6 +139,16 @@ PORTABLE = [
     "basket_association_rules", "customer_name_fuzzy_pairs",
     "event_volume_anomalies", "hourly_load_percentiles",
     "ordered_funnel_conversions",
+    # round-7 registrations, all verbatim-portable (corr/stddev/
+    # last_day/INTERVAL MINUTE levers, range-TVF watermark sweep,
+    # string-arithmetic quality marts)
+    "nation_balance_spend_corr", "customer_winback_stats",
+    "part_brand_price_ladder", "order_linecount_value_regression",
+    "month_end_revenue_share", "multi_supplier_parts_premium",
+    "lineitem_quantity_mode_by_brand", "return_rate_monthly_trend",
+    "customer_spend_half_life", "daily_revenue_volatility_regimes",
+    "doc_punct_density_quantiles", "doc_dup_rate_vs_length_band",
+    "doc_truncation_loss_curve", "events_watermark_drop_sweep",
 ]
 
 
@@ -205,6 +215,7 @@ NONPORTABLE = {
     "doc_contamination_by_split": "computed-series+floor-div",
     "doc_contamination_overlap": "computed-series",
     "doc_curriculum_phases": "string_split_regex+regex-class+list-index+floor-div",
+    "doc_dedup_family_agreement": "string_split_regex+regex-class+computed-series+list-index+floor-div",
     "doc_dedup_keeper_quality_delta": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
     "doc_dedup_survivors": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
     "doc_dedup_threshold_sweep": "string_split_regex+regex-class+computed-series+list-index",
@@ -242,10 +253,12 @@ NONPORTABLE = {
     "doc_vocab_encode": "string_split_regex+regex-class+computed-series+list-index",
     "doc_vocab_growth_by_source": "string_split_regex+regex-class+computed-series+floor-div",
     "doc_winnow_fingerprint_matches": "computed-series+list-index",
+    "doc_word_len_histogram": "string_split_regex+regex-class",
     "doc_zipf_slope": "string_split_regex+regex-class+computed-series",
     "emb_ann_recall_contract": "list_dot_product+computed-series+list-index+floor-div",
     "emb_assignment_margin": "list_dot_product+list-index",
     "emb_centroid_split_drift": "computed-series+list-index",
+    "emb_cluster_size_gini": "list_dot_product+list-index",
     "emb_cosine_near_dup": "list_dot_product+computed-series+list-index+floor-div",
     "emb_cosine_topk": "list_dot_product+list-index",
     "emb_dim_correlation_pairs": "computed-series+list-index",
@@ -259,15 +272,18 @@ NONPORTABLE = {
     "emb_ivf_topk": "list_dot_product+list-index",
     "emb_kmeans_assign": "computed-series+list-index",
     "emb_kmeans_inertia": "computed-series+list-index",
+    "emb_l2_vs_cosine_rank_agreement": "list_dot_product+list-index",
     "emb_label_centroids": "computed-series+list-index",
     "emb_label_knn_accuracy": "list_dot_product+list-index+floor-div",
     "emb_lsh_bucket_label_purity": "list_dot_product+computed-series+list-index",
     "emb_lsh_topk": "list_dot_product+computed-series+list-index+floor-div",
     "emb_norm_extremes": "list-index",
     "emb_norm_histogram": "list_dot_product+list-index",
+    "emb_norm_vs_label_anova": "list_dot_product+list-index",
     "emb_pairwise_sim_histogram": "list_dot_product+list-index",
     "emb_pca_reconstruction_error": "computed-series+list-index+floor-div",
     "emb_pq_codes": "computed-series+list-index",
+    "emb_pq_subspace_distortion": "computed-series+list-index",
     "emb_pq_topk": "computed-series+list-index",
     "emb_quantile_clip_bounds": "computed-series+list-index",
     "emb_semdedup_prune": "list_dot_product+list-index",
