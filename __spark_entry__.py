@@ -49,12 +49,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # slot in (c).
 #
 # ROUND-8 ROTATION NOTE: after CORRECTNESS_r07 lands, demote this
-# head's greens (and the round-7 mid-section registrations) to
-# _PRIOR_GREEN and build the r8 head from: re-checks for any
-# round-7 code/oracle-touched greens + the round-8 staged
-# registrations; then cap round-8 new registrations so the window
-# stays exactly 50. Cumulative after a green round 7 is 313/313 with
-# zero never-checked backlog.
+# head's greens (and the round-7 mid-section registrations, positions
+# 31-50) to _PRIOR_GREEN and build the r8 head from: re-checks for
+# any round-7 code/oracle-touched greens + the 10 ROUND-8-STAGED
+# registrations (plans/round8_queries.py:
+# part_price_dispersion_topk, quarterly_top_customer_share,
+# order_gap_burstiness, brand_seasonal_amplitude,
+# events_duplicate_profile, order_value_band_migration,
+# doc_prefix_cluster_sizes, region_brand_affinity_lift,
+# doc_sentence_dedup_rate, emb_pq_rank_displacement — all
+# strict-checked green at sf0.01 in round 7; they sit at positions
+# 51-60 this round); then cap round-8 new registrations so the
+# window stays exactly 50. Cumulative after a green round 7 is
+# 313 driver-checked of 323 registered, with the 10 staged above as
+# the only (deliberate, pre-verified) backlog.
 _PRIORITY = (
     # (a) deferred from the r6 window (positions 51–52 there)
     "event_type_psi_drift", "daily_revenue_stl_decomposition",

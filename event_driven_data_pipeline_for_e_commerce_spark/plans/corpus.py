@@ -1891,3 +1891,4 @@ from . import round6g_queries  # noqa: E402,F401
 # coverage / BPE merges / SemDeDup prune / Hill tail index
 from . import round7_queries  # noqa: E402,F401
 from . import round7b_queries  # noqa: E402,F401
+from . import round8_queries  # noqa: E402,F401

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 205 of
-the 313 ANALYZE VERBATIM on Spark SQL and 203 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 108
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 213 of
+the 323 ANALYZE VERBATIM on Spark SQL and 211 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 110
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,7 +29,7 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 157-query subset and requires exact row-level
+pins a diverse 165-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
 reference can bring their queries over unchanged.
@@ -42,7 +42,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 203 verbatim-portable row-equal
+# Diverse pinned subset of the 211 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -149,6 +149,13 @@ PORTABLE = [
     "customer_spend_half_life", "daily_revenue_volatility_regimes",
     "doc_punct_density_quantiles", "doc_dup_rate_vs_length_band",
     "doc_truncation_loss_curve", "events_watermark_drop_sweep",
+    # round-8-staged registrations that are verbatim-portable
+    # (explicit-DOUBLE division, percentile/stddev levers, FLOOR-band
+    # arithmetic, marginal-share joins)
+    "part_price_dispersion_topk", "quarterly_top_customer_share",
+    "order_gap_burstiness", "brand_seasonal_amplitude",
+    "events_duplicate_profile", "order_value_band_migration",
+    "doc_prefix_cluster_sizes", "region_brand_affinity_lift",
 ]
 
 
@@ -239,6 +246,7 @@ NONPORTABLE = {
     "doc_quality_scores": "string_split_regex+regex-class+list-index",
     "doc_repetition_ratio": "computed-series",
     "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "doc_sentence_dedup_rate": "string_split_regex+regex-class",
     "doc_sentence_stats": "string_split_regex+regex-class+computed-series+list-index",
     "doc_sequence_pack": "string_split_regex+regex-class+floor-div",
     "doc_shingle_df_skew": "string_split_regex+regex-class+computed-series+list-index+floor-div",
@@ -283,6 +291,7 @@ NONPORTABLE = {
     "emb_pairwise_sim_histogram": "list_dot_product+list-index",
     "emb_pca_reconstruction_error": "computed-series+list-index+floor-div",
     "emb_pq_codes": "computed-series+list-index",
+    "emb_pq_rank_displacement": "list_dot_product+list-index+computed-series",
     "emb_pq_subspace_distortion": "computed-series+list-index",
     "emb_pq_topk": "computed-series+list-index",
     "emb_quantile_clip_bounds": "computed-series+list-index",
