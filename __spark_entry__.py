@@ -57,11 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # order_gap_burstiness, brand_seasonal_amplitude,
 # events_duplicate_profile, order_value_band_migration,
 # doc_prefix_cluster_sizes, region_brand_affinity_lift,
-# doc_sentence_dedup_rate, emb_pq_rank_displacement — all
+# doc_sentence_dedup_rate, emb_pq_rank_displacement,
+# copurchase_kcore_peel3, nation_revenue_forecast_linreg,
+# doc_letter_entropy_by_source, order_priority_dow_chisq,
+# emb_ivf_probe_cost_curve, doc_quality_vs_dup_class — all 16
 # strict-checked green at sf0.01 in round 7; they sit at positions
-# 51-60 this round); then cap round-8 new registrations so the
+# 51-66 this round); then cap round-8 new registrations so the
 # window stays exactly 50. Cumulative after a green round 7 is
-# 313 driver-checked of 323 registered, with the 10 staged above as
+# 313 driver-checked of 329 registered, with the 16 staged above as
 # the only (deliberate, pre-verified) backlog.
 _PRIORITY = (
     # (a) deferred from the r6 window (positions 51–52 there)

@@ -722,3 +722,592 @@ ORACLES["emb_pq_rank_displacement"] = f"""
     GROUP BY pq.query_id
     ORDER BY pq.query_id
 """
+
+
+# --------------------------------------------------------------------------
+# Second round-8-staged batch: graph k-core, per-nation forecast,
+# letter entropy, IVF probe cost, quality-vs-dup, priority-dow chisq
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MIN_CO = 2
+
+
+@query(
+    "copurchase_kcore_peel3",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb
+        HAVING COUNT(*) >= {_KCORE_MIN_CO}
+    ),
+    d1 AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0
+        ) GROUP BY node
+    ),
+    n1 AS (SELECT node FROM d1 WHERE deg >= {_KCORE_K}),
+    e1 AS (
+        SELECT e.pa, e.pb FROM e0 e
+        JOIN n1 x ON x.node = e.pa JOIN n1 y ON y.node = e.pb
+    ),
+    d2 AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1
+        ) GROUP BY node
+    ),
+    n2 AS (SELECT node FROM d2 WHERE deg >= {_KCORE_K}),
+    e2 AS (
+        SELECT e.pa, e.pb FROM e1 e
+        JOIN n2 x ON x.node = e.pa JOIN n2 y ON y.node = e.pb
+    ),
+    d3 AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2
+        ) GROUP BY node
+    ),
+    n3 AS (SELECT node FROM d3 WHERE deg >= {_KCORE_K}),
+    e3 AS (
+        SELECT e.pa, e.pb FROM e2 e
+        JOIN n3 x ON x.node = e.pa JOIN n3 y ON y.node = e.pb
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round,
+               (SELECT COUNT(*) FROM n1) AS n_nodes,
+               (SELECT COUNT(*) FROM e1) AS n_edges
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               (SELECT COUNT(*) FROM n2), (SELECT COUNT(*) FROM e2)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT),
+               (SELECT COUNT(*) FROM n3), (SELECT COUNT(*) FROM e3)
+    ) ORDER BY round
+    """,
+)
+def q_copurchase_kcore_peel3(spark, sf_dir):
+    """Three peeling rounds toward the k-core (k=3) of the co-purchase
+    graph (edges = part pairs co-purchased in >= 2 orders): each round
+    drops nodes with degree < k and re-induces the edge set — the
+    convergence trajectory tells you how much of the graph is
+    load-bearing structure vs fringe (pagerank ranks it; triangles
+    count local density; the core is what recommendation random-walks
+    actually live on).
+
+    Scale shape: pair generation is the basket-unfold equi-join on
+    the order key (bounded per-order fan-out, the
+    basket_part_pairs shape); each peel is a bounded part-grain
+    degree rollup + two semi-join-like inner joins on the pinned
+    edge frame — a FIXED 3 iterations, never an unbounded fixpoint
+    driver loop."""
+    t = load_tables(spark, sf_dir)
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+    )
+    edges = pin(
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _KCORE_MIN_CO)
+        .select("pa", "pb")
+    )
+    rows = []
+    cur = edges
+    for rnd in (1, 2, 3):
+        deg = (
+            cur.select(F.col("pa").alias("node"))
+            .unionAll(cur.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = pin(deg.filter(F.col("deg") >= _KCORE_K).select("node"))
+        cur = pin(
+            cur.join(
+                keep.select(F.col("node").alias("pa")), "pa"
+            ).join(keep.select(F.col("node").alias("pb")), "pb")
+        )
+        n_nodes = keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = cur.agg(F.count(F.lit(1)).alias("n_edges"))
+        rows.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(rnd).cast("long").alias("round"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
+@query(
+    "nation_revenue_forecast_linreg",
+    oracle=f"""
+    WITH q AS (
+        SELECT n.n_name AS nation,
+               (year(o.o_orderdate) - 1995) * 4 + quarter(o.o_orderdate)
+                   - 1 AS qidx,
+               SUM({CENTS}) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT nation,
+               COUNT(*) AS n_quarters,
+               regr_slope(cents / 100.0, CAST(qidx AS DOUBLE))
+                   AS slope,
+               AVG(cents / 100.0) AS ybar,
+               AVG(CAST(qidx AS DOUBLE)) AS xbar,
+               MAX(qidx) AS max_qidx,
+               regr_r2(cents / 100.0, CAST(qidx AS DOUBLE)) AS r2
+        FROM q GROUP BY nation
+    )
+    SELECT nation, n_quarters,
+           ROUND(slope, 4) AS slope_usd_per_quarter,
+           ROUND(r2, 4) AS r2,
+           ROUND(ybar - slope * xbar + slope * (max_qidx + 1), 2)
+               AS next_quarter_forecast_usd
+    FROM m ORDER BY nation
+    """,
+)
+def q_nation_revenue_forecast_linreg(spark, sf_dir):
+    """Per-nation next-quarter revenue forecast from an OLS trend over
+    the quarterly series (intercept recovered as ybar - slope*xbar, so
+    only the verified regr_slope/regr_r2 levers appear) — the
+    nation-grain refinement of the corpus-level trend family
+    (region_quarter_revenue_yoy shows the past; this extrapolates).
+
+    Scale shape: one (nation, quarter)-grain rollup behind broadcast
+    dims, then a 25-row nation rollup of single-pass co-moment
+    aggregates."""
+    t = load_tables(spark, sf_dir)
+
+    def _c(col):
+        return F.round(F.col(col) * 100).cast("bigint")
+
+    q = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1995) * 4
+                + F.quarter("o_orderdate")
+                - 1
+            ).alias("qidx"),
+        )
+        .agg(F.sum(_c("o_totalprice")).alias("cents"))
+    )
+    m = q.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_quarters"),
+        F.regr_slope(
+            F.col("cents") / 100.0, F.col("qidx").cast("double")
+        ).alias("slope"),
+        F.avg(F.col("cents") / 100.0).alias("ybar"),
+        F.avg(F.col("qidx").cast("double")).alias("xbar"),
+        F.max("qidx").alias("max_qidx"),
+        F.regr_r2(
+            F.col("cents") / 100.0, F.col("qidx").cast("double")
+        ).alias("r2"),
+    )
+    return m.select(
+        "nation",
+        "n_quarters",
+        F.round("slope", 4).alias("slope_usd_per_quarter"),
+        F.round("r2", 4).alias("r2"),
+        F.round(
+            F.col("ybar")
+            - F.col("slope") * F.col("xbar")
+            + F.col("slope") * (F.col("max_qidx") + 1),
+            2,
+        ).alias("next_quarter_forecast_usd"),
+    ).orderBy("nation")
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _letter_entropy_oracle() -> str:
+    counts = ",\n               ".join(
+        f"SUM(length(s) - length(replace(s, '{ch}', ''))) AS c_{ch}"
+        for ch in _LETTERS
+    )
+    total = " + ".join(f"c_{ch}" for ch in _LETTERS)
+    terms = "\n                 + ".join(
+        f"CASE WHEN c_{ch} > 0 THEN -(c_{ch} * 1.0 / t) * LN(c_{ch} * 1.0 / t) ELSE 0 END"
+        for ch in _LETTERS
+    )
+    return f"""
+    WITH d AS (
+        SELECT source, lower(text) AS s FROM documents
+        WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               {counts}
+        FROM d GROUP BY source
+    ),
+    g AS (SELECT m.*, {total} AS t FROM m)
+    SELECT source, n_docs,
+           CAST(t AS BIGINT) AS n_letters,
+           ROUND({terms}, 4) AS letter_entropy_nats
+    FROM g WHERE t > 0 ORDER BY source
+    """
+
+
+@query("doc_letter_entropy_by_source", oracle=_letter_entropy_oracle())
+def q_doc_letter_entropy_by_source(spark, sf_dir):
+    """Letter-unigram entropy per source (nats, over a-z only) — the
+    cheapest language/encoding fingerprint there is: natural prose
+    sits near its language's letter entropy, while base64 blobs,
+    minified code, or mojibake jump toward the 3.26-nat uniform
+    ceiling. Pure replace-difference counting over a FIXED 26-letter
+    alphabet (no explode, no regex, no per-character series), summed
+    in one explicit order on both engines.
+
+    Scale shape: 26 map-side counters per document folded into one
+    source-grain partial aggregate — a single shuffle of 26 longs per
+    source; the entropy arithmetic runs on the bounded source frame."""
+    t = load_tables(spark, sf_dir)
+    s = F.lower(F.col("text"))
+    d = (
+        ensure_parallelism(t["documents"])
+        .filter(F.col("text").isNotNull())
+        .select("source", s.alias("s"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(
+            F.length("s") - F.length(F.replace(F.col("s"), F.lit(ch)))
+        ).alias(f"c_{ch}")
+        for ch in _LETTERS
+    ]
+    m = d.groupBy("source").agg(*aggs)
+    total = None
+    for ch in _LETTERS:
+        total = F.col(f"c_{ch}") if total is None else total + F.col(f"c_{ch}")
+    g = m.withColumn("t", total)
+    ent = None
+    for ch in _LETTERS:
+        p_ = F.col(f"c_{ch}") * 1.0 / F.col("t")
+        term = F.when(F.col(f"c_{ch}") > 0, -p_ * F.log(p_)).otherwise(
+            F.lit(0.0)
+        )
+        ent = term if ent is None else ent + term
+    return (
+        g.filter(F.col("t") > 0)
+        .select(
+            "source",
+            "n_docs",
+            F.col("t").cast("long").alias("n_letters"),
+            F.round(ent, 4).alias("letter_entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "order_priority_dow_chisq",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-05'
+                    AS BIGINT) % 7 AS dow
+        FROM orders
+    ),
+    cell AS (
+        SELECT priority, dow, COUNT(*) AS n FROM o GROUP BY priority, dow
+    ),
+    mp AS (SELECT priority, SUM(n) AS np FROM cell GROUP BY priority),
+    md AS (SELECT dow, SUM(n) AS nd FROM cell GROUP BY dow),
+    tot AS (SELECT SUM(n) AS t FROM cell)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(tot.t) AS BIGINT) AS n_orders,
+           ROUND(SUM(POWER(cell.n - mp.np * 1.0 * md.nd / tot.t, 2)
+                     / (mp.np * 1.0 * md.nd / tot.t)), 4) AS chi_sq,
+           CAST((COUNT(DISTINCT cell.priority) - 1)
+                * (COUNT(DISTINCT cell.dow) - 1) AS BIGINT) AS dof
+    FROM cell
+    JOIN mp ON mp.priority = cell.priority
+    JOIN md ON md.dow = cell.dow
+    CROSS JOIN tot
+    """,
+)
+def q_order_priority_dow_chisq(spark, sf_dir):
+    """Chi-square independence test of order priority vs day-of-week
+    (portable Monday-epoch dow encoding) — a significant statistic
+    means priority mix shifts across the week and staffing/SLA models
+    must be day-aware (the orders twin of event_segment_chisq).
+
+    Scale shape: one (priority, dow)-grain map-combined rollup (35
+    cells), marginals and the statistic on the bounded cell frame
+    with broadcast joins."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-05").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+    )
+    cell = pin(o.groupBy("priority", "dow").agg(F.count(F.lit(1)).alias("n")))
+    mp = cell.groupBy("priority").agg(F.sum("n").alias("np"))
+    md = cell.groupBy("dow").agg(F.sum("n").alias("nd"))
+    tot = cell.agg(F.sum("n").alias("t"))
+    exp = F.col("np") * 1.0 * F.col("nd") / F.col("t")
+    return (
+        cell.join(F.broadcast(mp), "priority")
+        .join(F.broadcast(md), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("t").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.pow(F.col("n") - exp, 2) / exp), 4
+            ).alias("chi_sq"),
+            (
+                (F.count_distinct("priority") - 1)
+                * (F.count_distinct("dow") - 1)
+            ).cast("long").alias("dof"),
+        )
+    )
+
+
+_IVF_COST_LISTS = 16
+_IVF_COST_MAXPROBE = 4
+
+
+@query("emb_ivf_probe_cost_curve", oracle=None)  # attached below
+def q_emb_ivf_probe_cost_curve(spark, sf_dir):
+    """Cost half of the IVF tuning picture: candidate vectors SCANNED
+    per query at each nprobe (the recall half is
+    emb_ivf_nprobe_sweep) — together they give the recall-vs-cost
+    frontier that picks the production probe count. Probe ranks and
+    inverted-list sizes are computed once; every sweep point is a
+    rank-threshold sum over the bounded (query × list) frame.
+
+    Scale shape: the corpus assignment is the zero-shuffle map-side
+    argmax over broadcast centroids (the emb_ivf_topk shape); list
+    sizes are a 16-row rollup; everything after is query-set-grain."""
+    from ..llmdata.similarity import (
+        _as_double,
+        dot,
+        ivf_centroids,
+        nearest_seed_cosine,
+        norm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = ivf_centroids(emb, _IVF_COST_LISTS).withColumn(
+        "n_cv", norm(F.col("cv"))
+    )
+    seeds = [
+        (r["list_id"], r["cv"])
+        for r in ivf_centroids(emb, _IVF_COST_LISTS).collect()
+    ]
+    corpus = ensure_parallelism(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double("embedding").alias("v"),
+        )
+    )
+    inv_sizes = (
+        corpus.withColumn(
+            "__best", nearest_seed_cosine(F.col("v"), seeds, "list_id")
+        )
+        .groupBy(F.col("__best.list_id").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("list_size"))
+    )
+    n_corpus = emb.count()
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__csim"), F.asc("list_id")
+    )
+    probe_rank = (
+        q.withColumn("n_qv", norm(F.col("qv")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__csim",
+            dot(F.col("qv"), F.col("cv")) / (F.col("n_qv") * F.col("n_cv")),
+        )
+        .withColumn("pr", F.row_number().over(w))
+        .select("query_id", "list_id", "pr")
+    )
+    sweep = spark.range(1, _IVF_COST_MAXPROBE + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    joined = (
+        probe_rank.join(F.broadcast(inv_sizes), "list_id")
+        .crossJoin(F.broadcast(sweep))
+        .filter(F.col("pr") <= F.col("nprobe"))
+    )
+    n_queries = q.count()
+    return (
+        joined.groupBy(F.col("nprobe").cast("long").alias("nprobe"))
+        .agg(F.sum("list_size").cast("long").alias("total_candidates"))
+        .select(
+            "nprobe",
+            "total_candidates",
+            F.round(
+                F.col("total_candidates") * 1.0 / n_queries, 4
+            ).alias("avg_candidates_per_query"),
+            F.round(
+                F.col("total_candidates")
+                * 100.0
+                / (n_queries * n_corpus),
+                4,
+            ).alias("scan_share_pct"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+ORACLES["emb_ivf_probe_cost_curve"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (
+        SELECT vec_id AS list_id, v AS cv FROM e
+        ORDER BY vec_id LIMIT {_IVF_COST_LISTS}
+    ),
+    corpus_rank AS (
+        SELECT e.vec_id AS neighbor_id, c.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.list_id
+               ) AS rn
+        FROM e, cents c
+    ),
+    inv_sizes AS (
+        SELECT list_id, COUNT(*) AS list_size
+        FROM corpus_rank WHERE rn = 1 GROUP BY list_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probe_rank AS (
+        SELECT q.query_id, c.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.list_id
+               ) AS pr
+        FROM q, cents c
+    ),
+    sweep AS (SELECT i AS nprobe FROM range(1, {_IVF_COST_MAXPROBE + 1}) t(i))
+    SELECT CAST(s.nprobe AS BIGINT) AS nprobe,
+           CAST(SUM(iz.list_size) AS BIGINT) AS total_candidates,
+           ROUND(SUM(iz.list_size) * 1.0
+                 / (SELECT COUNT(*) FROM q), 4)
+               AS avg_candidates_per_query,
+           ROUND(SUM(iz.list_size) * 100.0
+                 / ((SELECT COUNT(*) FROM q)
+                    * (SELECT COUNT(*) FROM e)), 4) AS scan_share_pct
+    FROM probe_rank p
+    JOIN inv_sizes iz ON iz.list_id = p.list_id
+    JOIN sweep s ON p.pr <= s.nprobe
+    GROUP BY s.nprobe
+    ORDER BY nprobe
+"""
+
+
+@query("doc_quality_vs_dup_class", oracle=None)  # composed below
+def q_doc_quality_vs_dup_class(spark, sf_dir):
+    """Quality-by-boilerplate cross audit: bucket documents by their
+    32-char-PREFIX duplication multiplicity (1 copy, 2, 3+ — the
+    template-cluster key of doc_prefix_cluster_sizes) and report the
+    quality-score distribution per bucket — if template-prefixed docs
+    score LOWER, prefix dedup doubles as a quality filter; if they
+    score the same, dedup budgets must stand on their own. A
+    cross-family audit the dedup and quality families don't report
+    alone. (Prefix grain, not full-text md5: the corpus has prefix
+    clusters at every SF while full-text exact dups are rarer — the
+    prefix key keeps the contract non-degenerate.)
+
+    Scale shape: prefix-hash class counts shuffle hashes only; the
+    quality frame joins back on doc_id; the rollup is a 3-row bucket
+    frame."""
+    t = load_tables(spark, sf_dir)
+    cls = (
+        ensure_parallelism(t["documents"])
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 32))
+        .select("doc_id", F.md5(F.substring("text", 1, 32)).alias("h"))
+    )
+    mult = cls.groupBy("h").agg(F.count(F.lit(1)).alias("copies"))
+    docs = cls.join(mult, "h").select(
+        "doc_id",
+        F.least(F.col("copies"), F.lit(3)).cast("long").alias("dup_class"),
+    )
+    scores = QUERIES["doc_quality_scores"](spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    return (
+        docs.join(scores, "doc_id")
+        .groupBy("dup_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.expr("percentile(quality_score, 0.5)"), 4).alias(
+                "p50_quality"
+            ),
+        )
+        .orderBy("dup_class")
+    )
+
+
+ORACLES["doc_quality_vs_dup_class"] = f"""
+    WITH p AS (
+        SELECT doc_id, md5(substr(text, 1, 32)) AS h
+        FROM documents WHERE text IS NOT NULL AND length(text) >= 32
+    ),
+    mult AS (
+        SELECT h, COUNT(*) AS copies FROM p GROUP BY h
+    ),
+    cls AS (
+        SELECT p.doc_id, LEAST(m.copies, 3) AS dup_class
+        FROM p JOIN mult m ON m.h = p.h
+    ),
+    scores AS (
+        SELECT doc_id, quality_score
+        FROM ({ORACLES["doc_quality_scores"]}) s
+    )
+    SELECT CAST(c.dup_class AS BIGINT) AS dup_class,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(s.quality_score), 4) AS avg_quality,
+           ROUND(percentile_cont(0.5)
+                     WITHIN GROUP (ORDER BY s.quality_score), 4)
+               AS p50_quality
+    FROM cls c JOIN scores s ON s.doc_id = c.doc_id
+    GROUP BY c.dup_class
+    ORDER BY dup_class
+"""

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 213 of
-the 323 ANALYZE VERBATIM on Spark SQL and 211 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 110
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 217 of
+the 329 ANALYZE VERBATIM on Spark SQL and 215 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 112
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,7 +29,7 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 165-query subset and requires exact row-level
+pins a diverse 169-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
 reference can bring their queries over unchanged.
@@ -42,7 +42,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 211 verbatim-portable row-equal
+# Diverse pinned subset of the 215 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -156,6 +156,8 @@ PORTABLE = [
     "order_gap_burstiness", "brand_seasonal_amplitude",
     "events_duplicate_profile", "order_value_band_migration",
     "doc_prefix_cluster_sizes", "region_brand_affinity_lift",
+    "copurchase_kcore_peel3", "nation_revenue_forecast_linreg",
+    "doc_letter_entropy_by_source", "order_priority_dow_chisq",
 ]
 
 
@@ -244,6 +246,7 @@ NONPORTABLE = {
     "doc_prefix_dup_rate": "string_split_regex+regex-class+list-index+floor-div",
     "doc_quality_filter": "string_split_regex+regex-class+list-index",
     "doc_quality_scores": "string_split_regex+regex-class+list-index",
+    "doc_quality_vs_dup_class": "string_split_regex+regex-class+list-index",
     "doc_repetition_ratio": "computed-series",
     "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
     "doc_sentence_dedup_rate": "string_split_regex+regex-class",
@@ -277,6 +280,7 @@ NONPORTABLE = {
     "emb_int8_recall_contract": "list_dot_product+list-index",
     "emb_ivf_list_balance": "list_dot_product+list-index+floor-div",
     "emb_ivf_nprobe_sweep": "list_dot_product+list-index",
+    "emb_ivf_probe_cost_curve": "list_dot_product+list-index",
     "emb_ivf_topk": "list_dot_product+list-index",
     "emb_kmeans_assign": "computed-series+list-index",
     "emb_kmeans_inertia": "computed-series+list-index",
