@@ -586,6 +586,7 @@ def semdedup_prune(
     cluster_col: str = "cluster_id",
     threshold: float = 0.97,
     max_cluster: int | None = 1000,
+    bucket_fn=None,
 ) -> DataFrame:
     """SemDeDup pruning (Abbas et al. 2023): within each cluster of
     ``assigned`` (one row per vector: id, vector, cluster id — e.g.
@@ -611,6 +612,15 @@ def semdedup_prune(
     Candidate pairs shuffle BARE ids; vectors re-attach from the slim
     per-vector frame after the unfold (the candidate-pair rule).
     Pass ``max_cluster=None`` to disable the cap (oracle/audit runs).
+
+    ``bucket_fn(id_col_expr, nsub_expr) -> Column`` overrides the
+    sub-bucket assignment (default ``pmod(hash(id), nsub)``). An
+    oracle-portable caller with numeric ids passes
+    ``lambda i, n: F.pmod(i, n)`` so a plain-SQL twin (``id % nsub``)
+    reproduces the capped semantics bit-for-bit at every SF
+    (ADVICE r7: the hash-based default cannot be mirrored in DuckDB,
+    so oracle equality used to hold only while every cluster fit the
+    cap).
     """
     from .similarity import dot
 
@@ -622,10 +632,11 @@ def semdedup_prune(
         nsub = F.greatest(
             F.lit(1).cast("long"), F.ceil(F.col("__n") / F.lit(max_cluster))
         )
+        bucket = bucket_fn or (lambda i, n: F.pmod(F.hash(i), n))
         keyed = slim.join(F.broadcast(sizes), cluster_col).select(
             cluster_col,
             id_col,
-            F.pmod(F.hash(F.col(id_col)), nsub).cast("int").alias("__sub"),
+            bucket(F.col(id_col), nsub).cast("int").alias("__sub"),
         )
     else:
         keyed = slim.withColumn("__sub", F.lit(0))

@@ -127,7 +127,13 @@ def running_max_ranged(
     orderable type works — timestamps included). ``inclusive=False``
     gives the strictly-preceding frame (the watermark semantics: a
     row's high-water mark is the max of everything BEFORE it; the
-    first row sees NULL)."""
+    first row sees NULL).
+
+    ``order_exprs`` should be a TOTAL ordering of the input rows
+    (include ``value_col`` or a unique key as a tie-break): any ROWS
+    frame that excludes the current row is order-dependent under
+    ties, so a non-total ordering makes the result depend on the
+    physical tie order (ADVICE r7)."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     part = _pin(
         df.repartitionByRange(n, *order_exprs)

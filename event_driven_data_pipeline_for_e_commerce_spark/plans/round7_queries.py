@@ -553,10 +553,10 @@ def q_doc_bpe_pair_merges(spark, sf_dir):
 _SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.97
 # Sub-bucket cap for within-cluster pairing (llmdata.dedup.
-# semdedup_prune). Every test-SF cluster sits far below it (sf0.1:
-# ~6k vectors / 8 clusters ≈ 750), so the capped plan reproduces the
-# oracle's exact all-pairs-within-cluster semantics while staying
-# bounded on degenerate corpora.
+# semdedup_prune). The oracle mirrors the cap exactly (portable
+# vec_id % nsub sub-bucketing on both engines — ADVICE r7), so
+# engine-oracle equality is SF-independent; at test SFs every cluster
+# still fits the cap (sf0.1: ~6k vectors / 8 clusters ≈ 750, nsub=1).
 _SEMDEDUP_MAX_CLUSTER = 1000
 
 
@@ -575,13 +575,24 @@ _SEMDEDUP_MAX_CLUSTER = 1000
         FROM e, seeds s
     ),
     a AS (SELECT vec_id, v, cluster_id FROM ranked WHERE rn = 1),
+    csize AS (
+        SELECT cluster_id,
+               GREATEST(CAST(CEIL(COUNT(*) / {_SEMDEDUP_MAX_CLUSTER})
+                             AS BIGINT), 1) AS nsub
+        FROM a GROUP BY cluster_id
+    ),
+    ab AS (
+        SELECT a.vec_id, a.v, a.cluster_id, a.vec_id % c.nsub AS sb
+        FROM a JOIN csize c ON c.cluster_id = a.cluster_id
+    ),
     pairs AS (
         SELECT x.cluster_id, x.vec_id AS id_lo, y.vec_id AS id_hi,
                list_dot_product(x.v, y.v)
                / (sqrt(list_dot_product(x.v, x.v))
                   * sqrt(list_dot_product(y.v, y.v))) AS cos_sim
-        FROM a x JOIN a y
-          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        FROM ab x JOIN ab y
+          ON x.cluster_id = y.cluster_id AND x.sb = y.sb
+             AND x.vec_id < y.vec_id
     ),
     dropped AS (
         SELECT cluster_id, id_hi
@@ -616,10 +627,14 @@ def q_emb_semdedup_prune(spark, sf_dir):
     from the slim per-vector frame, and clusters above
     ``_SEMDEDUP_MAX_CLUSTER`` are deterministically sub-bucketed so no
     task's quadratic exceeds ~max_cluster²/2 (VERDICT r6: the fixed
-    K=8 made uncapped within-cluster pairing O(N²/K)). At test scale
-    every cluster fits the cap, so the capped plan is EXACTLY the
-    oracle's all-pairs-within-cluster semantics (nsub=1); the
-    mass-duplicate degenerate case is pytest-covered
+    K=8 made uncapped within-cluster pairing O(N²/K)). ADVICE r7: the
+    sub-bucket key here is the PORTABLE ``pmod(vec_id, nsub)`` (not
+    the hash default) and the oracle computes the IDENTICAL capped
+    pairing (``csize``/``ab`` CTEs: ``nsub = ceil(n/cap)``, ``sb =
+    vec_id % nsub``), so engine-oracle equality holds at EVERY SF —
+    including above the ~sf0.15 point where the largest cluster first
+    exceeds the cap and the earlier uncapped oracle would have
+    diverged. The mass-duplicate degenerate case is pytest-covered
     (tests/test_llmdata.py::test_semdedup_cap_bounds_degenerate_corpus).
     """
     from ..llmdata.dedup import semdedup_prune
@@ -643,6 +658,7 @@ def q_emb_semdedup_prune(spark, sf_dir):
             assigned,
             threshold=_SEMDEDUP_THRESHOLD,
             max_cluster=_SEMDEDUP_MAX_CLUSTER,
+            bucket_fn=lambda i, n: F.pmod(i, n),
         )
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_dropped"))

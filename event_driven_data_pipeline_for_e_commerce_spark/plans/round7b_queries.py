@@ -624,7 +624,9 @@ def q_customer_spend_half_life(spark, sf_dir):
         SELECT day, cents,
                ROW_NUMBER() OVER (ORDER BY day) AS rn,
                CAST(SUM(cents) OVER w AS DOUBLE) AS sx,
-               CAST(SUM(cents * cents) OVER w AS DOUBLE) AS sxx
+               CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                        * CAST(cents AS DECIMAL(19,0))) OVER w AS DOUBLE)
+                   AS sxx
         FROM daily
         WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     ),
@@ -659,11 +661,15 @@ def q_daily_revenue_volatility_regimes(spark, sf_dir):
     level and drift; this tracks dispersion).
 
     Determinism: daily revenue is exact integer cents; the rolling
-    variance uses explicit SUM(x)/SUM(x*x) windows kept in BIGINT
-    (30 days of squared cents stays under 2^63 through ~sf100) and
-    only then converts to DOUBLE — *, /, sqrt are correctly-rounded
-    IEEE ops, so both engines compute bit-identical volatilities and
-    identical tercile cuts.
+    variance uses explicit SUM(x)/SUM(x*x) windows with the squared
+    term accumulated in DECIMAL(38,0) on BOTH engines (ADVICE r7: the
+    earlier BIGINT accumulator was at 1.29e18 — 14% of int64 max — at
+    sf0.01 already, overflowing near sf0.027 where non-ANSI Spark
+    wraps silently while DuckDB promotes to HUGEINT; DECIMAL(38,0)
+    holds 30 days of squared cents until daily cents exceed ~1.8e18,
+    i.e. sf ~ 3e9) and only then converts the exact integer to DOUBLE
+    — *, /, sqrt are correctly-rounded IEEE ops, so both engines
+    compute bit-identical volatilities and identical tercile cuts.
 
     Scale shape: the rolling windows run on the BOUNDED calendar-day
     grain (one row per day — allowlisted unpartitioned frame, same
@@ -677,13 +683,12 @@ def q_daily_revenue_volatility_regimes(spark, sf_dir):
         .agg(F.sum(_cents("o_totalprice")).alias("cents"))
     )
     w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    sq = F.col("cents").cast("decimal(19,0)")
     roll = daily.select(
         "day",
         F.row_number().over(Window.orderBy("day")).alias("rn"),
         F.sum("cents").over(w).cast("double").alias("sx"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).cast("double").alias(
-            "sxx"
-        ),
+        F.sum(sq * sq).over(w).cast("double").alias("sxx"),
     )
     vol = roll.filter(F.col("rn") >= 30).select(
         "day",
@@ -914,7 +919,7 @@ _WM_DELAYS_MIN = [0, 1, 5, 15, 60]
     ),
     wm AS (
         SELECT event_id, ts,
-               MAX(ts) OVER (ORDER BY event_id
+               MAX(ts) OVER (ORDER BY event_id, ts
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 1 PRECEDING) AS prev_max
         FROM events
@@ -953,9 +958,15 @@ def q_events_watermark_drop_sweep(spark, sf_dir):
     from ..operators.cumulative import running_max_ranged
 
     t = load_tables(spark, sf_dir)
+    # (event_id, ts) is a TOTAL order over the projected columns
+    # (ADVICE r7): event_id alone is not unique in events, and a
+    # strictly-preceding ROWS frame is order-dependent under ties —
+    # adding ts as the secondary key (mirrored in the oracle's
+    # ORDER BY) makes tied rows fully identical, so the frame result
+    # no longer depends on an undocumented duplicate-rows invariant.
     wm = running_max_ranged(
         t["events"].select("event_id", "ts"),
-        [F.col("event_id")],
+        [F.col("event_id"), F.col("ts")],
         "ts",
         "prev_max",
         inclusive=False,
