@@ -20,96 +20,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks exactly the first 50 registered queries per round.
-# Cumulative driver-green after round 6: 280 of 293 (CORRECTNESS_r01 ∪
-# … ∪ r06, zero red ever).
+# Cumulative driver-green after round 7: 313 of 329 (CORRECTNESS_r01 ∪
+# … ∪ r07, zero red ever); the only backlog was the 16 round-8-staged
+# registrations below, all strict-checked green at sf0.01 in round 7
+# by both the builder AND the judge (VERDICT r7: 16/16 ok, exact
+# cell-value compare).
 #
-# ROUND-7 WINDOW (head below is 30 entries; the 20 round-7 NEW
-# registrations — plans/round7b_queries.py, nation_balance_spend_corr
-# .. emb_norm_vs_label_anova, all strict-checked green at sf0.01 —
-# fill the mid section, positions 31-50, in registration order, so
-# the window is exactly 50):
-# (a) the 2 queries explicitly deferred from the r6 window
-# (event_type_psi_drift, daily_revenue_stl_decomposition — both
-# strict-checked green at sf0.01 in rounds 5 AND 6);
-# (b) 13 driver re-checks for round-6 code/oracle-touched greens —
-# emb_ivf_topk + emb_ivf_nprobe_sweep (map-side _assign_lists rewrite
-# + degenerate-seed guards), emb_pq_topk (shared hash(query_id)
-# exchange), event_id_dedup, priority_status_pivot,
-# weekly_revenue_wow_delta (plus this round's exact-BIGINT oracle
-# fix per ADVICE r6), customer_order_span_stats, activity_heatmap,
-# rfm_segments, repeat_purchase_intervals, lead_time_trend_by_nation,
-# customer_churn_risk, zorder_locality_audit (output-preserving
-# oracle portability rewrites, verified DuckDB-identical at
-# sf0.01+sf0.1 and strict-checked in round 6);
-# (c) the 11 round-7-staged registrations
-# (doc_gopher_quality_flags .. emb_assignment_margin — all
-# strict-checked green at sf0.01 in round 6). Plus section (b')
-# below for round-7 code-touched re-checks: 2 + 13 + 4 + 11 = 30;
-# emb_semdedup_prune's SemDeDup cap rewrite is covered by its staged
-# slot in (c).
+# ROUND-8 WINDOW (head below is 20 entries; the 30 round-8 NEW
+# registrations — plans/round8b_queries.py, all strict-checked green
+# at sf0.01 — fill the mid section, positions 21-50, in registration
+# order, so the window is exactly 50):
+# (a) 4 driver re-checks for round-8 code/oracle-touched greens:
+# daily_revenue_volatility_regimes (ADVICE r7: DECIMAL(38,0)
+# squared-sum accumulator on both engines), emb_semdedup_prune
+# (ADVICE r7: portable pmod(id, nsub) sub-bucketing + capped oracle),
+# events_watermark_drop_sweep (ADVICE r7: (event_id, ts) total
+# ordering on both sides), and doc_dedup_family_agreement (VERDICT r7
+# #3: single-pass full-outer composition — each detector now executes
+# once, no pins). All four output-preserving at test SFs
+# (strict-checked at sf0.01 AND sf0.1 post-change) but code-touched
+# -> slots.
+# (b) the 16 ROUND-8-STAGED registrations (plans/round8_queries.py),
+# positions 51-66 last round, every one strict-checked green twice in
+# round 7 (builder + judge).
 #
-# ROUND-8 ROTATION NOTE: after CORRECTNESS_r07 lands, demote this
-# head's greens (and the round-7 mid-section registrations, positions
-# 31-50) to _PRIOR_GREEN and build the r8 head from: re-checks for
-# any round-7 code/oracle-touched greens + the 10 ROUND-8-STAGED
-# registrations (plans/round8_queries.py:
-# part_price_dispersion_topk, quarterly_top_customer_share,
-# order_gap_burstiness, brand_seasonal_amplitude,
-# events_duplicate_profile, order_value_band_migration,
-# doc_prefix_cluster_sizes, region_brand_affinity_lift,
-# doc_sentence_dedup_rate, emb_pq_rank_displacement,
-# copurchase_kcore_peel3, nation_revenue_forecast_linreg,
-# doc_letter_entropy_by_source, order_priority_dow_chisq,
-# emb_ivf_probe_cost_curve, doc_quality_vs_dup_class — all 16
-# strict-checked green at sf0.01 in round 7; they sit at positions
-# 51-66 this round); then cap round-8 new registrations so the
-# window stays exactly 50. Cumulative after a green round 7 is
-# 313 driver-checked of 329 registered, with the 16 staged above as
-# the only (deliberate, pre-verified) backlog.
+# ROUND-9 ROTATION NOTE: after CORRECTNESS_r08 lands, demote this
+# head's greens (and the round-8 mid-section registrations, positions
+# 20-50) to _PRIOR_GREEN and build the r9 head from: re-checks for
+# any round-8 code/oracle-touched greens + the ROUND-9-STAGED
+# registrations (positions 51+ this round, all strict-checked at
+# sf0.01 before registration); then cap round-9 new registrations so
+# the window stays exactly 50. Cumulative after a green round 8 is
+# 344 driver-checked of the round-8 corpus, with the round-9-staged
+# tail as the only (deliberate, pre-verified) backlog.
 _PRIORITY = (
-    # (a) deferred from the r6 window (positions 51–52 there)
+    # (a) round-8 code/oracle-touched re-checks (3 ADVICE-r7 fixes +
+    # the VERDICT-r7 single-pass composition rewrite)
+    "daily_revenue_volatility_regimes", "emb_semdedup_prune",
+    "events_watermark_drop_sweep", "doc_dedup_family_agreement",
+    # (b) round-8-staged registrations (strict-checked green r7 by
+    # builder and judge)
+    "part_price_dispersion_topk", "quarterly_top_customer_share",
+    "order_gap_burstiness", "brand_seasonal_amplitude",
+    "events_duplicate_profile", "order_value_band_migration",
+    "doc_prefix_cluster_sizes", "region_brand_affinity_lift",
+    "doc_sentence_dedup_rate", "emb_pq_rank_displacement",
+    "copurchase_kcore_peel3", "nation_revenue_forecast_linreg",
+    "doc_letter_entropy_by_source", "order_priority_dow_chisq",
+    "emb_ivf_probe_cost_curve", "doc_quality_vs_dup_class",
+)
+
+
+# Queries with a green driver row in rounds 1-7 — demoted to the end
+# of the registration order so the driver's 50-row window spends its
+# budget on never-checked queries (and round-8 additions) first.
+# Four round-7 greens (daily_revenue_volatility_regimes,
+# emb_semdedup_prune, events_watermark_drop_sweep,
+# doc_dedup_family_agreement) are promoted to _PRIORITY for round-8
+# code/oracle-touched re-checks and therefore omitted from this tuple
+# for round 8.
+_PRIOR_GREEN = (
+    # round-7 greens (CORRECTNESS_r07.json, 50/50)
     "event_type_psi_drift", "daily_revenue_stl_decomposition",
-    # (b) round-6 code/oracle-touched re-checks
     "emb_ivf_topk", "emb_ivf_nprobe_sweep", "emb_pq_topk",
     "event_id_dedup", "priority_status_pivot",
     "weekly_revenue_wow_delta", "customer_order_span_stats",
     "activity_heatmap", "rfm_segments", "repeat_purchase_intervals",
     "lead_time_trend_by_nation", "customer_churn_risk",
-    "zorder_locality_audit",
-    # (b') round-7 code-touched re-checks: the ADVICE-r6 seed-sanity
-    # guard in similarity.top_seeds_cosine/nearest_seed_cosine touches
-    # emb_ivf_list_balance (direct caller) and emb_ann_recall_contract
-    # (runs emb_ivf_topk internally; also carries this round's
-    # regression rework)
-    "emb_ivf_list_balance", "emb_ann_recall_contract",
-    # minhash_recall_stats: round-7 explicit truth-side sampling
-    # (semantic change on BOTH engine and oracle — VERDICT r6 #4)
-    "minhash_recall_stats",
-    # doc_length_percentiles: round-7 token-count portability rewrite
-    # touches the Spark side too (regex split -> string arithmetic,
-    # output-preserving but code-touched)
-    "doc_length_percentiles",
-    # (c) round-7-staged registrations (strict-checked green r6)
-    "doc_gopher_quality_flags", "doc_minhash_band_planner",
-    "customer_survival_km", "brand_price_elasticity",
-    "repeat_customer_share_by_quarter",
+    "zorder_locality_audit", "emb_ivf_list_balance",
+    "emb_ann_recall_contract", "minhash_recall_stats",
+    "doc_length_percentiles", "doc_gopher_quality_flags",
+    "doc_minhash_band_planner", "customer_survival_km",
+    "brand_price_elasticity", "repeat_customer_share_by_quarter",
     "doc_stopword_coverage_by_source", "doc_bpe_pair_merges",
-    "emb_semdedup_prune", "events_hill_tail_index",
-    "doc_vocab_coverage_curve", "emb_assignment_margin",
-)
-
-
-# Queries with a green driver row in rounds 1-6 — demoted to the end
-# of the registration order so the driver's 50-row window spends its
-# budget on never-checked queries (and round-7 additions) first.
-# Thirteen historical greens (emb_ivf_topk, emb_ivf_nprobe_sweep,
-# emb_pq_topk, event_id_dedup, priority_status_pivot,
-# weekly_revenue_wow_delta, customer_order_span_stats,
-# activity_heatmap, rfm_segments, repeat_purchase_intervals,
-# lead_time_trend_by_nation, customer_churn_risk,
-# zorder_locality_audit) are promoted to _PRIORITY for code/oracle-
-# touched re-checks and therefore omitted from this tuple for round 7.
-_PRIOR_GREEN = (
+    "events_hill_tail_index", "doc_vocab_coverage_curve",
+    "emb_assignment_margin", "nation_balance_spend_corr",
+    "customer_winback_stats", "part_brand_price_ladder",
+    "order_linecount_value_regression", "month_end_revenue_share",
+    "multi_supplier_parts_premium", "lineitem_quantity_mode_by_brand",
+    "return_rate_monthly_trend", "customer_spend_half_life",
+    "doc_punct_density_quantiles", "doc_dup_rate_vs_length_band",
+    "doc_truncation_loss_curve", "doc_word_len_histogram",
+    "emb_pq_subspace_distortion",
+    "emb_cluster_size_gini", "emb_l2_vs_cosine_rank_agreement",
+    "emb_norm_vs_label_anova",
     # round-6 greens (CORRECTNESS_r06.json, 50/50)
     "scd2_merge_orders", "customer_pareto_abc", "part_revenue_gini",
     "media_feature_extract",

@@ -1059,7 +1059,17 @@ def q_doc_dedup_family_agreement(spark, sf_dir):
     dedup passes?'.
 
     Scale shape: both generators are banded equi-joins (never
-    all-pairs); the agreement join INTERSECTs two bare-id pair frames.
+    all-pairs); the agreement is ONE full-outer join of the two
+    bare-id pair frames with membership markers folded in a single
+    scalar aggregate — each detector executes exactly once (VERDICT
+    r7 #3: the earlier form pinned both frames and consumed each
+    twice — count + semi-join — adding 16.7% over the detectors run
+    separately; scripts/ab_family_agreement.py measures this form at
+    2.5% overhead, i.e. the query's cost IS the two detectors, and
+    SimHash dominates because its candidate OUTPUT is quadratic in
+    the true near-dup classes of the mass-duplicated testdata corpus
+    — 777k pairs from 5k docs, see simhash_near_duplicates docstring;
+    irreducible for the contract as specified).
     """
     from ..llmdata.dedup import (
         _minhash_agg_hashed,
@@ -1075,35 +1085,49 @@ def q_doc_dedup_family_agreement(spark, sf_dir):
     shb = shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N)
     sigs = _minhash_agg_hashed(shb, "doc_id", NUM_HASHES)
     bands = minhash_band_keys(sigs, "doc_id", NUM_HASHES, ROWS_PER_BAND)
-    mh = pin(lsh_candidate_pairs(bands, "doc_id"))
-    sh = pin(
+    mh = lsh_candidate_pairs(bands, "doc_id").withColumn(
+        "in_mh", F.lit(1)
+    )
+    sh = (
         simhash_near_duplicates(
             docs, "text", "doc_id", bits=32, max_hamming=2
-        ).select("doc_a", "doc_b")
-    )
-    both = mh.join(sh, ["doc_a", "doc_b"], "left_semi")
-    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash_pairs"))
-    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash_pairs"))
-    n_b = both.agg(F.count(F.lit(1)).alias("n_both"))
-    return (
-        n_mh.crossJoin(n_sh)
-        .crossJoin(n_b)
-        .select(
-            "n_minhash_pairs",
-            "n_simhash_pairs",
-            "n_both",
-            F.round(
-                F.col("n_both")
-                * 1.0
-                / F.greatest(
-                    F.col("n_minhash_pairs")
-                    + F.col("n_simhash_pairs")
-                    - F.col("n_both"),
-                    F.lit(1),
-                ),
-                4,
-            ).alias("pair_jaccard"),
         )
+        .select("doc_a", "doc_b")
+        .withColumn("in_sh", F.lit(1))
+    )
+    # both pair frames are distinct on (doc_a, doc_b), so the full
+    # outer join is 1:1 and one scalar agg yields all three counts
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_mh"), F.lit(0)))
+        .cast("long")
+        .alias("n_minhash_pairs"),
+        F.sum(F.coalesce(F.col("in_sh"), F.lit(0)))
+        .cast("long")
+        .alias("n_simhash_pairs"),
+        F.sum(
+            F.when(
+                F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    ).select(
+        "n_minhash_pairs",
+        "n_simhash_pairs",
+        "n_both",
+        F.round(
+            F.col("n_both")
+            * 1.0
+            / F.greatest(
+                F.col("n_minhash_pairs")
+                + F.col("n_simhash_pairs")
+                - F.col("n_both"),
+                F.lit(1),
+            ),
+            4,
+        ).alias("pair_jaccard"),
     )
 
 
