@@ -1892,3 +1892,8 @@ from . import round6g_queries  # noqa: E402,F401
 from . import round7_queries  # noqa: E402,F401
 from . import round7b_queries  # noqa: E402,F401
 from . import round8_queries  # noqa: E402,F401
+
+# round-8 window additions: reconciliation / share-mix marts / degree
+# distribution / engagement + sessionization depth / LLM-data text &
+# embedding diagnostics
+from . import round8b_queries  # noqa: E402,F401
