@@ -1897,3 +1897,9 @@ from . import round8_queries  # noqa: E402,F401
 # distribution / engagement + sessionization depth / LLM-data text &
 # embedding diagnostics
 from . import round8b_queries  # noqa: E402,F401
+
+# round-9-staged additions (positions 51+ of the round-8 registration
+# order): returned-value shares, entropy/PSI drift, trend slopes,
+# sessionization depth-vs-conversion, casefold dedup gain, PQ norm
+# mass, percentile marts
+from . import round9_queries  # noqa: E402,F401

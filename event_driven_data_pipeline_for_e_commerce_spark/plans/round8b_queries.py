@@ -1362,3 +1362,723 @@ ORACLES["doc_boilerplate_sentences"] = """
     ORDER BY n_occurrences DESC, sent_md5_prefix
     LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# Embeddings: PQ code entropy, IVF residuals, kNN confusion, centroid
+# separation, int8 saturation
+# --------------------------------------------------------------------------
+
+@query("emb_pq_code_entropy", oracle=None)  # attached below
+def q_emb_pq_code_entropy(spark, sf_dir):
+    """Per-subspace PQ code-usage entropy (bits) and top-code share:
+    a subspace whose codes collapse onto a few entries wastes its
+    byte of the PQ budget — emb_pq_subspace_distortion localizes
+    reconstruction error; this localizes CAPACITY loss, the knob that
+    says 'retrain this subquantizer' (entropy near log2(K)=4 bits is
+    healthy).
+
+    Scale shape: reuses the broadcast-codebook map-side assignment of
+    emb_pq_codes (one shuffle of PQ_M short rows per vector), then
+    bounded (m, code) and m-grain rollups — the entropy sum is over
+    at most PQ_K=16 terms per subspace."""
+    from .round3_queries import _pq_codes
+
+    t = load_tables(spark, sf_dir)
+    emb = ensure_parallelism(t["embeddings"])
+    cc = _pq_codes(emb).groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cc.groupBy(F.col("m").alias("m2")).agg(
+        F.sum("n").alias("nt")
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    return (
+        cc.join(F.broadcast(tot), F.col("m2") == F.col("m"))
+        .groupBy(F.col("m").cast("long").alias("m"))
+        .agg(
+            F.max("nt").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_codes_used"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 4
+            ).alias("entropy_bits"),
+            F.round(
+                F.max("n").cast("double") * 100.0 / F.max("nt"), 4
+            ).alias("top_code_share_pct"),
+        )
+        .orderBy("m")
+    )
+
+
+from .round3_queries import _PQ_CTES as _PQ_CTES8  # noqa: E402
+
+ORACLES["emb_pq_code_entropy"] = f"""
+    WITH {_PQ_CTES8},
+    cc AS (SELECT m, code, COUNT(*) AS n FROM best GROUP BY m, code),
+    tot AS (SELECT m AS m2, SUM(n) AS nt FROM cc GROUP BY m)
+    SELECT CAST(cc.m AS BIGINT) AS m,
+           CAST(MAX(tot.nt) AS BIGINT) AS n_vectors,
+           COUNT(*) AS n_codes_used,
+           ROUND(-SUM((CAST(cc.n AS DOUBLE) / tot.nt)
+                      * LN(CAST(cc.n AS DOUBLE) / tot.nt)) / LN(2), 4)
+               AS entropy_bits,
+           ROUND(CAST(MAX(cc.n) AS DOUBLE) * 100.0 / MAX(tot.nt), 4)
+               AS top_code_share_pct
+    FROM cc JOIN tot ON tot.m2 = cc.m
+    GROUP BY cc.m ORDER BY m
+"""
+
+
+_RES_LISTS = 16
+
+
+@query(
+    "emb_ivf_residual_norms",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS list_id, v AS cv FROM e
+              WHERE vec_id < {_RES_LISTS}),
+    ranked AS (
+        SELECT e.vec_id, s.list_id,
+               list_distance(e.v, s.cv) AS resid,
+               sqrt(list_dot_product(e.v, e.v)) AS vnorm,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, s.cv), s.list_id
+               ) AS rn
+        FROM e, seeds s
+    )
+    SELECT CAST(list_id AS BIGINT) AS list_id,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(resid), 4) AS avg_residual_norm,
+           ROUND(AVG(vnorm), 4) AS avg_vector_norm,
+           ROUND(AVG(resid) / AVG(vnorm), 4) AS residual_ratio
+    FROM ranked WHERE rn = 1
+    GROUP BY list_id ORDER BY list_id
+    """,
+)
+def q_emb_ivf_residual_norms(spark, sf_dir):
+    """Per-list IVF residual energy: average distance from each
+    vector to its assigned (L2) centroid, normalized by vector norm —
+    the signal that picks between flat-IVF and IVF-PQ-with-residual
+    encoding (emb_ivf_list_balance sizes the lists; this scores how
+    well the centroids explain them).
+
+    Scale shape: seeds collected driver-side ({_RES_LISTS} tiny
+    vectors, the broadcast-params collect), assignment is the
+    zero-shuffle map-side argmin fold, residual = sqrt of the argmin
+    d2 (no second pass), then one bounded list-grain rollup."""
+    from ..llmdata.similarity import _as_double, dot, nearest_seed_l2
+
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    seeds = [
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < _RES_LISTS).collect()
+    ]
+    a = e.withColumn(
+        "__best", nearest_seed_l2(F.col("v"), seeds, "list_id")
+    ).select(
+        F.col("__best.list_id").alias("list_id"),
+        F.sqrt(F.col("__best.d2")).alias("resid"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("vnorm"),
+    )
+    return (
+        a.groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("resid"), 4).alias("avg_residual_norm"),
+            F.round(F.avg("vnorm"), 4).alias("avg_vector_norm"),
+            F.round(F.avg("resid") / F.avg("vnorm"), 4).alias(
+                "residual_ratio"
+            ),
+        )
+        .orderBy("list_id")
+    )
+
+
+@query("emb_knn_label_confusion", oracle=None)  # composed below
+def q_emb_knn_label_confusion(spark, sf_dir):
+    """1-NN label confusion pairs over the audited query set: which
+    label pairs the embedding space actually confuses —
+    emb_label_knn_accuracy reports one number; this names the
+    offending pairs, the difference between 'retrain the encoder' and
+    'merge two labels'.
+
+    Scale shape: composes the registered brute-force cosine top-k;
+    rank-1 extraction and both label joins run at query-set grain;
+    final rollup is bounded by label-pair cardinality."""
+    topk = QUERIES["emb_cosine_topk"](spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    nn1 = (
+        topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    t = load_tables(spark, sf_dir)
+    labels = t["embeddings"].select("vec_id", "label")
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    nl = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "nn_label"
+    )
+    return (
+        nn1.join(ql, "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("nn_label").cast("long").alias("nn_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("true_label", "nn_label")
+    )
+
+
+ORACLES["emb_knn_label_confusion"] = f"""
+    WITH topk AS ({ORACLES["emb_cosine_topk"]}),
+    nn1 AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+              FROM topk)
+        WHERE rn = 1
+    )
+    SELECT CAST(q.label AS BIGINT) AS true_label,
+           CAST(n.label AS BIGINT) AS nn_label,
+           COUNT(*) AS n_queries
+    FROM nn1
+    JOIN embeddings q ON q.vec_id = nn1.query_id
+    JOIN embeddings n ON n.vec_id = nn1.neighbor_id
+    GROUP BY q.label, n.label
+    ORDER BY true_label, nn_label
+"""
+
+
+_EMB_DIMS = 64
+
+
+@query(
+    "emb_label_centroid_separation",
+    oracle=f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    comp AS (
+        SELECT label, u.i AS i, AVG(v[u.i]) AS mu
+        FROM e, UNNEST(generate_series(1, {_EMB_DIMS})) AS u(i)
+        GROUP BY label, u.i
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.mu * b.mu) AS dp
+        FROM comp a JOIN comp b ON b.i = a.i AND a.label < b.label
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT label, sqrt(SUM(mu * mu)) AS nrm FROM comp GROUP BY label
+    )
+    SELECT CAST(d.label_a AS BIGINT) AS label_a,
+           CAST(d.label_b AS BIGINT) AS label_b,
+           ROUND(d.dp / (na.nrm * nb.nrm), 4) AS centroid_cos
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def q_emb_label_centroid_separation(spark, sf_dir):
+    """Pairwise cosine between label centroids (45 pairs for 10
+    labels): the class-separability matrix — two centroids with
+    cosine near 1 mean the labels are not linearly separable in this
+    space, the geometric explanation behind every
+    emb_knn_label_confusion hotspot.
+
+    Scale shape: the corpus collapses to the BOUNDED
+    (label x dimension) component frame in one shuffle (posexplode is
+    map-side); the pair join, dots, and norms all run on that
+    640-row frame."""
+    t = load_tables(spark, sf_dir)
+    comp = (
+        ensure_parallelism(t["embeddings"])
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("i"))
+        .agg(F.avg("x").alias("mu"))
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"),
+        F.col("i").alias("ia"),
+        F.col("mu").alias("mua"),
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"),
+        F.col("i").alias("ib"),
+        F.col("mu").alias("mub"),
+    )
+    dots = (
+        a.join(b, (F.col("ib") == F.col("ia")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("mua") * F.col("mub")).alias("dp"))
+    )
+    norms = comp.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("mu") * F.col("mu"))).alias("nrm")
+    )
+    na = norms.select(
+        F.col("label").alias("la"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("lb"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("la") == F.col("label_a"))
+        .join(F.broadcast(nb), F.col("lb") == F.col("label_b"))
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            F.round(
+                F.col("dp") / (F.col("na") * F.col("nb")), 4
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@query(
+    "emb_int8_saturation_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (
+        SELECT vec_id, label, v,
+               GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-12)
+                   AS amax
+        FROM e
+    ),
+    comps AS (
+        SELECT label,
+               ABS(CAST(ROUND(v[u.i] * 127.0 / amax) AS BIGINT)) AS q
+        FROM s, UNNEST(generate_series(1, len(v))) AS u(i)
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_components,
+           CAST(SUM(CASE WHEN q = 127 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_saturated,
+           CAST(SUM(CASE WHEN q >= 120 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_saturated,
+           ROUND(CAST(SUM(CASE WHEN q = 127 THEN 1 ELSE 0 END) AS DOUBLE)
+                 * 100.0 / COUNT(*), 4) AS saturated_pct
+    FROM comps GROUP BY label ORDER BY label
+    """,
+)
+def q_emb_int8_saturation_audit(spark, sf_dir):
+    """Int8 saturation audit per label under the registered absmax
+    quantization scheme: components landing on the +/-127 rail (and
+    the >=120 near-rail band) — a label whose mass piles on the rail
+    is the one emb_int8_quant_error_by_label flags, and per-label
+    rail shares decide between per-vector and per-block scaling.
+
+    Scale shape: entirely map-side per vector (one fold computes the
+    rail counts per row — no component explosion leaves the task),
+    then a bounded label-grain rollup of small integers."""
+    t = load_tables(spark, sf_dir)
+    e = ensure_parallelism(t["embeddings"]).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+        F.lit(1e-12),
+    )
+    q = lambda x: F.abs(  # noqa: E731
+        F.round(x * 127.0 / F.col("amax")).cast("long")
+    )
+    cnt_at = lambda pred: F.aggregate(  # noqa: E731
+        F.transform(F.col("v"), lambda x: F.when(pred(q(x)), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, z: acc + z,
+    )
+    per_vec = e.withColumn("amax", amax).select(
+        "label",
+        F.size("v").alias("n_comp"),
+        cnt_at(lambda z: z == 127).alias("n_sat"),
+        cnt_at(lambda z: z >= 120).alias("n_near"),
+    )
+    return (
+        per_vec.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.sum("n_comp").cast("long").alias("n_components"),
+            F.sum("n_sat").cast("long").alias("n_saturated"),
+            F.sum("n_near").cast("long").alias("n_near_saturated"),
+            F.round(
+                F.sum("n_sat").cast("double") * 100.0 / F.sum("n_comp"), 4
+            ).alias("saturated_pct"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Growth decomposition, threshold shares, dim parsing audits, overlap
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_growth_decomposition",
+    oracle=f"""
+    WITH y AS (
+        SELECT year(o_orderdate) AS yr,
+               COUNT(*) AS n_orders,
+               CAST(SUM({CENTS}) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT yr, n_orders, cents,
+               LAG(n_orders) OVER (ORDER BY yr) AS pn,
+               LAG(cents) OVER (ORDER BY yr) AS pc
+        FROM y
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           cents AS revenue_cents,
+           ROUND(CAST(cents AS DOUBLE) / pc, 4) AS revenue_ratio,
+           ROUND(CAST(n_orders AS DOUBLE) / pn, 4) AS volume_ratio,
+           ROUND((CAST(cents AS DOUBLE) / pc)
+                 / (CAST(n_orders AS DOUBLE) / pn), 4) AS value_ratio
+    FROM g WHERE pn IS NOT NULL ORDER BY yr
+    """,
+)
+def q_revenue_growth_decomposition(spark, sf_dir):
+    """YoY revenue growth decomposed into volume x average-value
+    factors (revenue_ratio = volume_ratio * value_ratio): did revenue
+    grow because more orders came in or because orders got bigger —
+    the first split a growth review makes
+    (region_quarter_revenue_yoy tracks the where; this the why).
+
+    Scale shape: one year-grain map-combined rollup (exact integer
+    cents), then lag arithmetic on the BOUNDED ~7-row year frame."""
+    t = load_tables(spark, sf_dir)
+    y = t["orders"].groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("cents"),
+    )
+    w = Window.orderBy("yr")
+    g = y.select(
+        "yr",
+        "n_orders",
+        "cents",
+        F.lag("n_orders").over(w).alias("pn"),
+        F.lag("cents").over(w).alias("pc"),
+    ).filter(F.col("pn").isNotNull())
+    rr = F.col("cents").cast("double") / F.col("pc")
+    vr = F.col("n_orders").cast("double") / F.col("pn")
+    return g.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("cents").alias("revenue_cents"),
+        F.round(rr, 4).alias("revenue_ratio"),
+        F.round(vr, 4).alias("volume_ratio"),
+        F.round(rr / vr, 4).alias("value_ratio"),
+    ).orderBy("yr")
+
+
+@query(
+    "high_value_order_share_by_nation",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, {CENTS} AS cents FROM orders
+    ),
+    cut AS (
+        SELECT percentile_cont(0.9) WITHIN GROUP (ORDER BY cents) AS p90
+        FROM o
+    ),
+    j AS (
+        SELECT n.n_name AS nation,
+               CASE WHEN o.cents > k.p90 THEN 1 ELSE 0 END AS hi
+        FROM o, cut k
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(hi) AS BIGINT) AS n_high_value,
+           ROUND(CAST(SUM(hi) AS DOUBLE) * 100.0 / COUNT(*), 4)
+               AS high_value_share_pct
+    FROM j GROUP BY nation ORDER BY nation
+    """,
+)
+def q_high_value_order_share_by_nation(spark, sf_dir):
+    """Share of orders above the GLOBAL p90 order value, per nation:
+    does premium demand concentrate geographically — the
+    market-prioritization cut behind regional account coverage
+    (revenue_by_region sums everything; this isolates the top decile
+    of tickets).
+
+    Scale shape: the p90 cutoff is ONE scalar percentile broadcast
+    into the fact scan; customer and nation dims broadcast-join; one
+    bounded 25-row nation rollup."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    cut = o.agg(F.expr("percentile(cents, 0.9)").alias("p90"))
+    j = (
+        o.crossJoin(F.broadcast(cut))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(F.col("cents") > F.col("p90"), 1).otherwise(0).alias(
+                "hi"
+            ),
+        )
+    )
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("hi").cast("long").alias("n_high_value"),
+            F.round(
+                F.sum("hi").cast("double") * 100.0 / F.count(F.lit(1)), 4
+            ).alias("high_value_share_pct"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "part_type_finish_premium",
+    oracle="""
+    WITH p AS (
+        SELECT CASE WHEN instr(p_type, ' ') > 0
+                    THEN substr(p_type, 1, instr(p_type, ' ') - 1)
+                    ELSE p_type END AS finish,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    ),
+    g AS (
+        SELECT finish,
+               COUNT(*) AS n_parts,
+               CAST(SUM(price_cents) AS BIGINT) AS cents
+        FROM p GROUP BY finish
+    ),
+    tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+               CAST(SUM(n_parts) AS BIGINT) AS tn
+        FROM g
+    )
+    SELECT g.finish,
+           g.n_parts,
+           CAST(FLOOR(g.cents * 1.0 / g.n_parts) AS BIGINT)
+               AS avg_price_cents_trunc,
+           ROUND((g.cents * 1.0 / g.n_parts)
+                 / (t.tc * 1.0 / t.tn), 4) AS premium_ratio
+    FROM g, tot t ORDER BY finish
+    """,
+)
+def q_part_type_finish_premium(spark, sf_dir):
+    """Price premium by finish class (the first token of p_type, e.g.
+    STANDARD/SMALL/ECONOMY...): does the finish command a premium over
+    the catalog average — the attribute-level pricing read under
+    part_size_price_frontier (which uses size; type's leading token is
+    the other orthogonal attribute). Token extracted with the
+    portable instr/substr lever — no regex split; single-token types
+    (this testdata's shape) fall back to the whole p_type.
+
+    Scale shape: map-side token extraction, one bounded finish-grain
+    rollup, global baseline as a broadcast 1-row scalar."""
+    t = load_tables(spark, sf_dir)
+    pos = F.instr(F.col("p_type"), " ")
+    p = t["part"].select(
+        F.when(pos > 0, F.col("p_type").substr(F.lit(1), pos - 1))
+        .otherwise(F.col("p_type"))
+        .alias("finish"),
+        _cents("p_retailprice").alias("price_cents"),
+    )
+    g = p.groupBy("finish").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("price_cents").alias("cents"),
+    )
+    tot = g.agg(
+        F.sum("cents").alias("tc"), F.sum("n_parts").alias("tn")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "finish",
+            "n_parts",
+            F.floor(F.col("cents") * 1.0 / F.col("n_parts"))
+            .cast("long")
+            .alias("avg_price_cents_trunc"),
+            F.round(
+                (F.col("cents") * 1.0 / F.col("n_parts"))
+                / (F.col("tc") * 1.0 / F.col("tn")),
+                4,
+            ).alias("premium_ratio"),
+        )
+        .orderBy("finish")
+    )
+
+
+@query(
+    "customer_name_key_consistency",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               instr(c_name, '#') AS h,
+               substr(c_name, instr(c_name, '#') + 1, 18) AS suffix
+        FROM customer
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_marker,
+           CAST(SUM(CASE WHEN h > 0
+                          AND TRY_CAST(suffix AS BIGINT) = c_custkey
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_key_match,
+           CAST(SUM(CASE WHEN h > 0
+                          AND TRY_CAST(suffix AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable
+    FROM c
+    """,
+)
+def q_customer_name_key_consistency(spark, sf_dir):
+    """Name-embedded-key consistency audit: 'Customer#000000042'-style
+    names carry the key redundantly — parse the suffix and verify it
+    round-trips to c_custkey (functional_dependency_audit tests
+    column-level FDs; this tests a VALUE-level derivation rule, the
+    kind denormalized feeds silently break). Tolerant numeric parse
+    via TRY_CAST on both engines.
+
+    Scale shape: ONE map-combined scalar aggregate — instr/substr
+    string arithmetic per row, no joins, no windows."""
+    t = load_tables(spark, sf_dir)
+    h = F.instr(F.col("c_name"), "#")
+    c = t["customer"].select(
+        "c_custkey",
+        h.alias("h"),
+        F.expr(
+            "TRY_CAST(substr(c_name, instr(c_name, '#') + 1, 18) AS BIGINT)"
+        ).alias("parsed"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("h") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_marker"),
+        F.sum(
+            F.when(
+                (F.col("h") > 0) & (F.col("parsed") == F.col("c_custkey")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_key_match"),
+        F.sum(
+            F.when(
+                (F.col("h") > 0) & F.col("parsed").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_unparseable"),
+    )
+
+
+@query(
+    "event_type_user_overlap",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM tu a JOIN tu b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(sa.n AS BIGINT) AS n_users_a,
+           CAST(sb.n AS BIGINT) AS n_users_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           ROUND(CAST(p.n_both AS DOUBLE)
+                 / (sa.n + sb.n - p.n_both), 4) AS user_jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_event_type_user_overlap(spark, sf_dir):
+    """User-base overlap between event types (pairwise Jaccard over
+    distinct user sets): which behaviors share an audience — a low
+    view/purchase overlap is a funnel leak, a high error/purchase
+    overlap is a revenue-threatening bug
+    (funnel counts transitions; this measures audience identity).
+
+    Scale shape: the fact collapses to the BOUNDED (type, user)
+    distinct frame first; the pair join is keyed by user over 5-row
+    type fan-out (output bounded by 10 type pairs); sizes broadcast
+    back."""
+    t = load_tables(spark, sf_dir)
+    tu = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ub") == F.col("ua"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("ta"), F.col("n").alias("n_users_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("tb"), F.col("n").alias("n_users_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("ta") == F.col("type_a"))
+        .join(F.broadcast(sb), F.col("tb") == F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_users_a").cast("long").alias("n_users_a"),
+            F.col("n_users_b").cast("long").alias("n_users_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_users_a")
+                    + F.col("n_users_b")
+                    - F.col("n_both")
+                ),
+                4,
+            ).alias("user_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

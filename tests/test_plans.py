@@ -398,6 +398,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "rolling moment sums + row_number over the bounded day series)",
     "emb_cluster_size_gini": "k-row cluster-size grain (Gini rank "
     "formula over the bounded k-means size frame)",
+    "revenue_growth_decomposition": "calendar-year grain (LAG chain "
+    "over the bounded ~7-row year series)",
 }
 
 
