@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 217 of
-the 329 ANALYZE VERBATIM on Spark SQL and 215 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 112
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 253 of
+the 373 ANALYZE VERBATIM on Spark SQL and 251 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 120
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,10 +29,13 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 169-query subset and requires exact row-level
+pins a diverse 205-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged.
+reference can bring their queries over unchanged. All 36
+round-8/round-9 registrations with portable oracles were pinned in
+the same round that registered them (VERDICT r7 #4 — pinned at
+birth).
 """
 
 from __future__ import annotations
@@ -158,6 +161,30 @@ PORTABLE = [
     "doc_prefix_cluster_sizes", "region_brand_affinity_lift",
     "copurchase_kcore_peel3", "nation_revenue_forecast_linreg",
     "doc_letter_entropy_by_source", "order_priority_dow_chisq",
+    # round-8 window registrations, pinned at birth (VERDICT r7 #4):
+    # reconciliation / share marts / percentile cutpoints / LN-band
+    # histograms / sessionization / chr(10)+digit replace counting /
+    # Monday-epoch weekday / TRY_CAST parsing / VALUES-CTE curves
+    "order_total_reconciliation", "brand_revenue_share_trend",
+    "acctbal_decile_profile", "late_revenue_at_risk",
+    "segment_nation_mix_share", "trade_degree_distribution",
+    "order_ship_span_histogram", "nation_actor_census",
+    "event_value_percentiles_by_type", "sessions_per_user_histogram",
+    "user_stickiness_dau_wau", "event_minute_spike_audit",
+    "error_share_by_hour", "doc_line_stats_by_source",
+    "doc_digit_density_by_lang", "doc_padding_waste_curve",
+    "doc_id_continuity_audit", "doc_token_mass_gini_by_source",
+    "revenue_growth_decomposition", "high_value_order_share_by_nation",
+    "part_type_finish_premium", "customer_name_key_consistency",
+    "event_type_user_overlap",
+    # round-9-staged registrations, pinned at birth
+    "brand_return_value_share", "nation_order_priority_entropy",
+    "weekend_order_share_by_segment", "segment_value_trend_slope",
+    "lineitem_quantity_entropy_by_returnflag",
+    "customer_balance_sign_mix", "part_name_word_count_stats",
+    "session_depth_conversion_curve", "doc_source_length_psi",
+    "doc_casefold_dup_gain", "supplier_acctbal_quartiles_by_nation",
+    "order_priority_value_quantiles", "user_event_type_diversity",
 ]
 
 
@@ -220,6 +247,7 @@ NONPORTABLE = {
     "doc_bpe_pair_merges": "string_split_regex+regex-class+computed-series",
     "doc_chunks": "computed-series+floor-div",
     "doc_compressibility_proxy": "computed-series",
+    "doc_boilerplate_sentences": "string_split_regex",
     "doc_containment_pairs": "string_split_regex+regex-class+computed-series+list-index",
     "doc_contamination_by_split": "computed-series+floor-div",
     "doc_contamination_overlap": "computed-series",
@@ -278,6 +306,12 @@ NONPORTABLE = {
     "emb_int8_quant_error_by_label": "computed-series+list-index+floor-div",
     "emb_int8_quantize": "computed-series+list-index",
     "emb_int8_recall_contract": "list_dot_product+list-index",
+    "emb_int8_saturation_audit": "computed-series+list-index",
+    "emb_ivf_residual_norms": "list_dot_product+list-index",
+    "emb_knn_label_confusion": "list_dot_product+list-index",
+    "emb_label_centroid_separation": "computed-series+list-index",
+    "emb_pq_code_entropy": "computed-series+list-index",
+    "emb_subvector_norm_share": "computed-series+list-index",
     "emb_ivf_list_balance": "list_dot_product+list-index+floor-div",
     "emb_ivf_nprobe_sweep": "list_dot_product+list-index",
     "emb_ivf_probe_cost_curve": "list_dot_product+list-index",
@@ -303,6 +337,7 @@ NONPORTABLE = {
     "emb_silhouette_proxy": "computed-series+list-index",
     "emb_top_principal_component": "computed-series+list-index",
     "event_disorder_profile": "epoch",
+    "event_interarrival_by_type": "epoch",
     "lsh_candidate_volume_forecast": "string_split_regex+regex-class+computed-series+list-index+floor-div",
     "masked_ship_kpis": "epoch",
     "minhash_precision_stats": "string_split_regex+regex-class+computed-series+list-index",
