@@ -804,13 +804,13 @@ def q_event_interarrival_by_type(spark, sf_dir):
         GROUP BY days.day
     ),
     dau AS (SELECT d AS day, COUNT(*) AS dau FROM du GROUP BY d)
-    SELECT dau.day,
+    SELECT dau.day AS day,
            CAST(dau.dau AS BIGINT) AS dau,
            CAST(wau.wau AS BIGINT) AS wau,
            ROUND(CAST(dau.dau AS DOUBLE) * 100.0 / wau.wau, 4)
                AS stickiness_pct
     FROM dau JOIN wau ON wau.day = dau.day
-    ORDER BY day
+    ORDER BY dau.day
     """,
 )
 def q_user_stickiness_dau_wau(spark, sf_dir):
