@@ -798,24 +798,29 @@ def q_copurchase_kcore_peel3(spark, sf_dir):
     count local density; the core is what recommendation random-walks
     actually live on).
 
-    Scale shape: pair generation is the basket-unfold equi-join on
-    the order key (bounded per-order fan-out, the
-    basket_part_pairs shape); each peel is a bounded part-grain
-    degree rollup + two semi-join-like inner joins on the pinned
-    edge frame — a FIXED 3 iterations, never an unbounded fixpoint
-    driver loop."""
+    Scale shape: pair generation is the basket-collect shape
+    (basket_part_pairs): ONE groupBy on the order key gathers each
+    basket's distinct sorted parts (bounded by lines-per-order) and
+    the pairs unfold MAP-SIDE — the former self-join formulation
+    shuffled the order-part relation three times (distinct + join +
+    pair rollup); this touches it once plus the pair rollup. Each
+    peel is a bounded part-grain degree rollup + two
+    semi-join-like inner joins on the pinned edge frame — a FIXED 3
+    iterations, never an unbounded fixpoint driver loop."""
     t = load_tables(spark, sf_dir)
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        op.alias("a")
-        .join(
-            op.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+    baskets = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(parts, (a, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "b -> struct(a AS pa, b AS pb))))"
+    )
+    pairs = baskets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.pa", "p.pb"
     )
     edges = pin(
         pairs.groupBy("pa", "pb")

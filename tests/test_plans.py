@@ -505,3 +505,32 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(
     # and the result is the pruned slice only
     rows = j.collect()
     assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_round8b_family_plan_shapes(spark, sf_dir):
+    """Round-8 window additions keep the house plan shapes: dim
+    enrichments broadcast (never sort-merge a 25-row dim), the
+    boilerplate top-20 is a heap TakeOrdered (never a global sort),
+    and the degree-distribution rollup partial-aggregates."""
+    for name in (
+        "brand_revenue_share_trend",
+        "high_value_order_share_by_nation",
+        "segment_nation_mix_share",
+    ):
+        plan = simple_plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan}"
+    plan = simple_plan(QUERIES["doc_boilerplate_sentences"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    plan = simple_plan(QUERIES["trade_degree_distribution"](spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+
+
+def test_kcore_pair_generation_is_basket_collect(spark, sf_dir):
+    """copurchase_kcore_peel3's pair generation must stay the
+    basket-collect shape (one groupBy on the order key + map-side
+    unfold): a regression to the self-join formulation re-shuffles
+    the order-part relation three times (round-8 diet: 4.3s -> 3.5s
+    at sf0.1)."""
+    plan = simple_plan(QUERIES["copurchase_kcore_peel3"](spark, sf_dir))
+    assert "collect_set" in plan, plan
+    assert "SortMergeJoin" not in plan.split("collect_set")[0], plan
