@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-9 ROTATION NOTE: after CORRECTNESS_r08 lands, demote this
 # head's greens (and the round-8 mid-section registrations, positions
 # 21-50) to _PRIOR_GREEN and build the r9 head from: re-checks for
-# any round-8 code/oracle-touched greens + the 14 ROUND-9-STAGED
+# any round-8 code/oracle-touched greens + the 20 ROUND-9-STAGED
 # registrations (plans/round9_queries.py: brand_return_value_share,
 # nation_order_priority_entropy, weekend_order_share_by_segment,
 # segment_value_trend_slope, lineitem_quantity_entropy_by_returnflag,
@@ -55,13 +55,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # session_depth_conversion_curve, doc_source_length_psi,
 # doc_casefold_dup_gain, emb_subvector_norm_share,
 # supplier_acctbal_quartiles_by_nation, order_priority_value_quantiles,
-# user_event_type_diversity — all strict-checked green at sf0.01 in
-# round 8; they sit at positions 51-64 this round); then cap round-9
-# new registrations so the window stays exactly 50. Cumulative after
-# a green round 8 is 359 driver-checked of the 373-query round-8
-# corpus (313 prior + the 16 formerly-staged + the 30 round-8 window
-# registrations), with the 14 staged above as the only (deliberate,
-# pre-verified) backlog.
+# user_event_type_diversity, plus plans/round9b_queries.py:
+# supplier_brand_reach, customer_order_value_cv,
+# events_value_by_weekday, order_linecount_by_priority,
+# nation_revenue_cagr, events_hourly_autocorr24 — all strict-checked
+# green at sf0.01 in round 8; they sit at positions 51-70 this
+# round); then cap round-9 new registrations so the window stays
+# exactly 50. Cumulative after a green round 8 is 359 driver-checked
+# of the 379-query round-8 corpus (313 prior + the 16
+# formerly-staged + the 30 round-8 window registrations), with the
+# 20 staged above as the only (deliberate, pre-verified) backlog.
 _PRIORITY = (
     # (a) round-8 code/oracle-touched re-checks (3 ADVICE-r7 fixes +
     # the VERDICT-r7 single-pass composition rewrite)

@@ -1903,3 +1903,4 @@ from . import round8b_queries  # noqa: E402,F401
 # sessionization depth-vs-conversion, casefold dedup gain, PQ norm
 # mass, percentile marts
 from . import round9_queries  # noqa: E402,F401
+from . import round9b_queries  # noqa: E402,F401

@@ -400,6 +400,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "formula over the bounded k-means size frame)",
     "revenue_growth_decomposition": "calendar-year grain (LAG chain "
     "over the bounded ~7-row year series)",
+    "events_hourly_autocorr24": "calendar-hour grain (lag-24 chain "
+    "over the bounded hour series)",
 }
 
 

@@ -2,8 +2,8 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 253 of
-the 373 ANALYZE VERBATIM on Spark SQL and 251 of those are row-equal
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 259 of
+the 379 ANALYZE VERBATIM on Spark SQL and 257 of those are row-equal
 to the DataFrame implementation at sf0.001. Every one of the 120
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 205-query subset and requires exact row-level
+pins a diverse 211-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 36
+reference can bring their queries over unchanged. All 42
 round-8/round-9 registrations with portable oracles were pinned in
 the same round that registered them (VERDICT r7 #4 — pinned at
 birth).
@@ -185,6 +185,11 @@ PORTABLE = [
     "session_depth_conversion_curve", "doc_source_length_psi",
     "doc_casefold_dup_gain", "supplier_acctbal_quartiles_by_nation",
     "order_priority_value_quantiles", "user_event_type_diversity",
+    # round-9-staged part 2 (reach histogram, CV moments, weekday
+    # lever, CAGR via POWER, hour-grain lag-24 corr)
+    "supplier_brand_reach", "customer_order_value_cv",
+    "events_value_by_weekday", "order_linecount_by_priority",
+    "nation_revenue_cagr", "events_hourly_autocorr24",
 ]
 
 
