@@ -62,9 +62,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # green at sf0.01 in round 8; they sit at positions 51-70 this
 # round); then cap round-9 new registrations so the window stays
 # exactly 50. Cumulative after a green round 8 is 359 driver-checked
-# of the 379-query round-8 corpus (313 prior + the 16
-# formerly-staged + the 30 round-8 window registrations), with the
-# 20 staged above as the only (deliberate, pre-verified) backlog.
+# of the 390-query corpus (313 prior + the 16 formerly-staged + the
+# 30 round-8 window registrations), with the 20 round-9-staged above
+# plus the 11 ROUND-10-STAGED registrations
+# (plans/round9c_queries.py: order_priority_escalation_matrix,
+# order_value_increasing_runs, session_bounce_rate_by_hour,
+# user_value_quartile_concentration, supplier_quarter_share_volatility,
+# lineitem_linenumber_profile, daily_revenue_median_streaks,
+# customer_first_last_value_shift, doc_term_burstiness_topk,
+# emb_knn_reciprocity, emb_random_projection_distortion — every one
+# strict-checked green at sf0.01 AND sf0.1 at registration time, the
+# 8 portable ones parity-pinned at birth; positions 71-81) as the
+# only (deliberate, pre-verified) backlog.
 _PRIORITY = (
     # (a) round-8 code/oracle-touched re-checks (3 ADVICE-r7 fixes +
     # the VERDICT-r7 single-pass composition rewrite)

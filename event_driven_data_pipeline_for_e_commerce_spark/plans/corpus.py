@@ -1904,3 +1904,11 @@ from . import round8b_queries  # noqa: E402,F401
 # mass, percentile marts
 from . import round9_queries  # noqa: E402,F401
 from . import round9b_queries  # noqa: E402,F401
+
+# round-10-staged additions (positions 71+ of the round-8 registration
+# order): order sequencing (priority transitions, increasing-value
+# runs, first-vs-last drift), session bounce rates, value-arrival
+# curves, supplier share volatility, line-number position effects,
+# revenue streaks, and the term-burstiness / kNN-reciprocity /
+# JL-distortion audit contracts
+from . import round9c_queries  # noqa: E402,F401

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 259 of
-the 379 ANALYZE VERBATIM on Spark SQL and 257 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 120
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 267 of
+the 390 ANALYZE VERBATIM on Spark SQL and 265 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 123
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,13 +29,13 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 211-query subset and requires exact row-level
+pins a diverse 219-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 42
-round-8/round-9 registrations with portable oracles were pinned in
-the same round that registered them (VERDICT r7 #4 — pinned at
-birth).
+reference can bring their queries over unchanged. All 50
+round-8/round-9/round-10 registrations with portable oracles were
+pinned in the same round that registered them (VERDICT r7 #4 —
+pinned at birth).
 """
 
 from __future__ import annotations
@@ -190,6 +190,14 @@ PORTABLE = [
     "supplier_brand_reach", "customer_order_value_cv",
     "events_value_by_weekday", "order_linecount_by_priority",
     "nation_revenue_cagr", "events_hourly_autocorr24",
+    # round-10-staged registrations, pinned at birth (lag transition
+    # matrix, gaps-and-islands runs x2, session bounce, NTILE value
+    # curve, share volatility, line-number profile, first-vs-last
+    # drift)
+    "order_priority_escalation_matrix", "order_value_increasing_runs",
+    "session_bounce_rate_by_hour", "user_value_quartile_concentration",
+    "supplier_quarter_share_volatility", "lineitem_linenumber_profile",
+    "daily_revenue_median_streaks", "customer_first_last_value_shift",
 ]
 
 
@@ -290,6 +298,7 @@ NONPORTABLE = {
     "doc_simhash_near_dup": "string_split_regex+regex-class+computed-series+floor-div",
     "doc_source_kl_divergence": "string_split_regex+regex-class+computed-series",
     "doc_stopword_coverage_by_source": "string_split_regex+regex-class+computed-series",
+    "doc_term_burstiness_topk": "string_split_regex+regex-class",
     "doc_tfidf_top_terms": "string_split_regex+regex-class+computed-series",
     "doc_token_budget_curve": "string_split_regex+regex-class+list-index",
     "doc_token_stats": "string_split_regex+regex-class+list-index",
@@ -314,6 +323,8 @@ NONPORTABLE = {
     "emb_int8_saturation_audit": "computed-series+list-index",
     "emb_ivf_residual_norms": "list_dot_product+list-index",
     "emb_knn_label_confusion": "list_dot_product+list-index",
+    "emb_knn_reciprocity": "list_dot_product+list-index",
+    "emb_random_projection_distortion": "list_dot_product+list-index",
     "emb_label_centroid_separation": "computed-series+list-index",
     "emb_pq_code_entropy": "computed-series+list-index",
     "emb_subvector_norm_share": "computed-series+list-index",
