@@ -62,18 +62,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # green at sf0.01 in round 8; they sit at positions 51-70 this
 # round); then cap round-9 new registrations so the window stays
 # exactly 50. Cumulative after a green round 8 is 359 driver-checked
-# of the 390-query corpus (313 prior + the 16 formerly-staged + the
+# of the 402-query corpus (313 prior + the 16 formerly-staged + the
 # 30 round-8 window registrations), with the 20 round-9-staged above
-# plus the 11 ROUND-10-STAGED registrations
+# plus the 23 ROUND-10-STAGED registrations
 # (plans/round9c_queries.py: order_priority_escalation_matrix,
 # order_value_increasing_runs, session_bounce_rate_by_hour,
 # user_value_quartile_concentration, supplier_quarter_share_volatility,
 # lineitem_linenumber_profile, daily_revenue_median_streaks,
 # customer_first_last_value_shift, doc_term_burstiness_topk,
-# emb_knn_reciprocity, emb_random_projection_distortion — every one
-# strict-checked green at sf0.01 AND sf0.1 at registration time, the
-# 8 portable ones parity-pinned at birth; positions 71-81) as the
-# only (deliberate, pre-verified) backlog.
+# emb_knn_reciprocity, emb_random_projection_distortion, plus
+# plans/round9d_queries.py: order_value_weekend_mannwhitney,
+# customer_peak90d_spend_digits, session_event_type_affinity,
+# supplier_shared_part_jaccard_topk, emb_dim_energy_concentration,
+# doc_zipf_abbreviation_curve, plus plans/round9e_queries.py:
+# emb_mmr_diversified_topk, session_duration_bands_by_entry_type,
+# doc_simhash_bit_balance, order_value_priority_weekend_anova2,
+# customer_first_order_size_cohorts, part_active_span_revenue_rate —
+# every one strict-checked green at sf0.01 (twice) AND sf0.1 at
+# registration time, the 16 portable ones parity-pinned at birth;
+# positions 71-93) as the only (deliberate, pre-verified) backlog.
 _PRIORITY = (
     # (a) round-8 code/oracle-touched re-checks (3 ADVICE-r7 fixes +
     # the VERDICT-r7 single-pass composition rewrite)

@@ -98,6 +98,12 @@ HEADLINE = [
     # displacement contract alongside the other benched ANN contracts
     "copurchase_kcore_peel3",
     "emb_pq_rank_displacement",
+    # round-10-staged representatives: the pinned 3-step greedy MMR
+    # (new retrieval family) and the ranged-cumulative Mann-Whitney
+    # (running_sum_ranged at value grain — the fact-scale consumer of
+    # operators/cumulative.py)
+    "emb_mmr_diversified_topk",
+    "order_value_weekend_mannwhitney",
 ]
 
 

@@ -1912,3 +1912,13 @@ from . import round9b_queries  # noqa: E402,F401
 # revenue streaks, and the term-burstiness / kNN-reciprocity /
 # JL-distortion audit contracts
 from . import round9c_queries  # noqa: E402,F401
+
+# round-10-staged additions, part 2: Mann-Whitney U on the ranged
+# cumulative operator, RANGE-frame rolling spend peak, session
+# type-pair affinity, supplier shared-part Jaccard, dim energy
+# concentration, Zipf abbreviation curve
+from . import round9d_queries  # noqa: E402,F401
+
+# round-10-staged additions, part 3: MMR diversified retrieval,
+# session duration bands, SimHash bit-balance audit, two-way ANOVA
+from . import round9e_queries  # noqa: E402,F401

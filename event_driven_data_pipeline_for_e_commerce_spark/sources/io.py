@@ -137,6 +137,35 @@ def read_csv_quarantine(
     return good, bad
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of ``read_csv_quarantine`` — the interchange
+    format LLM-corpus pipelines actually ship (one JSON object per
+    line). PERMISSIVE scan with a corrupt-record column, split into
+    (good, quarantined); malformed lines and type-mismatched fields
+    land in the quarantine frame instead of failing the job or being
+    silently nulled. Same reference surface as the CSV form (the
+    try/except-per-table isolation, ecom_Silver_Layer.ipynb:303-320),
+    extended to the corpus-native format.
+
+    The scan is pinned before splitting for the same reason as the
+    CSV form: the corrupt column is populated only during parsing, so
+    an uncached re-scan could race with pushdown pruning of it. At
+    100 TB the split is a map-side filter over one shared scan — no
+    second read of the raw bytes."""
+    df = pin(
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema + ", _corrupt_record string")
+        .json(path),
+        critical=True,
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -65,6 +65,34 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     assert any("oops" in (s or "") for s in raw_bad)
 
 
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """JSONL twin: malformed JSON and type-mismatched fields quarantine
+    with their raw line; well-formed objects parse; absent optional
+    fields are NULL, not errors."""
+    from event_driven_data_pipeline_for_e_commerce_spark.sources.io import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "bonjour"}\n'
+        '{"doc_id": "not-a-number", "text": "bad id type"}\n'
+        '{"doc_id": 3, "text": "ok", "lang": "de"}\n'
+    )
+    good, bad = read_jsonl_quarantine(
+        spark, str(p), "doc_id bigint, text string, lang string"
+    )
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["lang"] is None  # absent field -> NULL, not quarantine
+    raw_bad = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raw_bad) == 2
+    assert any("not json" in (s or "") for s in raw_bad)
+    assert any("not-a-number" in (s or "") for s in raw_bad)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed identically on the join key must sort-merge
     join with ZERO Exchange operators — the co-located layout."""

@@ -402,6 +402,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "over the bounded ~7-row year series)",
     "events_hourly_autocorr24": "calendar-hour grain (lag-24 chain "
     "over the bounded hour series)",
+    "emb_dim_energy_concentration": "fixed 64-dim grain (cumulative "
+    "variance share + rank over the bounded per-dimension frame)",
 }
 
 

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 267 of
-the 390 ANALYZE VERBATIM on Spark SQL and 265 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 123
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 275 of
+the 402 ANALYZE VERBATIM on Spark SQL and 273 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 127
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 219-query subset and requires exact row-level
+pins a diverse 227-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 50
+reference can bring their queries over unchanged. All 58
 round-8/round-9/round-10 registrations with portable oracles were
 pinned in the same round that registered them (VERDICT r7 #4 —
 pinned at birth).
@@ -198,6 +198,18 @@ PORTABLE = [
     "session_bounce_rate_by_hour", "user_value_quartile_concentration",
     "supplier_quarter_share_volatility", "lineitem_linenumber_profile",
     "daily_revenue_median_streaks", "customer_first_last_value_shift",
+    # round-10-staged part 2 (Mann-Whitney via DECIMAL(38,0) pair
+    # counts, RANGE-frame rolling peak, session type affinity,
+    # shared-part Jaccard)
+    "order_value_weekend_mannwhitney", "customer_peak90d_spend_digits",
+    "session_event_type_affinity", "supplier_shared_part_jaccard_topk",
+    # round-10-staged part 3 (interval-CASE duration bands; two-way
+    # ANOVA with DECIMAL(38,0) moment cells)
+    "session_duration_bands_by_entry_type",
+    "order_value_priority_weekend_anova2",
+    # round-10-staged part 4 (first-order-size cohorts; part active
+    # span revenue velocity)
+    "customer_first_order_size_cohorts", "part_active_span_revenue_rate",
 ]
 
 
@@ -298,7 +310,10 @@ NONPORTABLE = {
     "doc_simhash_near_dup": "string_split_regex+regex-class+computed-series+floor-div",
     "doc_source_kl_divergence": "string_split_regex+regex-class+computed-series",
     "doc_stopword_coverage_by_source": "string_split_regex+regex-class+computed-series",
+    "doc_simhash_bit_balance":
+        "string_split_regex+regex-class+computed-series+floor-div",
     "doc_term_burstiness_topk": "string_split_regex+regex-class",
+    "doc_zipf_abbreviation_curve": "string_split_regex+regex-class",
     "doc_tfidf_top_terms": "string_split_regex+regex-class+computed-series",
     "doc_token_budget_curve": "string_split_regex+regex-class+list-index",
     "doc_token_stats": "string_split_regex+regex-class+list-index",
@@ -315,6 +330,7 @@ NONPORTABLE = {
     "emb_cosine_near_dup": "list_dot_product+computed-series+list-index+floor-div",
     "emb_cosine_topk": "list_dot_product+list-index",
     "emb_dim_correlation_pairs": "computed-series+list-index",
+    "emb_dim_energy_concentration": "computed-series+list-index",
     "emb_dim_stats": "computed-series+list-index",
     "emb_exact_dedup": "list-index",
     "emb_int8_quant_error_by_label": "computed-series+list-index+floor-div",
@@ -324,6 +340,7 @@ NONPORTABLE = {
     "emb_ivf_residual_norms": "list_dot_product+list-index",
     "emb_knn_label_confusion": "list_dot_product+list-index",
     "emb_knn_reciprocity": "list_dot_product+list-index",
+    "emb_mmr_diversified_topk": "list_dot_product+list-index",
     "emb_random_projection_distortion": "list_dot_product+list-index",
     "emb_label_centroid_separation": "computed-series+list-index",
     "emb_pq_code_entropy": "computed-series+list-index",
