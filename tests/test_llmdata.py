@@ -396,3 +396,46 @@ def test_semdedup_cap_bounds_degenerate_corpus(spark):
     assert len(audit) == 1
     assert audit[0]["cluster_size"] == n
     assert audit[0]["n_subbuckets"] == n_sub
+
+
+def test_mmr_diversified_topk_greedy_optimality(spark, sf_dir):
+    """MMR property check against an independent numpy re-derivation:
+    rank-1 is the plain cosine argmax, picks are distinct per query,
+    and every pick's MMR objective is within float tolerance of the
+    numpy-greedy optimum at that step (exact id equality is not
+    asserted because numpy's SIMD dot association differs from the
+    engine's fold in the last ulp)."""
+    import numpy as np
+
+    from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import QUERIES
+
+    rows = QUERIES["emb_mmr_diversified_topk"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], {})[r["rank"]] = (
+            r["neighbor_id"], r["mmr_score"]
+        )
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    unit = {k: v / np.linalg.norm(v) for k, v in emb.items()}
+    lam, mu = 0.7, 0.3
+    for qid in (0, 1, 2):
+        picks = [got[qid][k][0] for k in (1, 2, 3)]
+        assert len(set(picks)) == 3 and qid not in picks
+        cands = [i for i in emb if i != qid]
+        qsim = {i: float(unit[i] @ unit[qid]) for i in cands}
+        # rank-1 == cosine argmax (ties broken by id in the engine)
+        best1 = max(cands, key=lambda i: (qsim[i], -i))
+        assert abs(qsim[picks[0]] - qsim[best1]) < 1e-9
+        sel = [picks[0]]
+        for step in (2, 3):
+            def objective(i):
+                pen = max(float(unit[i] @ unit[s]) for s in sel)
+                return lam * qsim[i] - mu * pen
+            remaining = [i for i in cands if i not in sel]
+            np_best = max(objective(i) for i in remaining)
+            assert objective(got[qid][step][0]) > np_best - 1e-9
+            sel.append(got[qid][step][0])
