@@ -81,6 +81,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # every one strict-checked green at sf0.01 (twice) AND sf0.1 at
 # registration time, the 16 portable ones parity-pinned at birth;
 # positions 71-93) as the only (deliberate, pre-verified) backlog.
+# ROUND-8 BONUS-SESSION SWEEP: the ENTIRE 402-query corpus was
+# strict-checked in ONE sf0.01 sweep (scripts/strict_driver_check.py,
+# exact cell-value compare) late in round 8 — 402/402 ok, zero
+# errors — so every registered query, windowed or staged, has a
+# same-session exact-compare pass at the driver's correctness SF.
 _PRIORITY = (
     # (a) round-8 code/oracle-touched re-checks (3 ADVICE-r7 fixes +
     # the VERDICT-r7 single-pass composition rewrite)
