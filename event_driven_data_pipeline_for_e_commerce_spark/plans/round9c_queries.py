@@ -728,12 +728,22 @@ def q_doc_term_burstiness_topk(spark, sf_dir):
     )
 
 
+# ADVICE-r8: the deterministic sample moduli for the two quadratic
+# audit contracts below are module constants so operators can widen
+# the sample denominator (raise the modulus -> smaller sample) for a
+# bigger corpus without editing the query bodies. Both the engine
+# plan and the DuckDB oracle read the same constant, so the audit
+# stays oracle-equal at any setting.
+_KNN_SAMPLE_MOD = 4
+_RP_SAMPLE_MOD = 10
+
+
 @query(
     "emb_knn_reciprocity",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 4 = 0
+        FROM embeddings WHERE vec_id % {_KNN_SAMPLE_MOD} = 0
     ),
     pairs AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -774,13 +784,14 @@ def q_emb_knn_reciprocity(spark, sf_dir):
 
     Scale shape: sample-scale AUDIT contract (the within-sample pair
     join is quadratic in the sample, like minhash_recall_stats' truth
-    side — the modulus is the 100 TB knob, stated here and in the
-    oracle); the mutual check INTERSECTs bare-id edges; never a
+    side — the module constant ``_KNN_SAMPLE_MOD`` is the 100 TB
+    knob, shared by engine and oracle so widening it keeps the audit
+    oracle-equal); the mutual check INTERSECTs bare-id edges; never a
     production path."""
     from ..llmdata.similarity import brute_force_topk
 
     t = load_tables(spark, sf_dir)
-    sample = t["embeddings"].filter(F.col("vec_id") % 4 == 0)
+    sample = t["embeddings"].filter(F.col("vec_id") % _KNN_SAMPLE_MOD == 0)
     edges = brute_force_topk(sample, sample, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -840,7 +851,7 @@ def _rp_oracle() -> str:
     return f"""
     WITH s AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 10 = 0
+        FROM embeddings WHERE vec_id % {_RP_SAMPLE_MOD} = 0
     ),
     p AS (SELECT vec_id, v, [{proj}] AS y FROM s),
     d AS (
@@ -875,10 +886,11 @@ def q_emb_random_projection_distortion(spark, sf_dir):
     Scale shape: the projection itself is a map-side 512-term signed
     sum (whole-stage codegen, zero shuffle — this is the production
     artifact); the distortion measurement is a sample-scale AUDIT over
-    within-sample pairs (quadratic in the tenth sample; the modulus is
-    the 100 TB knob, like emb_knn_reciprocity)."""
+    within-sample pairs (quadratic in the tenth sample; the module
+    constant ``_RP_SAMPLE_MOD`` is the 100 TB knob shared by engine
+    and oracle, like emb_knn_reciprocity's ``_KNN_SAMPLE_MOD``)."""
     t = load_tables(spark, sf_dir)
-    s = t["embeddings"].filter(F.col("vec_id") % 10 == 0).select(
+    s = t["embeddings"].filter(F.col("vec_id") % _RP_SAMPLE_MOD == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     proj = [

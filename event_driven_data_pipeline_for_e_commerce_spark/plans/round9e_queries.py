@@ -420,7 +420,11 @@ def q_doc_simhash_bit_balance(spark, sf_dir):
                SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS ss
         FROM base GROUP BY pri, wk
     ),
-    tot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss FROM cells),
+    tot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+                   COUNT(*) AS ncells,
+                   COUNT(DISTINCT pri) AS npri,
+                   COUNT(DISTINCT wk) AS nwk
+            FROM cells),
     parts AS (
         SELECT
             (SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
@@ -433,13 +437,17 @@ def q_doc_simhash_bit_balance(spark, sf_dir):
              FROM cells) AS qc,
             CAST(tot.ss AS DOUBLE) AS qt,
             CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE) / tot.n AS q0,
-            tot.n AS n
+            tot.n AS n,
+            tot.npri - 1 AS dfa,
+            tot.nwk - 1 AS dfb,
+            tot.ncells - tot.npri - tot.nwk + 1 AS dfi,
+            tot.n - tot.ncells AS dfe
         FROM tot
     )
     SELECT CAST(n AS BIGINT) AS n_orders,
-           ROUND(((qa - q0) / 4) / ((qt - qc) / (n - 10)), 4) AS f_priority,
-           ROUND(((qb - q0) / 1) / ((qt - qc) / (n - 10)), 4) AS f_weekend,
-           ROUND(((qc - qa - qb + q0) / 4) / ((qt - qc) / (n - 10)), 4)
+           ROUND(((qa - q0) / dfa) / ((qt - qc) / dfe), 4) AS f_priority,
+           ROUND(((qb - q0) / dfb) / ((qt - qc) / dfe), 4) AS f_weekend,
+           ROUND(((qc - qa - qb + q0) / dfi) / ((qt - qc) / dfe), 4)
                AS f_interaction,
            ROUND((qc - q0) / (qt - q0), 6) AS eta2_cells
     FROM parts
@@ -455,6 +463,12 @@ def q_order_value_priority_weekend_anova2(spark, sf_dir):
     style) decomposition: under imbalance the interaction term is the
     cells remainder QC - QA - QB + Q0 and can be small or negative —
     documented diagnostic semantics, not a balanced-design claim.
+    Degrees of freedom are DERIVED from the observed design on both
+    engines (df_pri = npri-1, df_wk = nwk-1, df_inter =
+    ncells-npri-nwk+1, df_err = n-ncells, all from the cells rollup),
+    so a data slice with an empty priority x weekend cell still gets
+    the right F denominators (ADVICE-r8 fix; on the full grid this is
+    the previous 4/1/4/n-10).
 
     Scale shape: ONE 10-cell rollup over the fact with DECIMAL(38,0)
     sum and sum-of-squares accumulators (exact far past 2^63 — the
@@ -496,6 +510,9 @@ def q_order_value_priority_weekend_anova2(spark, sf_dir):
         F.sum("n").alias("n"),
         F.sum("s").alias("st"),
         F.sum("ss").alias("sst"),
+        F.count(F.lit(1)).alias("ncells"),
+        F.countDistinct("pri").alias("npri"),
+        F.countDistinct("wk").alias("nwk"),
     )
     parts = (
         tot.crossJoin(F.broadcast(qa))
@@ -512,19 +529,25 @@ def q_order_value_priority_weekend_anova2(spark, sf_dir):
                 * F.col("st").cast("double")
                 / F.col("n")
             ).alias("q0"),
+            (F.col("npri") - 1).alias("dfa"),
+            (F.col("nwk") - 1).alias("dfb"),
+            (F.col("ncells") - F.col("npri") - F.col("nwk") + 1).alias(
+                "dfi"
+            ),
+            (F.col("n") - F.col("ncells")).alias("dfe"),
         )
     )
-    err = (F.col("qt") - F.col("qc")) / (F.col("n") - 10)
+    err = (F.col("qt") - F.col("qc")) / F.col("dfe")
     return parts.select(
         F.col("n").cast("long").alias("n_orders"),
-        F.round(((F.col("qa") - F.col("q0")) / 4) / err, 4).alias(
+        F.round(((F.col("qa") - F.col("q0")) / F.col("dfa")) / err, 4).alias(
             "f_priority"
         ),
-        F.round(((F.col("qb") - F.col("q0")) / 1) / err, 4).alias(
+        F.round(((F.col("qb") - F.col("q0")) / F.col("dfb")) / err, 4).alias(
             "f_weekend"
         ),
         F.round(
-            ((F.col("qc") - F.col("qa") - F.col("qb") + F.col("q0")) / 4)
+            ((F.col("qc") - F.col("qa") - F.col("qb") + F.col("q0")) / F.col("dfi"))
             / err,
             4,
         ).alias("f_interaction"),

@@ -109,8 +109,31 @@ def write_table(
     writer.parquet(path)
 
 
+def _quarantine_schema(schema: str, corrupt_col: str) -> str:
+    """Validate a caller DDL schema and append the corrupt-record
+    column. Raises clearly (instead of a confusing Spark analysis
+    error downstream) when the caller passed a non-string schema
+    (e.g. a StructType — these readers take DDL strings only) or a
+    schema that already contains the corrupt column (ADVICE-r8: the
+    old string concatenation produced a duplicate-column failure)."""
+    if not isinstance(schema, str):
+        raise TypeError(
+            "quarantine readers take a DDL schema string, got "
+            f"{type(schema).__name__}; render a StructType with "
+            ".simpleString()/toDDL first"
+        )
+    fields = [f.split()[0].strip("`").lower() for f in schema.split(",") if f.strip()]
+    if corrupt_col.lower() in fields:
+        raise ValueError(
+            f"schema already contains the corrupt-record column "
+            f"{corrupt_col!r}; pass a different corrupt_col or drop it "
+            "from the schema"
+        )
+    return f"{schema}, {corrupt_col} string"
+
+
 def read_csv_quarantine(
-    spark: SparkSession, path: str, schema: str
+    spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:
     """Error-row quarantine (SURVEY.md §4.1): PERMISSIVE scan with a
     corrupt-record column, split into (good, quarantined). The Spark
@@ -127,18 +150,18 @@ def read_csv_quarantine(
     df = pin(
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(schema + ", _corrupt_record string")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(_quarantine_schema(schema, corrupt_col))
         .csv(path),
         critical=True,
     )
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad
 
 
 def read_jsonl_quarantine(
-    spark: SparkSession, path: str, schema: str
+    spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:
     """JSON-lines twin of ``read_csv_quarantine`` — the interchange
     format LLM-corpus pipelines actually ship (one JSON object per
@@ -156,13 +179,13 @@ def read_jsonl_quarantine(
     second read of the raw bytes."""
     df = pin(
         spark.read.option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(schema + ", _corrupt_record string")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(_quarantine_schema(schema, corrupt_col))
         .json(path),
         critical=True,
     )
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad
 
 

@@ -93,6 +93,46 @@ def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
     assert any("not-a-number" in (s or "") for s in raw_bad)
 
 
+def test_quarantine_schema_guard(spark, tmp_path):
+    """ADVICE-r8: a caller schema that already contains the corrupt
+    column raises a clear ValueError (not a duplicate-column analysis
+    failure), a StructType raises TypeError (DDL strings only), and a
+    custom corrupt_col name routes the quarantine column there."""
+    import pytest
+    from pyspark.sql.types import StructField, StructType, StringType
+    from event_driven_data_pipeline_for_e_commerce_spark.sources.io import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1}\nnot json\n')
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_quarantine(
+            spark, str(p), "doc_id bigint, _corrupt_record string"
+        )
+    with pytest.raises(TypeError, match="DDL schema string"):
+        read_jsonl_quarantine(
+            spark, str(p), StructType([StructField("doc_id", StringType())])
+        )
+    # caller-chosen corrupt column name — including one whose default
+    # would collide — works end to end on both readers
+    good, bad = read_jsonl_quarantine(
+        spark, str(p), "doc_id bigint", corrupt_col="_raw_bad"
+    )
+    assert [r["doc_id"] for r in good.collect()] == [1]
+    assert bad.columns == ["_raw_bad"] and bad.count() == 1
+    c = tmp_path / "t.csv"
+    c.write_text("id,amount\n1,2.0\n3,oops\n")
+    with pytest.raises(ValueError, match="corrupt-record column"):
+        read_csv_quarantine(
+            spark, str(c), "id int, amount double, _corrupt_record string"
+        )
+    good, bad = read_csv_quarantine(
+        spark, str(c), "id int, amount double", corrupt_col="_rej"
+    )
+    assert good.count() == 1 and bad.columns == ["_rej"]
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed identically on the join key must sort-merge
     join with ZERO Exchange operators — the co-located layout."""
