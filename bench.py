@@ -104,6 +104,20 @@ HEADLINE = [
     # operators/cumulative.py)
     "emb_mmr_diversified_topk",
     "order_value_weekend_mannwhitney",
+    # round-9 verdict (task 3): cost-track the heavy staged queries
+    # BEFORE they hit the driver window — shared-part Jaccard (part-
+    # grain pair join), the quarter-sample kNN graph audit, session
+    # type-pair affinity, and term burstiness (word-grain moments)
+    "supplier_shared_part_jaccard_topk",
+    "emb_knn_reciprocity",
+    "session_event_type_affinity",
+    "doc_term_burstiness_topk",
+    # round-9 additions: the survivor-contracted family agreement (the
+    # form you'd run at 100 TB — benched next to the audit form) and
+    # the ranged-cumulative Kruskal-Wallis (the k-sample sibling of
+    # the benched Mann-Whitney)
+    "doc_dedup_family_agreement_survivors",
+    "order_value_priority_kruskal_wallis",
 ]
 
 

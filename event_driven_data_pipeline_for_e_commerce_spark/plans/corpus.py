@@ -1922,3 +1922,9 @@ from . import round9d_queries  # noqa: E402,F401
 # round-10-staged additions, part 3: MMR diversified retrieval,
 # session duration bands, SimHash bit-balance audit, two-way ANOVA
 from . import round9e_queries  # noqa: E402,F401
+
+# round-9 window additions (positions 44-50): survivor-contracted
+# dedup family agreement, Theil-Sen + Mann-Kendall trend reads,
+# Kruskal-Wallis priority rank test, dedup mixture shift, lag-1
+# order-value autocorrelation, kNN hubness histogram
+from . import round10_queries  # noqa: E402,F401

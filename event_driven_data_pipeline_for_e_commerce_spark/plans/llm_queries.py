@@ -920,10 +920,11 @@ def q_media_feature_extract(spark, sf_dir):
 @query(
     "video_frame_grid",
     oracle="""
-    SELECT doc_id AS media_id,
-           CAST(unnest(generate_series(0, n_chars * 10, 1000)) AS BIGINT) AS frame_ms
-    FROM documents
-    WHERE CAST(doc_id % 3 AS BIGINT) = 2
+    SELECT d.doc_id AS media_id,
+           CAST(t.i * 1000 AS BIGINT) AS frame_ms
+    FROM documents d, range(0, 64) t(i)
+    WHERE CAST(d.doc_id % 3 AS BIGINT) = 2
+      AND t.i * 1000 <= d.n_chars * 10
     """,
 )
 def q_video_frame_grid(spark, sf_dir):
@@ -931,7 +932,14 @@ def q_video_frame_grid(spark, sf_dir):
     native sequence()+explode (llmdata/multimodal.sample_frames) — the
     decode of each sampled frame would slot into the same mapInPandas
     as media_feature_extract. Map-side only: no shuffle, the explode
-    fans out inside the scan stage."""
+    fans out inside the scan stage.
+
+    Oracle portability: constant-bound ``range(0, 64) t(i)`` + a
+    duration filter replaces the computed-bound generate_series (the
+    bounded-series precedent; both engines run it verbatim). 64
+    frames = 10x headroom over the corpus's ~6-frame max (doc length
+    is generator-capped ~600 chars at any SF); verified
+    output-identical in DuckDB before/after at sf0.01 AND sf0.1."""
     from ..llmdata.multimodal import sample_frames
 
     t = load_tables(spark, sf_dir)
@@ -993,21 +1001,21 @@ def q_doc_pii_redact(spark, sf_dir):
 @query(
     "doc_repetition_ratio",
     oracle="""
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
+    WITH d AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_toks
         FROM documents
     ),
     bg AS (
-        SELECT doc_id,
-               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
-        FROM toks
+        SELECT d.doc_id,
+               split_part(d.text, ' ', CAST(t.i AS INT)) || ' '
+                   || split_part(d.text, ' ', CAST(t.i + 1 AS INT)) AS bigram
+        FROM d, range(1, 512) t(i)
+        WHERE t.i <= d.n_toks - 1
     ),
     cnt AS (
         SELECT doc_id, bigram, COUNT(*) AS c
-        FROM bg WHERE bigram IS NOT NULL
-        GROUP BY doc_id, bigram
+        FROM bg GROUP BY doc_id, bigram
     )
     SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_ratio
     FROM cnt GROUP BY doc_id
@@ -1048,19 +1056,22 @@ def q_doc_repetition_ratio(spark, sf_dir):
 @query(
     "doc_contamination_overlap",
     oracle="""
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_toks
         FROM documents
     ),
     g AS (
-        SELECT doc_id,
-               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-                   || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
-        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        SELECT base.doc_id,
+               split_part(base.text, ' ', CAST(t.i AS INT)) || ' '
+                   || split_part(base.text, ' ', CAST(t.i + 1 AS INT)) || ' '
+                   || split_part(base.text, ' ', CAST(t.i + 2 AS INT)) || ' '
+                   || split_part(base.text, ' ', CAST(t.i + 3 AS INT)) || ' '
+                   || split_part(base.text, ' ', CAST(t.i + 4 AS INT)) AS gram
+        FROM base, range(1, 512) t(i)
+        WHERE t.i <= base.n_toks - 4
     ),
-    d AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL),
+    d AS (SELECT DISTINCT doc_id, gram FROM g),
     bench AS (SELECT DISTINCT gram FROM d WHERE doc_id < 25),
     cand AS (SELECT doc_id, gram FROM d WHERE doc_id >= 25)
     SELECT c.doc_id, COUNT(*) AS shared_grams

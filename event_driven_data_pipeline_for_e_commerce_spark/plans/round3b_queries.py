@@ -2415,11 +2415,11 @@ def q_doc_heaps_law_fit(spark, sf_dir):
     "doc_compressibility_proxy",
     oracle="""
     WITH grams AS (
-        SELECT doc_id,
-               substr(lower(trim(text)), i.i, 4) AS g
-        FROM documents,
-             UNNEST(generate_series(1, len(lower(trim(text))) - 3)) AS i(i)
-        WHERE len(lower(trim(text))) >= 4
+        SELECT d.doc_id,
+               substr(lower(trim(d.text)), CAST(t.i AS INT), 4) AS g
+        FROM documents d, range(1, 1024) t(i)
+        WHERE length(lower(trim(d.text))) >= 4
+          AND t.i <= length(lower(trim(d.text))) - 3
     )
     SELECT doc_id,
            COUNT(*) AS n_grams,

@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 275 of
-the 402 ANALYZE VERBATIM on Spark SQL and 273 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 127
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 284 of
+the 409 ANALYZE VERBATIM on Spark SQL and 282 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 125
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 227-query subset and requires exact row-level
+pins a diverse 236-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 58
+reference can bring their queries over unchanged. All 63
 round-8/round-9/round-10 registrations with portable oracles were
 pinned in the same round that registered them (VERDICT r7 #4 —
 pinned at birth).
@@ -45,7 +45,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 215 verbatim-portable row-equal
+# Diverse pinned subset of the 282 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -210,6 +210,17 @@ PORTABLE = [
     # round-10-staged part 4 (first-order-size cohorts; part active
     # span revenue velocity)
     "customer_first_order_size_cohorts", "part_active_span_revenue_rate",
+    # round-9 window additions (pinned at birth): robust/nonparametric
+    # trend + rank tests, dedup mixture shift, lag-1 autocorrelation
+    "monthly_revenue_theilsen_trend", "daily_revenue_mann_kendall",
+    "order_value_priority_kruskal_wallis", "doc_dedup_source_mixture_shift",
+    "customer_order_value_lag1_autocorr",
+    # round-9 NONPORTABLE burn-down (VERDICT r8 #7): computed-bound
+    # series rewritten to constant-bound range(...) t(i) + filters
+    # (shared split_part/substr), each verified output-identical in
+    # DuckDB before/after at sf0.01 AND sf0.1
+    "video_frame_grid", "doc_compressibility_proxy",
+    "doc_repetition_ratio", "doc_contamination_overlap",
 ]
 
 
@@ -271,13 +282,12 @@ NONPORTABLE = {
     "doc_bigram_lm_score": "string_split_regex+regex-class+computed-series+list-index",
     "doc_bpe_pair_merges": "string_split_regex+regex-class+computed-series",
     "doc_chunks": "computed-series+floor-div",
-    "doc_compressibility_proxy": "computed-series",
     "doc_boilerplate_sentences": "string_split_regex",
     "doc_containment_pairs": "string_split_regex+regex-class+computed-series+list-index",
     "doc_contamination_by_split": "computed-series+floor-div",
-    "doc_contamination_overlap": "computed-series",
     "doc_curriculum_phases": "string_split_regex+regex-class+list-index+floor-div",
     "doc_dedup_family_agreement": "string_split_regex+regex-class+computed-series+list-index+floor-div",
+    "doc_dedup_family_agreement_survivors": "string_split_regex+regex-class+computed-series+list-index+floor-div",
     "doc_dedup_keeper_quality_delta": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
     "doc_dedup_survivors": "string_split_regex+regex-class+computed-series+list-index+recursive-union",
     "doc_dedup_threshold_sweep": "string_split_regex+regex-class+computed-series+list-index",
@@ -300,7 +310,6 @@ NONPORTABLE = {
     "doc_quality_filter": "string_split_regex+regex-class+list-index",
     "doc_quality_scores": "string_split_regex+regex-class+list-index",
     "doc_quality_vs_dup_class": "string_split_regex+regex-class+list-index",
-    "doc_repetition_ratio": "computed-series",
     "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
     "doc_sentence_dedup_rate": "string_split_regex+regex-class",
     "doc_sentence_stats": "string_split_regex+regex-class+computed-series+list-index",
@@ -339,6 +348,7 @@ NONPORTABLE = {
     "emb_int8_saturation_audit": "computed-series+list-index",
     "emb_ivf_residual_norms": "list_dot_product+list-index",
     "emb_knn_label_confusion": "list_dot_product+list-index",
+    "emb_knn_hubness_histogram": "list_dot_product+list-index",
     "emb_knn_reciprocity": "list_dot_product+list-index",
     "emb_mmr_diversified_topk": "list_dot_product+list-index",
     "emb_random_projection_distortion": "list_dot_product+list-index",
@@ -386,7 +396,6 @@ NONPORTABLE = {
     "user_event_paths": "list-index",
     "user_peak_event_rate": "epoch+floor-div",
     "user_value_twap": "epoch",
-    "video_frame_grid": "computed-series",
     "view_click_pairs_2h": "ts-diff",
 }
 
