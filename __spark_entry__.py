@@ -68,10 +68,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-10 ROTATION NOTE: after CORRECTNESS_r09 lands, demote this
 # head + the staged names + the 7 in-window round10 registrations to
 # _PRIOR_GREEN and build the r10 head from: re-checks for any
-# round-9 code/oracle-touched greens + the round-10-staged
-# registrations (plans/round10_queries.py positions 51+, see that
-# file's roster), then cap round-10 new registrations so the window
-# stays exactly 50.
+# round-9 code/oracle-touched greens + the 11 ROUND-10-STAGED
+# registrations (plans/round10b_queries.py, positions 51-61:
+# daily_revenue_runs_test, order_linecount_dispersion,
+# doc_bytes_per_token_by_lang, doc_char_ngram_entropy_curve,
+# session_gap_threshold_sweep, supplier_part_degree_assortativity,
+# customer_order_dow_habit_strength,
+# quantity_discount_mutual_information, emb_kmeans_k_sweep_inertia,
+# late_shipment_value_welch_ttest, doc_token_position_entropy — every
+# one strict-checked green at sf0.01 (twice) AND sf0.1 at
+# registration time, the 9 portable ones parity-pinned at birth),
+# then cap round-10 new registrations so the window stays exactly
+# 50. Corpus after the round-9 session: 420 (402 + 7 in-window + 11
+# staged).
 _PRIORITY = (
     # round-9 code/oracle-touched re-checks (ADVICE-r8 fixes)
     "order_value_priority_weekend_anova2",

@@ -1928,3 +1928,9 @@ from . import round9e_queries  # noqa: E402,F401
 # Kruskal-Wallis priority rank test, dedup mixture shift, lag-1
 # order-value autocorrelation, kNN hubness histogram
 from . import round10_queries  # noqa: E402,F401
+
+# round-10-staged additions: runs test, overdispersion, bytes/token,
+# char-ngram entropy curve, session-gap sweep, degree assortativity,
+# weekday habit, quantity-discount MI, k-means k-sweep, Welch t test,
+# sentence-position boilerplate
+from . import round10b_queries  # noqa: E402,F401

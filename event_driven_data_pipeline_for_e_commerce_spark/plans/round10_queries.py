@@ -48,6 +48,14 @@ def q_doc_dedup_family_agreement_survivors(spark, sf_dir):
     output to the genuinely-near-dup residue. Run the audit form to
     validate detectors, this form to operate them.
 
+    Measured caveat (sf0.1 bench): THIS synthetic corpus duplicates
+    by near-copy edits, not byte-copies (8 exact dups in 5000 docs),
+    so the survivor frame is ~the full corpus and this form pays the
+    keeper semi-join + pin over the audit form (~4.9s vs ~4.4s)
+    without a detector saving. The contract's win appears exactly
+    when exact-dup mass exists — which is the 100 TB web-corpus
+    regime (30-50% byte-duplicate is typical), not this generator.
+
     Scale shape: exact dedup is one text-hash rollup + a keeper
     semi-join (hash-only shuffles); the survivor frame is pinned once
     and feeds both banded detectors; agreement is the single-pass

@@ -404,6 +404,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "over the bounded hour series)",
     "emb_dim_energy_concentration": "fixed 64-dim grain (cumulative "
     "variance share + rank over the bounded per-dimension frame)",
+    "daily_revenue_runs_test": "calendar-day grain (sign LAG chain "
+    "over the bounded day series)",
 }
 
 

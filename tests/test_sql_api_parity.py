@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 284 of
-the 409 ANALYZE VERBATIM on Spark SQL and 282 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 125
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 293 of
+the 420 ANALYZE VERBATIM on Spark SQL and 291 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 127
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 236-query subset and requires exact row-level
+pins a diverse 245-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 63
+reference can bring their queries over unchanged. All 72
 round-8/round-9/round-10 registrations with portable oracles were
 pinned in the same round that registered them (VERDICT r7 #4 —
 pinned at birth).
@@ -45,7 +45,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 282 verbatim-portable row-equal
+# Diverse pinned subset of the 291 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -221,6 +221,16 @@ PORTABLE = [
     # DuckDB before/after at sf0.01 AND sf0.1
     "video_frame_grid", "doc_compressibility_proxy",
     "doc_repetition_ratio", "doc_contamination_overlap",
+    # round-10-staged (pinned at birth): runs test, overdispersion,
+    # bytes/token, char-ngram entropy curve (constant-bound range),
+    # session-gap sweep (INTERVAL arithmetic), degree assortativity,
+    # weekday habit, quantity-discount MI, Welch t
+    "daily_revenue_runs_test", "order_linecount_dispersion",
+    "doc_bytes_per_token_by_lang", "doc_char_ngram_entropy_curve",
+    "session_gap_threshold_sweep", "supplier_part_degree_assortativity",
+    "customer_order_dow_habit_strength",
+    "quantity_discount_mutual_information",
+    "late_shipment_value_welch_ttest",
 ]
 
 
@@ -312,6 +322,7 @@ NONPORTABLE = {
     "doc_quality_vs_dup_class": "string_split_regex+regex-class+list-index",
     "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
     "doc_sentence_dedup_rate": "string_split_regex+regex-class",
+    "doc_token_position_entropy": "string_split_regex+computed-series",
     "doc_sentence_stats": "string_split_regex+regex-class+computed-series+list-index",
     "doc_sequence_pack": "string_split_regex+regex-class+floor-div",
     "doc_shingle_df_skew": "string_split_regex+regex-class+computed-series+list-index+floor-div",
@@ -361,6 +372,7 @@ NONPORTABLE = {
     "emb_ivf_topk": "list_dot_product+list-index",
     "emb_kmeans_assign": "computed-series+list-index",
     "emb_kmeans_inertia": "computed-series+list-index",
+    "emb_kmeans_k_sweep_inertia": "computed-series+list-index",
     "emb_l2_vs_cosine_rank_agreement": "list_dot_product+list-index",
     "emb_label_centroids": "computed-series+list-index",
     "emb_label_knn_accuracy": "list_dot_product+list-index+floor-div",
