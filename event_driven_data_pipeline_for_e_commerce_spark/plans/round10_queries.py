@@ -48,18 +48,20 @@ def q_doc_dedup_family_agreement_survivors(spark, sf_dir):
     output to the genuinely-near-dup residue. Run the audit form to
     validate detectors, this form to operate them.
 
-    Measured caveat (sf0.1 bench): THIS synthetic corpus duplicates
-    by near-copy edits, not byte-copies (8 exact dups in 5000 docs),
-    so the survivor frame is ~the full corpus and this form pays the
-    keeper semi-join + pin over the audit form (~4.9s vs ~4.4s)
-    without a detector saving. The contract's win appears exactly
-    when exact-dup mass exists — which is the 100 TB web-corpus
-    regime (30-50% byte-duplicate is typical), not this generator.
+    Measured caveat (sf0.1): THIS synthetic corpus duplicates by
+    near-copy edits, not byte-copies (8 exact dups in 5000 docs), so
+    the survivor frame is ~the full corpus and this form times within
+    run-to-run noise of the audit form (single-session A/B: keeper
+    aggregation adds no measurable cost; the detectors dominate).
+    The contract's win appears exactly when exact-dup mass exists —
+    the 100 TB web-corpus regime (30-50% byte-duplicate is typical),
+    not this generator.
 
-    Scale shape: exact dedup is one text-hash rollup + a keeper
-    semi-join (hash-only shuffles); the survivor frame is pinned once
-    and feeds both banded detectors; agreement is the single-pass
-    full-outer + one scalar agg of the audit form (round7b). Nothing
+    Scale shape: exact dedup is ONE text-hash aggregation (min
+    doc_id + the group's identical text — no keeper frame, no
+    semi-join back); the survivor frame is pinned once and feeds
+    both banded detectors; agreement is the single-pass full-outer +
+    one scalar agg of the audit form (round7b). Nothing
     here is quadratic in corpus size — SimHash candidate output is
     quadratic only in NEAR-dup class sizes, which exact dedup has
     already collapsed."""
@@ -74,13 +76,14 @@ def q_doc_dedup_family_agreement_survivors(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    keepers = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # keeper selection in ONE aggregation: min doc_id per distinct
+    # text, and MIN(text) recovers the text itself (every row in a
+    # md5 group carries the identical string) — no keeper frame, no
+    # semi-join back, one exchange instead of three
     surv = pin(
-        docs.select("doc_id", "text").join(
-            keepers.select("doc_id"), "doc_id", "left_semi"
-        )
+        docs.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .select("doc_id", "text")
     )
     shb = shingle_hash_frame(surv, "text", "doc_id", SHINGLE_N)
     sigs = _minhash_agg_hashed(shb, "doc_id", NUM_HASHES)
@@ -131,9 +134,8 @@ def _survivor_oracle() -> str:
     from .llm_queries import _MINHASH_CTES
 
     surv_cte = """documents_s AS (
-        SELECT d.doc_id, d.text FROM documents d
-        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
-              GROUP BY md5(text)) k ON k.doc_id = d.doc_id
+        SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+        FROM documents GROUP BY md5(text)
     )"""
     mhc = _MINHASH_CTES.replace("FROM documents", "FROM documents_s")
     shq = ORACLES["doc_simhash_near_dup"].replace(
@@ -540,9 +542,8 @@ def q_order_value_priority_kruskal_wallis(spark, sf_dir):
         SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
     ),
     surv AS (
-        SELECT d.source FROM documents d
-        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
-              GROUP BY md5(text)) k ON k.doc_id = d.doc_id
+        SELECT min_by(source, doc_id) AS source
+        FROM documents GROUP BY md5(text)
     ),
     after_t AS (SELECT source, COUNT(*) AS n_after FROM surv GROUP BY source),
     tot AS (
@@ -576,18 +577,17 @@ def q_doc_dedup_source_mixture_shift(spark, sf_dir):
     curator must re-balance after (doc_source_mixing's rates were set
     against the pre-dedup mixture).
 
-    Scale shape: one text-hash rollup + keeper semi-join (the
-    exact-dedup shape), two bounded source-grain rollups (20 sources),
-    broadcast totals; all shares are ratios of exact BIGINTs."""
+    Scale shape: survivor attribution is ONE text-hash aggregation
+    (min_by(source, doc_id) — the keeper row's source, same function
+    name in both engines; no keeper frame, no join back), then two
+    bounded source-grain rollups (20 sources) and broadcast totals;
+    all shares are ratios of exact BIGINTs."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     before = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
-    keepers = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
     after = (
-        docs.select("doc_id", "source")
-        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        docs.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min_by("source", "doc_id").alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_after"))
     )

@@ -875,14 +875,15 @@ def q_emb_kmeans_k_sweep_inertia(spark, sf_dir):
     e = ensure_parallelism(t["embeddings"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    all_seeds = sorted(
+        (r["vec_id"], r["v"])
+        for r in e.filter(F.col("vec_id") < max(_KSWEEP))
+        .select("vec_id", "v")
+        .collect()
+    )
     parts = []
     for k in _KSWEEP:
-        seeds = [
-            (r["vec_id"], r["v"])
-            for r in e.filter(F.col("vec_id") < k)
-            .select("vec_id", "v")
-            .collect()
-        ]
+        seeds = [(sid, v) for sid, v in all_seeds if sid < k]
         asg = e.select(
             nearest_seed_l2(F.col("v"), seeds).alias("__best")
         ).select(
