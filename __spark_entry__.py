@@ -75,12 +75,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # session_gap_threshold_sweep, supplier_part_degree_assortativity,
 # customer_order_dow_habit_strength,
 # quantity_discount_mutual_information, emb_kmeans_k_sweep_inertia,
-# late_shipment_value_welch_ttest, doc_token_position_entropy — every
-# one strict-checked green at sf0.01 (twice) AND sf0.1 at
-# registration time, the 9 portable ones parity-pinned at birth),
-# then cap round-10 new registrations so the window stays exactly
-# 50. Corpus after the round-9 session: 420 (402 + 7 in-window + 11
-# staged).
+# late_shipment_value_welch_ttest, doc_token_position_entropy; plus
+# plans/round10c_queries.py, positions 62-66:
+# daily_revenue_best_split, part_price_laspeyres_index,
+# customer_churn_logrank_by_segment, doc_quality_dup_auc,
+# repeat_gap_ks_exponential — every one strict-checked green at
+# sf0.01 (twice) AND sf0.1 at registration time, the 13 portable
+# ones parity-pinned at birth), then cap round-10 new registrations
+# so the window stays exactly 50. Corpus after the round-9 session:
+# 425 (402 + 7 in-window + 16 staged).
 _PRIORITY = (
     # round-9 code/oracle-touched re-checks (ADVICE-r8 fixes)
     "order_value_priority_weekend_anova2",

@@ -1934,3 +1934,7 @@ from . import round10_queries  # noqa: E402,F401
 # weekday habit, quantity-discount MI, k-means k-sweep, Welch t test,
 # sentence-position boilerplate
 from . import round10b_queries  # noqa: E402,F401
+
+# round-10-staged additions, part 2: changepoint split, Laspeyres
+# index, log-rank survival test, quality-dup AUC, KS exponentiality
+from . import round10c_queries  # noqa: E402,F401

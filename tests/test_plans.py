@@ -406,6 +406,11 @@ _UNPARTITIONED_WINDOW_OK = {
     "variance share + rank over the bounded per-dimension frame)",
     "daily_revenue_runs_test": "calendar-day grain (sign LAG chain "
     "over the bounded day series)",
+    "daily_revenue_best_split": "calendar-day grain (prefix sums + "
+    "argmax over the bounded day series)",
+    "customer_churn_logrank_by_segment": "gap-day grain (two at-risk "
+    "depletion windows over the bounded gap-day frame, the "
+    "customer_survival_km class)",
 }
 
 

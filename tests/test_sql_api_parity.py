@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 293 of
-the 420 ANALYZE VERBATIM on Spark SQL and 291 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 127
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 297 of
+the 425 ANALYZE VERBATIM on Spark SQL and 295 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 128
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 245-query subset and requires exact row-level
+pins a diverse 249-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 72
+reference can bring their queries over unchanged. All 76
 round-8/round-9/round-10 registrations with portable oracles were
 pinned in the same round that registered them (VERDICT r7 #4 —
 pinned at birth).
@@ -45,7 +45,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 291 verbatim-portable row-equal
+# Diverse pinned subset of the 295 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -231,6 +231,10 @@ PORTABLE = [
     "customer_order_dow_habit_strength",
     "quantity_discount_mutual_information",
     "late_shipment_value_welch_ttest",
+    # round-10-staged part 2 (pinned at birth): changepoint split,
+    # Laspeyres index, log-rank test, KS exponentiality
+    "daily_revenue_best_split", "part_price_laspeyres_index",
+    "customer_churn_logrank_by_segment", "repeat_gap_ks_exponential",
 ]
 
 
@@ -318,6 +322,7 @@ NONPORTABLE = {
     "doc_pmi_collocations": "string_split_regex+regex-class+computed-series+list-index",
     "doc_prefix_dup_rate": "string_split_regex+regex-class+list-index+floor-div",
     "doc_quality_filter": "string_split_regex+regex-class+list-index",
+    "doc_quality_dup_auc": "string_split_regex+regex-class+list-index",
     "doc_quality_scores": "string_split_regex+regex-class+list-index",
     "doc_quality_vs_dup_class": "string_split_regex+regex-class+list-index",
     "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
