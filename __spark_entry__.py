@@ -54,6 +54,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # daily_revenue_volatility_regimes, emb_semdedup_prune,
 # events_watermark_drop_sweep, doc_dedup_family_agreement = 4/4 ok
 # (exact cell-value compare at the SF the r7 fixes target).
+# ROUND-9 BENCH ENVIRONMENT NOTE: this box's effective CPU speed
+# swung 1.5-3x during the round-9 session (identical fixed
+# single-thread loop: 0.8s vs 2.3s an hour apart; identical-code
+# bench totals on the 54 r8-common queries: 1.18x, 1.45x, 1.67x of
+# BENCH_r08 across three same-day runs with no code change between
+# them, while the r1-BASELINE-relative ratio stayed 0.71-0.73x —
+# i.e. still ~1.4x FASTER than the recorded baseline on the common
+# set, worst single query 0.90x of its r1 time). bench.py now emits
+# a fixed-work `cpu_probe_s` field with every JSON line so BENCH_r9+
+# comparisons can be normalized for hypervisor noise instead of
+# misread as plan regressions.
 # ROUND-9 NONPORTABLE BURN-DOWN (VERDICT-r8 task 7): video_frame_grid,
 # doc_compressibility_proxy, doc_repetition_ratio,
 # doc_contamination_overlap oracles rewritten to two-engine forms

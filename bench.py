@@ -186,12 +186,28 @@ def main() -> None:
                 failed.append(name)
 
     total = round(sum(timings.values()), 4)
+
+    # Environment calibration: this box's effective CPU speed swings
+    # by 1.5-3x between runs (hypervisor noise — measured 2026-08-16:
+    # an identical fixed single-thread loop took 0.8s and 2.3s an
+    # hour apart, and identical-code bench totals moved 1.2-1.7x).
+    # Record a fixed-work probe with every bench line so cross-round
+    # comparisons can be normalized instead of misread as plan
+    # regressions.
+    def _cpu_probe() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        return round(time.perf_counter() - t0, 4)
+
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpu_probe_s": _cpu_probe(),
         "stream_events_per_sec": 0.0,
         "stream_foreachbatch_rows_per_sec": 0.0,
     }
