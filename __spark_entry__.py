@@ -54,6 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # daily_revenue_volatility_regimes, emb_semdedup_prune,
 # events_watermark_drop_sweep, doc_dedup_family_agreement = 4/4 ok
 # (exact cell-value compare at the SF the r7 fixes target).
+# ROUND-9 FULL-CORPUS SWEEP: the ENTIRE 425-query corpus was
+# strict-checked in ONE sf0.01 sweep (scripts/strict_driver_check.py,
+# exact cell-value compare) late in round 9 — 425/425 ok, zero
+# errors — so every registered query, windowed or staged, has a
+# same-session exact-compare pass at the driver's correctness SF
+# (the r8 bonus-sweep pattern, repeated on the grown corpus).
 # ROUND-9 BENCH ENVIRONMENT NOTE: this box's effective CPU speed
 # swung 1.5-3x during the round-9 session (identical fixed
 # single-thread loop: 0.8s vs 2.3s an hour apart; identical-code
