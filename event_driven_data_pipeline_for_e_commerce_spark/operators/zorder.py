@@ -26,19 +26,33 @@ from pyspark.sql import Column, DataFrame
 
 
 def zvalue(cols: Sequence[Column], bits: int = 8) -> Column:
-    """Morton (bit-interleaved) code of 2+ NON-NEGATIVE integer
-    columns, ``bits`` bits each: col 0 occupies bit positions
-    0, k, 2k, ...; col 1 positions 1, k+1, ...; etc. (k = number of
-    columns). Plain shift/mod arithmetic — whole-stage codegen, no
-    UDF. Callers bucket their natural keys into the bit budget first
-    (e.g. ``pmod(key, 256)`` or a digit/band rollup) — the curve
-    needs a bounded domain, not raw keys."""
+    """Morton (bit-interleaved) code of 2+ integer columns, ``bits``
+    bits each: col 0 occupies bit positions 0, k, 2k, ...; col 1
+    positions 1, k+1, ...; etc. (k = number of columns). Plain
+    shift/mod arithmetic — whole-stage codegen, no UDF. Callers
+    bucket their natural keys into the bit budget first (e.g.
+    ``pmod(key, 256)`` or a digit/band rollup) — the curve needs a
+    bounded domain, not raw keys.
+
+    Contract enforcement (ADVICE-r9): ``bits * len(cols)`` must fit a
+    signed 64-bit z-value (> 63 raises ``ValueError`` instead of
+    silently overflowing the ``1 << (k*i+j)`` literal), and each
+    column is folded into the non-negative ``[0, 2**bits)`` domain
+    with ``pmod`` before bit extraction, so negative inputs map to a
+    deterministic bucket instead of the wrong z-value that arithmetic
+    ``shiftright`` + signed ``%`` produced."""
     k = len(cols)
     if k < 2:
         raise ValueError("zvalue interleaves >= 2 columns")
+    if k * bits > 63:
+        raise ValueError(
+            f"zvalue bit budget {k} cols x {bits} bits = {k * bits} "
+            "exceeds the 63 usable bits of a signed 64-bit z-value; "
+            "lower bits or pre-bucket into fewer columns"
+        )
     terms = []
     for j, c in enumerate(cols):
-        c = c.cast("long")
+        c = F.pmod(c.cast("long"), F.lit(1 << bits))
         for i in range(bits):
             terms.append(
                 (F.shiftright(c, i) % 2).cast("long")

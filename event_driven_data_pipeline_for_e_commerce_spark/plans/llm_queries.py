@@ -939,7 +939,10 @@ def q_video_frame_grid(spark, sf_dir):
     bounded-series precedent; both engines run it verbatim). 64
     frames = 10x headroom over the corpus's ~6-frame max (doc length
     is generator-capped ~600 chars at any SF); verified
-    output-identical in DuckDB before/after at sf0.01 AND sf0.1."""
+    output-identical in DuckDB before/after at sf0.01 AND sf0.1.
+    tests/test_oracle_bounds.py guards the bound at the source: it
+    fails loudly when the observed max frame index passes 80% of the
+    constant, instead of letting the oracle silently truncate."""
     from ..llmdata.multimodal import sample_frames
 
     t = load_tables(spark, sf_dir)
@@ -1030,7 +1033,9 @@ def q_doc_repetition_ratio(spark, sf_dir):
     (concat, NOT concat_ws: the zip tail pads with NULL and concat
     propagates it so the trailing pair drops cleanly), then one
     shuffle for the (doc, bigram) count and a doc-level rollup that
-    reuses the same key prefix."""
+    reuses the same key prefix. The oracle's constant-bound
+    ``range(1, 512)`` unfold is guarded by tests/test_oracle_bounds.py
+    (fails loudly at 80% of the bound, before silent truncation)."""
     t = load_tables(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     bigrams = F.zip_with(
@@ -1088,7 +1093,9 @@ def q_doc_contamination_overlap(spark, sf_dir):
 
     Reuses ngram_shingles (distinct per doc, map-side build); the
     benchmark gram set is small and AQE-broadcast onto the candidate
-    explode, so the only shuffle is the per-doc count."""
+    explode, so the only shuffle is the per-doc count. The oracle's
+    constant-bound ``range(1, 512)`` unfold is guarded by
+    tests/test_oracle_bounds.py (fails loudly at 80% of the bound)."""
     from ..llmdata.dedup import ngram_shingles
 
     t = load_tables(spark, sf_dir)

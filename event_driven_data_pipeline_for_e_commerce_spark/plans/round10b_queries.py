@@ -341,7 +341,9 @@ def q_doc_char_ngram_entropy_curve(spark, sf_dir):
     ROUND(c*log2(c)*1e6) BIGINT so the per-n entropy sum is an
     integer aggregation (the emb_kmeans_inertia integerization lever
     — no float merge-order sensitivity); the curve join runs on the
-    bounded 4-row frame."""
+    bounded 4-row frame. The oracle's constant-bound ``range(1,
+    1024)`` unfold is guarded by tests/test_oracle_bounds.py (fails
+    loudly at 80% of the bound, before silent truncation)."""
     t = load_tables(spark, sf_dir)
     docs = ensure_parallelism(t["documents"]).select(
         F.lower(F.trim(F.col("text"))).alias("nt")

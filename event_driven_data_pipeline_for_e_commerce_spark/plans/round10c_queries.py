@@ -69,7 +69,8 @@ def _o_cents():
         FROM pre, tot WHERE n1 < tot.n
     ),
     best AS (
-        SELECT * FROM obj ORDER BY q DESC, day LIMIT 1
+        SELECT * FROM obj
+        ORDER BY CAST(ROUND(q) AS DECIMAL(38,0)) DESC, day LIMIT 1
     )
     SELECT day AS split_day,
            CAST(n1 AS BIGINT) AS n_left,
@@ -95,7 +96,12 @@ def q_daily_revenue_best_split(spark, sf_dir):
     the objective, and the argmax all run on the CALENDAR-BOUNDED
     day frame (~2.4k rows — allowlisted bounded window; the argmax
     is ORDER BY objective LIMIT 1 with a day tie-break). Prefix
-    sums accumulate in DECIMAL(38,0)."""
+    sums accumulate in DECIMAL(38,0), and the argmax ORDERING KEY is
+    the objective integerized to DECIMAL(38,0) cents-squared
+    (ADVICE-r9: ordering on the raw double could flip a near-tie
+    between engines on a float ULP and change a whole output row;
+    candidates within half a cent-squared now fall through to the
+    exact day tie-break on BOTH engines)."""
     t = load_tables(spark, sf_dir)
     dec = "decimal(38,0)"
     d = t["orders"].groupBy(
@@ -132,7 +138,9 @@ def q_daily_revenue_best_split(spark, sf_dir):
             ).alias("q"),
         )
     )
-    best = obj.orderBy(F.desc("q"), "day").limit(1)
+    best = obj.orderBy(
+        F.round(F.col("q")).cast("decimal(38,0)").desc(), "day"
+    ).limit(1)
     ssd = F.col("ss").cast("double")
     return best.select(
         F.col("day").alias("split_day"),

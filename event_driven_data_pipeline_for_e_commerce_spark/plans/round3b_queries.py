@@ -2439,7 +2439,9 @@ def q_doc_compressibility_proxy(spark, sf_dir):
     Scale shape: the gram unfold is a map-side ``sequence`` +
     ``substr`` projection (one row per character — the same linear
     budget as tokenization); counts are one doc-keyed aggregation
-    with map-side distinct partials."""
+    with map-side distinct partials. The oracle's constant-bound
+    ``range(1, 1024)`` unfold is guarded by
+    tests/test_oracle_bounds.py (fails loudly at 80% of the bound)."""
     from ..operators.partitioning import ensure_parallelism
 
     t = load_tables(spark, sf_dir)

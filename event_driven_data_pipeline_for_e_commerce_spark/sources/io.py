@@ -109,6 +109,27 @@ def write_table(
     writer.parquet(path)
 
 
+def _split_top_level(schema: str) -> list[str]:
+    """Split a DDL schema string on TOP-LEVEL commas only (ADVICE-r9):
+    commas nested inside ``<...>`` (map/struct/array element types) or
+    ``(...)`` (``decimal(38,0)`` precision args) belong to one field,
+    so ``a map<string,int>, b decimal(10,2)`` yields exactly two
+    tokens instead of the garbage a naive ``str.split`` produced."""
+    fields: list[str] = []
+    depth = 0
+    start = 0
+    for pos, ch in enumerate(schema):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:pos])
+            start = pos + 1
+    fields.append(schema[start:])
+    return fields
+
+
 def _quarantine_schema(schema: str, corrupt_col: str) -> str:
     """Validate a caller DDL schema and append the corrupt-record
     column. Raises clearly (instead of a confusing Spark analysis
@@ -122,7 +143,11 @@ def _quarantine_schema(schema: str, corrupt_col: str) -> str:
             f"{type(schema).__name__}; render a StructType with "
             ".simpleString()/toDDL first"
         )
-    fields = [f.split()[0].strip("`").lower() for f in schema.split(",") if f.strip()]
+    fields = [
+        f.split()[0].strip("`").lower()
+        for f in _split_top_level(schema)
+        if f.strip()
+    ]
     if corrupt_col.lower() in fields:
         raise ValueError(
             f"schema already contains the corrupt-record column "

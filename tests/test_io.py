@@ -252,3 +252,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(read_parquet_evolving(spark, p).columns) == {"id", "name", "score"}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 9.5
+
+
+def test_quarantine_schema_nested_types(spark, tmp_path):
+    """ADVICE-r9: the duplicate-column guard splits the DDL on
+    TOP-LEVEL commas only, so map/struct element types and
+    decimal(p,s) args don't produce garbage field tokens — the guard
+    still fires on a real collision and stays silent without one."""
+    import pytest
+    from event_driven_data_pipeline_for_e_commerce_spark.sources.io import (
+        _split_top_level,
+        read_jsonl_quarantine,
+    )
+
+    ddl = (
+        "doc_id bigint, props map<string,int>, "
+        "geo struct<lat:double,lon:double>, amt decimal(10,2)"
+    )
+    assert [f.split()[0] for f in _split_top_level(ddl)] == [
+        "doc_id", "props", "geo", "amt",
+    ]
+    # collision hidden AFTER a nested type still raises
+    with pytest.raises(ValueError, match="corrupt-record column"):
+        read_jsonl_quarantine(
+            spark,
+            str(tmp_path / "x.jsonl"),
+            "props map<string,int>, _corrupt_record string",
+        )
+    # nested types alone pass the guard and read end to end
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "props": {"a": 2}}\nnot json\n')
+    good, bad = read_jsonl_quarantine(
+        spark, str(p), "doc_id bigint, props map<string,int>"
+    )
+    assert good.collect()[0]["props"] == {"a": 2}
+    assert bad.count() == 1

@@ -100,3 +100,34 @@ def test_zvalue_three_dims_bijective(spark):
     )
     assert z.distinct().count() == 4096
     assert z.agg(F.max("z")).collect()[0][0] == 4095
+
+
+def test_zvalue_bit_budget_guard():
+    """ADVICE-r9: bits * len(cols) past the 63 usable signed-64 bits
+    raises instead of silently overflowing the shift literal."""
+    import pytest
+
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zvalue([F.col("a"), F.col("b")], bits=32)
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zvalue([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+    # 2 x 31 = 62 bits still fits
+    zvalue([F.col("a"), F.col("b")], bits=31)
+
+
+def test_zvalue_negative_inputs_fold_into_domain(spark):
+    """ADVICE-r9: negative inputs pmod-fold into [0, 2**bits) — the
+    z-value equals that of the folded non-negative twin, never a
+    sign-corrupted code."""
+    df = spark.createDataFrame(
+        [(-1, 3), (-16, 5), (-255, 0)], "x long, y long"
+    )
+    got = df.select(
+        zvalue([F.col("x"), F.col("y")], bits=4).alias("z"),
+        zvalue(
+            [F.pmod(F.col("x"), F.lit(16)), F.col("y")], bits=4
+        ).alias("z_folded"),
+    )
+    rows = got.collect()
+    assert all(r["z"] == r["z_folded"] for r in rows)
+    assert all(0 <= r["z"] < 256 for r in rows)
