@@ -53,15 +53,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # customer_churn_logrank_by_segment, doc_quality_dup_auc,
 # repeat_gap_ks_exponential). After these 16 rows land green, the
 # corpus is 425/425 driver-checked cumulatively.
-# (c) next positions: ROUND-10 NEW registrations (see the round-10
-# plan files' rotation entries below), each strict-checked green
-# twice at sf0.01 + once at sf0.1 at birth, portable oracles
-# parity-pinned at birth (the standing pin-at-birth protocol).
-# (d) remaining slots to 50: staleness re-checks of older greens
-# (the head of _PRIOR_GREEN below) — led by the four
-# constant-bound-oracle queries that got loud bound guards this
-# round, then one pick per family, avoiding names the r9 judge
-# already spot-checked.
+# (c) positions 17-26: the 10 ROUND-10 NEW registrations
+# (plans/round11_queries.py): daily_revenue_ordercount_spearman,
+# order_priority_value_gamma, orders_poisson_bootstrap_ci,
+# daily_revenue_periodogram, quantity_discount_cramers_v,
+# event_markov_stationary, emb_triplet_margin_stats,
+# supplier_graph_nation_modularity, doc_train_test_js_divergence,
+# event_hour_circular_stats — ten genuinely new capability classes
+# (rank correlation, ordinal association, resampling CI, spectral,
+# Markov steady state, metric-learning geometry, graph modularity,
+# symmetric split divergence, chi-square effect size, circular
+# statistics), each strict-checked green twice at sf0.01 + once at
+# sf0.1 at birth; the 8 portable oracles parity-pinned at birth, the
+# 2 non-portable (list_dot_product / unnest+regex-split) tagged in
+# the NONPORTABLE inventory in the same commit.
+# (d) positions 27-50: staleness re-checks of older greens (the head
+# of _PRIOR_GREEN below) — led by the four constant-bound-oracle
+# queries that got loud bound guards this round, then one pick per
+# family, avoiding names the r9 judge already spot-checked.
+#
+# ROUND-10 BENCH NOTE (VERDICT-r9 task 2, probe normalization):
+# bench.py now records cpu_probe_s_pre (before warm-up) AND
+# cpu_probe_s (after the timed loop). Round-10 session run vs the r9
+# record on the 55 common headline queries: raw 80.55s vs 68.67s =
+# 1.17x, but the probe bracket was 0.459-0.547s vs r9's 0.402s —
+# probe ratio 1.25x (this box ran 25% slower this session) — so the
+# PROBE-NORMALIZED like-for-like ratio is 0.94x: no regression, a
+# slight improvement. The r9 watch-list trio all improved even RAW:
+# emb_pq_rank_displacement 1.57->1.10s (0.70x raw / 0.56x
+# normalized), emb_mmr_diversified_topk 1.23->1.14s (0.93x/0.74x),
+# bloom_prefilter_audit 0.66->0.62s (0.93x/0.74x) — nothing left
+# >1.3x, no profiling needed. ALSO FIXED: the driver records only
+# the last 2000 chars of bench stdout, and r9's 55-query JSON line
+# outgrew it (BENCH_r09.json parsed=None; r9 numbers above were
+# reconstructed from the recorded tail fragment). bench.py now
+# writes the FULL payload to BENCH_FULL_LATEST.json (committed) and
+# prints a tail-fitted final line (heaviest queries kept, explicit
+# queries_omitted count + pointer) so the official record can never
+# be truncation-nulled again.
 #
 # PARITY PARTITION (final enforced counts, VERDICT-r9 "what's wrong"
 # item 3): the NONPORTABLE burn-down notes in prior rounds quoted

@@ -118,6 +118,14 @@ HEADLINE = [
     # the benched Mann-Whitney)
     "doc_dedup_family_agreement_survivors",
     "order_value_priority_kruskal_wallis",
+    # round-10 verdict (task 6): cost-track the heaviest round-10
+    # staged shapes before they hit the driver window — the k-sweep
+    # (4 full assignment passes over the corpus), the degree
+    # assortativity (supplier-part bipartite moments), and the char
+    # n-gram entropy curve (4 linear gram unfolds)
+    "emb_kmeans_k_sweep_inertia",
+    "supplier_part_degree_assortativity",
+    "doc_char_ngram_entropy_curve",
 ]
 
 
@@ -149,6 +157,22 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
+
+    # Environment calibration (VERDICT-r9 task 2): this box's
+    # effective CPU speed swings 1.5-3x between runs AND mid-session
+    # (hypervisor noise — an identical fixed single-thread loop took
+    # 0.8s and 2.3s an hour apart). Record a fixed-work probe BEFORE
+    # the warm-up and again AFTER the timed loop so cross-round
+    # comparisons can bracket the drift instead of misreading it as a
+    # plan regression.
+    def _cpu_probe() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        return round(time.perf_counter() - t0, 4)
+
+    probe_pre = _cpu_probe()
 
     # Warm-up: run every headline query once at the smallest SF so the
     # timed runs measure steady-state engine throughput, not one-time
@@ -187,19 +211,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
-    # Environment calibration: this box's effective CPU speed swings
-    # by 1.5-3x between runs (hypervisor noise — measured 2026-08-16:
-    # an identical fixed single-thread loop took 0.8s and 2.3s an
-    # hour apart, and identical-code bench totals moved 1.2-1.7x).
-    # Record a fixed-work probe with every bench line so cross-round
-    # comparisons can be normalized instead of misread as plan
-    # regressions.
-    def _cpu_probe() -> float:
-        t0 = time.perf_counter()
-        s = 0
-        for i in range(10_000_000):
-            s += i
-        return round(time.perf_counter() - t0, 4)
+    probe_post = _cpu_probe()
 
     payload = {
         "metric": "headline_queries_total",
@@ -207,18 +219,52 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "cpu_probe_s": _cpu_probe(),
+        # cpu_probe_s keeps the r9 semantics (measured after the
+        # timed loop) so BENCH_r09's single field stays comparable;
+        # cpu_probe_s_pre brackets the session from the other side.
+        "cpu_probe_s": probe_post,
+        "cpu_probe_s_pre": probe_pre,
         "stream_events_per_sec": 0.0,
         "stream_foreachbatch_rows_per_sec": 0.0,
     }
     if failed:
         payload["failed_queries"] = failed
+    # The driver records only the LAST 2000 characters of stdout and
+    # parses the final JSON line out of that tail. Round 9's line
+    # outgrew the tail (55 query names alone are ~1700 chars), so the
+    # official BENCH_r09 record came back parsed=None. Two-layer fix:
+    # the FULL payload is written to BENCH_FULL_LATEST.json (committed
+    # with the round), and the PRINTED line self-truncates its
+    # "queries" map to the heaviest entries that keep the line under
+    # the tail budget, with an explicit omitted-count + pointer.
+    def _tail_fit(p: dict, budget: int = 1900) -> dict:
+        fitted = dict(p)
+        fitted["queries"] = {
+            k: round(v, 2) for k, v in p["queries"].items()
+        }
+        fitted["queries_full"] = "BENCH_FULL_LATEST.json"
+        by_cost = sorted(
+            fitted["queries"], key=fitted["queries"].get, reverse=True
+        )
+        keep = len(by_cost)
+        while keep > 0:
+            fitted["queries"] = {
+                k: round(p["queries"][k], 2) for k in by_cost[:keep]
+            }
+            fitted["queries_omitted"] = len(by_cost) - keep
+            if len(json.dumps(fitted)) <= budget:
+                break
+            keep -= 1
+        return fitted
+
+    with open(os.path.join(REPO, "BENCH_FULL_LATEST.json"), "w") as fh:
+        json.dump(payload, fh)
     # Emit the query timings BEFORE the streaming measure so a failure
     # or wall-clock kill during the 15-second stream phase can never
     # wipe the already-measured numbers (round-2 lesson: the official
     # bench record came back empty because the stream phase outlived
     # the driver).
-    print(json.dumps(payload), flush=True)
+    print(json.dumps(_tail_fit(payload)), flush=True)
     # The streaming measure runs in a SUBPROCESS with its own
     # SparkSession: round 2 and round 4 both lost their official bench
     # record to the state-store checkpoint-commit abort spewing JVM
@@ -239,14 +285,17 @@ def main() -> None:
         )
     except Exception:
         pass
+    with open(os.path.join(REPO, "BENCH_FULL_LATEST.json"), "w") as fh:
+        json.dump(payload, fh)
     try:
         spark.stop()
     finally:
         # The driver parses the output TAIL, so the payload must be
         # the absolute last line — re-printed after spark.stop() in a
         # finally: so no shutdown spew can bury the record
-        # (VERDICT r4 #2).
-        print(json.dumps(payload), flush=True)
+        # (VERDICT r4 #2) — and tail-fitted so the line survives the
+        # 2000-char tail cut (the r9 lesson above).
+        print(json.dumps(_tail_fit(payload)), flush=True)
 
 
 def _stream_throughput_subprocess(mode: str = "--stream-only") -> float:

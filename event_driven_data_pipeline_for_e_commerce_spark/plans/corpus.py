@@ -1938,3 +1938,8 @@ from . import round10b_queries  # noqa: E402,F401
 # round-10-staged additions, part 2: changepoint split, Laspeyres
 # index, log-rank survival test, quality-dup AUC, KS exponentiality
 from . import round10c_queries  # noqa: E402,F401
+
+# round-10 NEW additions: Spearman, GK gamma, Poisson-bootstrap CI,
+# periodogram, Cramér's V (+ part 2: Markov stationary distribution,
+# triplet margins, modularity, JS divergence, circular stats)
+from . import round11_queries  # noqa: E402,F401

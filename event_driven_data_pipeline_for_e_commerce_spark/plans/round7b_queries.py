@@ -1069,7 +1069,12 @@ def q_doc_dedup_family_agreement(spark, sf_dir):
     SimHash dominates because its candidate OUTPUT is quadratic in
     the true near-dup classes of the mass-duplicated testdata corpus
     — 777k pairs from 5k docs, see simhash_near_duplicates docstring;
-    irreducible for the contract as specified).
+    irreducible for the contract as specified). Under byte-dup mass
+    this audit form is the EXPENSIVE one: with 40% verbatim
+    duplicates injected, scripts/ab_family_agreement_dupmass.py
+    measures it at 8.180s vs 4.901s for the survivor-contracted
+    form (1.67x) — run this form to VALIDATE detectors,
+    doc_dedup_family_agreement_survivors to OPERATE them.
     """
     from ..llmdata.dedup import (
         _minhash_agg_hashed,

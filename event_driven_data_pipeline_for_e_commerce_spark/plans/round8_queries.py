@@ -623,11 +623,14 @@ def q_doc_sentence_dedup_rate(spark, sf_dir):
 
 
 ORACLES["doc_sentence_dedup_rate"] = """
-    WITH s AS (
-        SELECT source, md5(t.sent) AS h
-        FROM documents,
-             UNNEST(string_split(text, '. ')) AS t(sent)
-        WHERE text IS NOT NULL AND length(t.sent) >= 20
+    WITH sp AS (
+        SELECT d.source, split_part(d.text, '. ', CAST(t.i AS INT)) AS sent
+        FROM documents d, range(1, 32) t(i)
+        WHERE d.text IS NOT NULL AND t.i <= (length(d.text)
+              - length(replace(d.text, '. ', ''))) / 2 + 1
+    ),
+    s AS (
+        SELECT source, md5(sent) AS h FROM sp WHERE length(sent) >= 20
     )
     SELECT source,
            COUNT(*) AS n_sentences,

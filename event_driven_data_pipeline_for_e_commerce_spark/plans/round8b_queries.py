@@ -1343,11 +1343,15 @@ def q_doc_boilerplate_sentences(spark, sf_dir):
 
 
 ORACLES["doc_boilerplate_sentences"] = """
-    WITH s AS (
-        SELECT source, md5(t.sent) AS h, length(t.sent) AS sent_len
-        FROM documents,
-             UNNEST(string_split(text, '. ')) AS t(sent)
-        WHERE text IS NOT NULL AND length(t.sent) >= 20
+    WITH sp AS (
+        SELECT d.source, split_part(d.text, '. ', CAST(t.i AS INT)) AS sent
+        FROM documents d, range(1, 32) t(i)
+        WHERE d.text IS NOT NULL AND t.i <= (length(d.text)
+              - length(replace(d.text, '. ', ''))) / 2 + 1
+    ),
+    s AS (
+        SELECT source, md5(sent) AS h, length(sent) AS sent_len
+        FROM sp WHERE length(sent) >= 20
     ),
     g AS (
         SELECT h,

@@ -1,6 +1,6 @@
 """Constant-bound oracle guards (ADVICE-r9).
 
-Five corpus oracles replace a computed-bound series with a constant-
+Seven corpus oracles replace a computed-bound series with a constant-
 bound ``range(a, b) t(i)`` (the two-engine portability lever —
 neither engine allows subqueries inside TVF arguments):
 
@@ -9,6 +9,8 @@ neither engine allows subqueries inside TVF arguments):
 * ``doc_contamination_overlap``   — ``range(1, 512)``  word 5-grams
 * ``doc_char_ngram_entropy_curve``— ``range(1, 1024)`` char n-grams
 * ``doc_compressibility_proxy``   — ``range(1, 1024)`` char 4-grams
+* ``doc_sentence_dedup_rate``     — ``range(1, 32)``   sentences
+* ``doc_boilerplate_sentences``   — ``range(1, 32)``   sentences
 
 The Spark side uses TRUE length-derived sequences, so if the document
 generator's ~600-char cap ever grows past a bound, the ORACLE silently
@@ -35,6 +37,7 @@ from event_driven_data_pipeline_for_e_commerce_spark.plans import corpus
 FRAME_BOUND = 64  # video_frame_grid: range(0, 64), i = frame index
 WORD_SERIES_BOUND = 512  # repetition/contamination: range(1, 512)
 CHAR_SERIES_BOUND = 1024  # entropy curve / compressibility: range(1, 1024)
+SENT_SERIES_BOUND = 32  # sentence dedup/boilerplate: range(1, 32)
 HEADROOM = 0.8  # fail when the observed max passes 80% of a bound
 
 _SF_DIRS = sorted(glob.glob("/root/testdata/sf*"))
@@ -48,12 +51,19 @@ def _doc_maxima(sf_dir: str) -> dict[str, int]:
         SELECT MAX(n_chars) AS max_n_chars,
                MAX(length(text) - length(replace(text, ' ', '')) + 1)
                    AS max_n_toks,
-               MAX(length(lower(trim(text)))) AS max_len
+               MAX(length(lower(trim(text)))) AS max_len,
+               MAX((length(text) - length(replace(text, '. ', ''))) / 2 + 1)
+                   AS max_n_sents
         FROM read_parquet('{path}')
         """
     ).fetchone()
     con.close()
-    return {"max_n_chars": row[0], "max_n_toks": row[1], "max_len": row[2]}
+    return {
+        "max_n_chars": row[0],
+        "max_n_toks": row[1],
+        "max_len": row[2],
+        "max_n_sents": int(row[3]),
+    }
 
 
 @pytest.fixture(scope="module", params=_SF_DIRS)
@@ -95,6 +105,18 @@ def test_char_series_bound_headroom(maxima):
     )
 
 
+def test_sentence_series_bound_headroom(maxima):
+    # sentence dedup/boilerplate need i up to the per-doc sentence
+    # count; range(1, 32) covers i = 1..31.
+    need = maxima["max_n_sents"]
+    assert need <= HEADROOM * (SENT_SERIES_BOUND - 1), (
+        f"doc_sentence_dedup_rate/doc_boilerplate_sentences oracles "
+        f"need series index {need} but range(1, {SENT_SERIES_BOUND}) "
+        f"caps at {SENT_SERIES_BOUND - 1}; raise the bound AND this "
+        "guard"
+    )
+
+
 def test_guard_pins_oracle_literals():
     """Editing a bound in the oracle SQL without updating this guard
     (or vice versa) must fail here, not silently drift."""
@@ -104,3 +126,5 @@ def test_guard_pins_oracle_literals():
     assert f"range(1, {WORD_SERIES_BOUND})" in o["doc_contamination_overlap"]
     assert f"range(1, {CHAR_SERIES_BOUND})" in o["doc_char_ngram_entropy_curve"]
     assert f"range(1, {CHAR_SERIES_BOUND})" in o["doc_compressibility_proxy"]
+    assert f"range(1, {SENT_SERIES_BOUND})" in o["doc_sentence_dedup_rate"]
+    assert f"range(1, {SENT_SERIES_BOUND})" in o["doc_boilerplate_sentences"]

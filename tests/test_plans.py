@@ -411,6 +411,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "customer_churn_logrank_by_segment": "gap-day grain (two at-risk "
     "depletion windows over the bounded gap-day frame, the "
     "customer_survival_km class)",
+    "daily_revenue_ordercount_spearman": "calendar-day grain (midrank "
+    "windows over the bounded day series)",
+    "daily_revenue_periodogram": "calendar-day grain (row_number day "
+    "index over the bounded day series)",
 }
 
 

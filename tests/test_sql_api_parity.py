@@ -2,8 +2,8 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 297 of
-the 425 ANALYZE VERBATIM on Spark SQL and 295 of those are row-equal
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 307 of
+the 435 ANALYZE VERBATIM on Spark SQL and 305 of those are row-equal
 to the DataFrame implementation at sf0.001. Every one of the 128
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 249-query subset and requires exact row-level
+pins a diverse 259-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 76
+reference can bring their queries over unchanged. All 84
 round-8/round-9/round-10 registrations with portable oracles were
 pinned in the same round that registered them (VERDICT r7 #4 —
 pinned at birth).
@@ -45,7 +45,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 295 verbatim-portable row-equal
+# Diverse pinned subset of the 305 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -235,6 +235,22 @@ PORTABLE = [
     # Laspeyres index, log-rank test, KS exponentiality
     "daily_revenue_best_split", "part_price_laspeyres_index",
     "customer_churn_logrank_by_segment", "repeat_gap_ks_exponential",
+    # round-10 NEW registrations (pinned at birth): Spearman midranks,
+    # GK gamma (STRING cast — both engines), Poisson-bootstrap CI
+    # (constant-bound range + shared percentile_cont), periodogram,
+    # Cramér's V
+    "daily_revenue_ordercount_spearman", "order_priority_value_gamma",
+    "orders_poisson_bootstrap_ci", "daily_revenue_periodogram",
+    "quantity_discount_cramers_v",
+    # round-10 NEW part 2 (pinned at birth): unrolled power-iteration
+    # CTE chain, shared-part graph modularity, circular stats
+    "event_markov_stationary", "supplier_graph_nation_modularity",
+    "event_hour_circular_stats",
+    # round-10 NONPORTABLE burn-down: literal sentence split rewritten
+    # to constant-bound range(1, 32) + split_part (1-based in BOTH
+    # engines) with a sentence-count filter; verified output-identical
+    # in DuckDB before/after at sf0.01 AND sf0.1
+    "doc_sentence_dedup_rate", "doc_boilerplate_sentences",
 ]
 
 
@@ -296,7 +312,6 @@ NONPORTABLE = {
     "doc_bigram_lm_score": "string_split_regex+regex-class+computed-series+list-index",
     "doc_bpe_pair_merges": "string_split_regex+regex-class+computed-series",
     "doc_chunks": "computed-series+floor-div",
-    "doc_boilerplate_sentences": "string_split_regex",
     "doc_containment_pairs": "string_split_regex+regex-class+computed-series+list-index",
     "doc_contamination_by_split": "computed-series+floor-div",
     "doc_curriculum_phases": "string_split_regex+regex-class+list-index+floor-div",
@@ -326,7 +341,6 @@ NONPORTABLE = {
     "doc_quality_scores": "string_split_regex+regex-class+list-index",
     "doc_quality_vs_dup_class": "string_split_regex+regex-class+list-index",
     "doc_segment_dedup": "string_split_regex+regex-class+computed-series+list-index+floor-div",
-    "doc_sentence_dedup_rate": "string_split_regex+regex-class",
     "doc_token_position_entropy": "string_split_regex+computed-series",
     "doc_sentence_stats": "string_split_regex+regex-class+computed-series+list-index",
     "doc_sequence_pack": "string_split_regex+regex-class+floor-div",
@@ -414,6 +428,8 @@ NONPORTABLE = {
     "user_peak_event_rate": "epoch+floor-div",
     "user_value_twap": "epoch",
     "view_click_pairs_2h": "ts-diff",
+    "emb_triplet_margin_stats": "list-type+list_dot_product",
+    "doc_train_test_js_divergence": "string_split_regex+regex-class+unnest",
 }
 
 
