@@ -244,3 +244,274 @@ def test_lag1_autocorr_matches_pandas(spark, orders):
     assert r["n_pairs"] == len(p)
     assert r["n_customers_multi"] == p["o_custkey"].nunique()
     assert abs(r["lag1_pearson_r"] - rho) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: Spearman, GK gamma, Poisson bootstrap, periodogram,
+# Markov stationary, modularity, JS divergence, circular stats, triplet
+# margins, Cramér's V
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    return pd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_spearman_matches_pandas(spark, orders):
+    """pandas' own Spearman (average-rank + Pearson) vs the engines'
+    integer-midrank formulation."""
+    r = _row(QUERIES["daily_revenue_ordercount_spearman"](spark, SF))
+    d = orders.groupby("day").agg(
+        cents=("cents", "sum"), n_orders=("cents", "size")
+    )
+    rho = float(
+        d["cents"]
+        .rank(method="average")
+        .corr(d["n_orders"].rank(method="average"))
+    )
+    assert r["n_days"] == len(d)
+    assert abs(r["spearman_rho"] - rho) < 1e-5
+
+
+def test_gk_gamma_matches_numpy_pairs(spark, orders):
+    """Literal O(n^2) pairwise concordance over RAW ROWS (the engines
+    count from the contingency cells)."""
+    r = _row(QUERIES["order_priority_value_gamma"](spark, SF))
+    pri = orders["o_orderpriority"].str[0].astype(int).to_numpy()
+    band = orders["cents"].astype(str).str.len().to_numpy()
+    sp = np.sign(pri[:, None] - pri[None, :])
+    sb = np.sign(band[:, None] - band[None, :])
+    prod = sp * sb
+    conc = int((prod > 0).sum()) // 2
+    disc = int((prod < 0).sum()) // 2
+    assert r["concordant_pairs"] == conc
+    assert r["discordant_pairs"] == disc
+    assert abs(r["gk_gamma"] - (conc - disc) / (conc + disc)) < 1e-6
+
+
+def test_poisson_bootstrap_matches_numpy(spark, orders):
+    """Replicate the deterministic hash-weight stream and the replicate
+    means in numpy; np.percentile(linear) is the same interpolation as
+    percentile_cont."""
+    r = _row(QUERIES["orders_poisson_bootstrap_ci"](spark, SF))
+    ok = orders["o_orderkey"].to_numpy().astype(np.int64)
+    cents = orders["cents"].to_numpy().astype(np.float64)
+    T = [367879, 735759, 919699, 981012, 996340]
+    means = []
+    for b in range(64):
+        u = ((ok % 1000003) * 2654435761 + b * 40503) % 1000000
+        w = np.select(
+            [u < T[0], u < T[1], u < T[2], u < T[3], u < T[4]],
+            [0, 1, 2, 3, 4],
+            5,
+        )
+        means.append(float((w * cents).sum() / w.sum()))
+    lo, hi = np.percentile(means, [2.5, 97.5])
+    assert r["n_orders"] == len(ok)
+    assert r["n_replicates"] == 64
+    assert abs(r["mean_cents"] - cents.mean()) < 0.011
+    assert abs(r["ci_lo_cents"] - lo) < 0.011
+    assert abs(r["ci_hi_cents"] - hi) < 0.011
+
+
+def test_periodogram_matches_numpy(spark, orders):
+    """Direct numpy cos/sin dot products on the day series (no per-row
+    integerization)."""
+    rows = {
+        r["period_days"]: r
+        for r in QUERIES["daily_revenue_periodogram"](spark, SF).collect()
+    }
+    d = orders.groupby("day")["cents"].sum().sort_index().to_numpy(float)
+    t = np.arange(1, len(d) + 1, dtype=float)
+    for p in (7, 14, 30, 91, 365):
+        th = 2 * np.pi * t / p
+        amp = (
+            2
+            * np.hypot((d * np.cos(th)).sum(), (d * np.sin(th)).sum())
+            / d.sum()
+        )
+        assert abs(rows[p]["amplitude_share"] - amp) < 1e-4, p
+
+
+def test_markov_stationary_matches_numpy(spark, events):
+    """Replicate the 8 requantized power iterations with a numpy
+    matrix product; also sanity-check v8 against the true stationary
+    eigenvector (the chain mixes fast)."""
+    rows = {
+        r["state"]: r
+        for r in QUERIES["event_markov_stationary"](spark, SF).collect()
+    }
+    ev = events.sort_values(["user_id", "ts", "event_id"]).copy()
+    ev["dst"] = ev.groupby("user_id")["event_type"].shift(-1)
+    pairs = ev.dropna(subset=["dst"])
+    cells = pairs.groupby(["event_type", "dst"]).size()
+    states = sorted(cells.index.get_level_values(0).unique())
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    P = np.zeros((k, k))
+    for (s, d), c in cells.items():
+        if d in idx:
+            P[idx[s], idx[d]] = c
+    P = P / P.sum(axis=1, keepdims=True)
+    v = np.full(k, 1.0 / k)
+    for _ in range(8):
+        v = np.round(v @ P, 12)
+    for s in states:
+        assert abs(rows[s]["stationary_prob"] - v[idx[s]]) < 1e-6, s
+    # convergence sanity: v8 is near the true left eigenvector
+    w, vecs = np.linalg.eig(P.T)
+    pi = np.real(vecs[:, np.argmin(np.abs(w - 1))])
+    pi = pi / pi.sum()
+    assert np.abs(v - pi).max() < 0.02
+
+
+def test_modularity_matches_numpy(spark, lineitem):
+    """Rebuild the shared-part supplier graph with pandas merges and
+    compute Newman Q directly."""
+    r = _row(QUERIES["supplier_graph_nation_modularity"](spark, SF))
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    sp = lineitem[["l_suppkey", "l_partkey"]].drop_duplicates()
+    e = sp.merge(sp, on="l_partkey", suffixes=("_a", "_b"))
+    e = e[e["l_suppkey_a"] < e["l_suppkey_b"]][
+        ["l_suppkey_a", "l_suppkey_b"]
+    ].drop_duplicates()
+    m = len(e)
+    nat = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    deg = (
+        pd.concat([e["l_suppkey_a"], e["l_suppkey_b"]])
+        .value_counts()
+        .rename_axis("s")
+        .reset_index(name="d")
+    )
+    deg["c"] = deg["s"].map(nat)
+    dc = deg.groupby("c")["d"].sum()
+    ca = e["l_suppkey_a"].map(nat)
+    cb = e["l_suppkey_b"].map(nat)
+    mcc = ca[ca == cb].value_counts()
+    q = sum(
+        float(mcc.get(c, 0)) / m - (float(dc[c]) * 0.5 / m) ** 2
+        for c in dc.index
+    )
+    assert r["n_edges"] == m
+    assert r["n_communities"] == len(dc)
+    assert abs(r["modularity"] - q) < 1e-5
+
+
+def test_js_divergence_matches_numpy(spark, documents):
+    """Counter-based token distributions + direct numpy JS."""
+    r = _row(QUERIES["doc_train_test_js_divergence"](spark, SF))
+    docs = documents.copy()
+    docs["toks"] = docs["text"].str.lower().str.strip().str.split()
+    is_train = (docs["doc_id"] % 10 < 8).to_numpy()
+    from collections import Counter
+
+    cp, cq = Counter(), Counter()
+    for toks, tr in zip(docs["toks"], is_train):
+        (cp if tr else cq).update(toks)
+    vocab = sorted(set(cp) | set(cq))
+    p = np.array([cp.get(t, 0) for t in vocab], float)
+    q = np.array([cq.get(t, 0) for t in vocab], float)
+    np_, nq_ = p.sum(), q.sum()
+    p, q = p / np_, q / nq_
+    m = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        js = 0.5 * np.nansum(
+            np.where(p > 0, p * np.log2(p / m), 0.0)
+        ) + 0.5 * np.nansum(np.where(q > 0, q * np.log2(q / m), 0.0))
+    assert r["n_train_tokens"] == int(np_)
+    assert r["n_test_tokens"] == int(nq_)
+    assert r["shared_vocab"] == int(((p > 0) & (q > 0)).sum())
+    assert abs(r["js_bits"] - js) < 1e-4
+
+
+def test_circular_stats_match_numpy(spark, events):
+    """Complex-exponential formulation: R = |sum(e^{i theta})|/n,
+    mean hour from the argument — vs the engines' integerized
+    cos/sin sums + atan2."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["event_hour_circular_stats"](spark, SF).collect()
+    }
+    ev = events.copy()
+    sec = (
+        ev["ts"].dt.hour * 3600 + ev["ts"].dt.minute * 60 + ev["ts"].dt.second
+    )
+    ev["theta"] = 2 * np.pi * sec / 86400
+    for et, g in ev.groupby("event_type"):
+        z = np.exp(1j * g["theta"].to_numpy()).sum()
+        n = len(g)
+        r_len = abs(z) / n
+        mean_hour = (np.angle(z) % (2 * np.pi)) / (2 * np.pi) * 24
+        assert rows[et]["n_events"] == n
+        assert abs(rows[et]["resultant_r"] - r_len) < 1e-4, et
+        assert abs(rows[et]["mean_hour"] - mean_hour) < 1e-3, et
+
+
+def test_triplet_margins_match_numpy(spark, embeddings):
+    """Rebuild the deterministic triplets in pandas and the cosine
+    margins in vectorized numpy."""
+    r = _row(QUERIES["emb_triplet_margin_stats"](spark, SF))
+    emb = embeddings.sort_values(["label", "vec_id"]).copy()
+    emb["pos_id"] = emb.groupby("label")["vec_id"].shift(-1)
+    vec = {
+        int(i): np.asarray(v, float)
+        for i, v in zip(embeddings["vec_id"], embeddings["embedding"])
+    }
+    lab = dict(zip(embeddings["vec_id"].astype(int), embeddings["label"]))
+    margins = []
+    for _, row in emb.iterrows():
+        a = int(row["vec_id"])
+        if a % 4 != 0 or pd.isna(row["pos_id"]):
+            continue
+        pos, neg = int(row["pos_id"]), a + 17
+        if neg not in vec or lab[neg] == row["label"]:
+            continue
+
+        def cos(x, y):
+            return float(
+                np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+            )
+
+        margins.append(cos(vec[a], vec[pos]) - cos(vec[a], vec[neg]))
+    m_e6 = np.rint(np.array(margins) * 1e6)
+    assert r["n_triplets"] == len(margins)
+    assert abs(r["mean_margin"] - m_e6.sum() / (len(m_e6) * 1e6)) < 1e-6
+    assert abs(r["violation_rate"] - (m_e6 < 0).mean()) < 1e-4
+    assert abs(r["p10_margin"] - np.percentile(m_e6, 10) / 1e6) < 1e-5
+    assert abs(r["p90_margin"] - np.percentile(m_e6, 90) / 1e6) < 1e-5
+
+
+def test_cramers_v_matches_numpy(spark, lineitem):
+    """Observed-cell chi-square (the documented semantics) from a
+    pandas crosstab."""
+    r = _row(QUERIES["quantity_discount_cramers_v"](spark, SF))
+    q = np.rint(lineitem["l_quantity"]).astype(int)
+    d = np.rint(lineitem["l_discount"] * 100).astype(int)
+    cells = pd.crosstab(q, d)
+    n = int(cells.values.sum())
+    rq = cells.sum(axis=1)
+    cd = cells.sum(axis=0)
+    chi = 0.0
+    for qi in cells.index:
+        for di in cells.columns:
+            o = cells.loc[qi, di]
+            if o > 0:
+                e = float(rq[qi]) * float(cd[di]) / n
+                chi += (o - e) ** 2 / e
+    v = np.sqrt(chi / (n * (min(len(rq), len(cd)) - 1)))
+    assert r["n_lines"] == n
+    assert r["n_quantity_levels"] == len(rq)
+    assert r["n_discount_levels"] == len(cd)
+    assert abs(r["chi_square"] - chi) < 1e-3
+    assert abs(r["cramers_v"] - v) < 1e-5
