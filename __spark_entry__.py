@@ -53,31 +53,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # customer_churn_logrank_by_segment, doc_quality_dup_auc,
 # repeat_gap_ks_exponential). After these 16 rows land green, the
 # corpus is 425/425 driver-checked cumulatively.
-# (c) positions 17-26: the 10 ROUND-10 NEW registrations
-# (plans/round11_queries.py): daily_revenue_ordercount_spearman,
+# (c) positions 17-30: the 14 ROUND-10 NEW registrations
+# (plans/round11_queries.py + round11b_queries.py):
+# daily_revenue_ordercount_spearman,
 # order_priority_value_gamma, orders_poisson_bootstrap_ci,
 # daily_revenue_periodogram, quantity_discount_cramers_v,
 # event_markov_stationary, emb_triplet_margin_stats,
 # supplier_graph_nation_modularity, doc_train_test_js_divergence,
-# event_hour_circular_stats — ten genuinely new capability classes
-# (rank correlation, ordinal association, resampling CI, spectral,
-# Markov steady state, metric-learning geometry, graph modularity,
-# symmetric split divergence, chi-square effect size, circular
-# statistics), each strict-checked green twice at sf0.01 + once at
-# sf0.1 at birth; the 8 portable oracles parity-pinned at birth, the
-# 2 non-portable (list_dot_product / unnest+regex-split) tagged in
-# the NONPORTABLE inventory in the same commit.
-# (d) positions 27-50: staleness re-checks of older greens (the head
+# event_hour_circular_stats, daily_revenue_hurst_rs,
+# repeat_gap_weibull_fit, emb_intrinsic_dimension_2nn,
+# daily_revenue_ljung_box — fourteen genuinely new capability
+# classes (rank correlation, ordinal association, resampling CI,
+# spectral, Markov steady state, metric-learning geometry, graph
+# modularity, symmetric split divergence, chi-square effect size,
+# circular statistics, long-memory R/S, hazard-shape estimation,
+# manifold intrinsic dimension, portmanteau whiteness), each
+# strict-checked green twice at sf0.01 + once at sf0.1 at birth;
+# the 11 portable oracles parity-pinned at birth, the 3
+# non-portable (list_dot_product / unnest+regex-split) tagged in
+# the NONPORTABLE inventory in the same commits. Every one also has
+# an independent numpy/pandas reference test
+# (tests/test_stat_references.py) — the third-opinion layer.
+# (d) positions 31-50: staleness re-checks of older greens (the head
 # of _PRIOR_GREEN below) — led by the four constant-bound-oracle
 # queries that got loud bound guards this round, then one pick per
 # family, avoiding names the r9 judge already spot-checked.
 #
-# ROUND-10 FULL-CORPUS SWEEP: the ENTIRE 435-query corpus was
-# strict-checked in ONE sf0.01 sweep (scripts/strict_driver_check.py,
-# exact cell-value compare) late in round 10 — 435/435 ok, zero
-# errors — the r8/r9 bonus-sweep pattern repeated on the grown
-# corpus, so every registered query has a same-session exact-compare
-# pass at the driver's correctness SF under round-10 code.
+# ROUND-10 FULL-CORPUS SWEEPS: the growing corpus was strict-checked
+# in ONE sf0.01 sweep TWICE this round (scripts/strict_driver_check.py,
+# exact cell-value compare): 435/435 ok mid-round, then — after the
+# last 4 registrations and the plan-shape fixes — 439/439 distinct
+# queries ok in a final sweep (zero errors both times; the r8/r9
+# bonus-sweep pattern), so every registered query has a same-session
+# exact-compare pass at the driver's correctness SF under FINAL
+# round-10 code.
 #
 # ROUND-10 BENCH NOTE (VERDICT-r9 task 2, probe normalization):
 # bench.py now records cpu_probe_s_pre (before warm-up) AND
@@ -111,6 +120,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_nonportable_inventory_is_exact and restated in the README
 # parity paragraph in the same commit as any change. See that file's
 # docstring for the current split.
+# ROUND-11 ROTATION NOTE: after CORRECTNESS_r10 lands (expected
+# 50/50: 16 staged + 14 new + 20 staleness — closing the corpus to
+# 439/439 driver-checked cumulative), demote this head + the 16
+# formerly-staged + the 14 round-10 registrations to _PRIOR_GREEN and
+# build the r11 head from: (a) re-checks for any ADVICE-r10
+# code/oracle-touched greens, (b) new round-11 registrations (each
+# strict-checked twice at sf0.01 + once at sf0.1 at birth, portable
+# oracles pinned at birth), (c) staleness re-checks from the front of
+# _PRIOR_GREEN (rotate to families the r10 window did not re-touch).
+# There is NO staged backlog after round 10 — every registered query
+# will have a driver row, so the window budget is free for new work +
+# staleness rotation.
 _PRIORITY = (
     # round-10 code/oracle-touched re-check (ADVICE-r9 fix: argmax
     # ordering key integerized to DECIMAL(38,0) on both engines;

@@ -1943,3 +1943,7 @@ from . import round10c_queries  # noqa: E402,F401
 # periodogram, Cramér's V (+ part 2: Markov stationary distribution,
 # triplet margins, modularity, JS divergence, circular stats)
 from . import round11_queries  # noqa: E402,F401
+
+# round-10 NEW additions, part 3: Hurst R/S, Weibull gap fit, two-NN
+# intrinsic dimension, Ljung-Box whiteness
+from . import round11b_queries  # noqa: E402,F401

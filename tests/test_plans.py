@@ -415,6 +415,12 @@ _UNPARTITIONED_WINDOW_OK = {
     "windows over the bounded day series)",
     "daily_revenue_periodogram": "calendar-day grain (row_number day "
     "index over the bounded day series)",
+    "daily_revenue_hurst_rs": "calendar-day grain (day indexer; the "
+    "R/S windows are PARTITIONED by block-size and block)",
+    "repeat_gap_weibull_fit": "gap-day grain (cumulative rank over "
+    "the bounded distinct-gap frame, the customer_survival_km class)",
+    "daily_revenue_ljung_box": "calendar-day grain (14 LEAD lags + "
+    "moment windows over the bounded day series)",
 }
 
 

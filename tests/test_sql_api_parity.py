@@ -2,9 +2,9 @@
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
-The corpus oracles are written in ANSI-leaning DuckDB SQL; 307 of
-the 435 ANALYZE VERBATIM on Spark SQL and 305 of those are row-equal
-to the DataFrame implementation at sf0.001. Every one of the 128
+The corpus oracles are written in ANSI-leaning DuckDB SQL; 310 of
+the 439 ANALYZE VERBATIM on Spark SQL and 308 of those are row-equal
+to the DataFrame implementation at sf0.001. Every one of the 129
 non-analyzable oracles carries a per-query reason in NONPORTABLE
 below, and ``test_nonportable_inventory_is_exact`` keeps the
 partition honest both ways (an entry that starts analyzing, or a new
@@ -29,10 +29,10 @@ The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
 DuckDB keeps it) with no escape form both engines accept. This test
-pins a diverse 259-query subset and requires exact row-level
+pins a diverse 262-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
-reference can bring their queries over unchanged. All 84
+reference can bring their queries over unchanged. All 88
 round-8/round-9/round-10 registrations with portable oracles were
 pinned in the same round that registered them (VERDICT r7 #4 —
 pinned at birth).
@@ -45,7 +45,7 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
-# Diverse pinned subset of the 305 verbatim-portable row-equal
+# Diverse pinned subset of the 308 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
 # streaming-batch twins, multimodal, and round-4/5/6/7 additions.
@@ -251,6 +251,10 @@ PORTABLE = [
     # engines) with a sentence-count filter; verified output-identical
     # in DuckDB before/after at sf0.01 AND sf0.1
     "doc_sentence_dedup_rate", "doc_boilerplate_sentences",
+    # round-10 NEW part 3 (pinned at birth): exact-integer R/S blocks,
+    # Weibull rank regression, Ljung-Box integer moments
+    "daily_revenue_hurst_rs", "repeat_gap_weibull_fit",
+    "daily_revenue_ljung_box",
 ]
 
 
@@ -430,6 +434,7 @@ NONPORTABLE = {
     "view_click_pairs_2h": "ts-diff",
     "emb_triplet_margin_stats": "list-type+list_dot_product",
     "doc_train_test_js_divergence": "string_split_regex+regex-class+unnest",
+    "emb_intrinsic_dimension_2nn": "list-type+list_dot_product",
 }
 
 

@@ -515,3 +515,90 @@ def test_cramers_v_matches_numpy(spark, lineitem):
     assert r["n_discount_levels"] == len(cd)
     assert abs(r["chi_square"] - chi) < 1e-3
     assert abs(r["cramers_v"] - v) < 1e-5
+
+
+def test_hurst_rs_matches_numpy(spark, orders):
+    """Classical float R/S replication (float block means + cumsum,
+    np.polyfit) vs the engines' exact-integer block deviations."""
+    r = _row(QUERIES["daily_revenue_hurst_rs"](spark, SF))
+    x = orders.groupby("day")["cents"].sum().sort_index().to_numpy(float)
+    n = len(x)
+    ws, ys = [], []
+    for w in (8, 16, 32, 64, 128):
+        nb = n // w
+        vals = []
+        for b in range(nb):
+            blk = x[b * w : (b + 1) * w]
+            dev = np.cumsum(blk - blk.mean())
+            rng = dev.max() - dev.min()
+            s = blk.std()  # population std, ddof=0
+            if rng > 0 and s > 0:
+                vals.append(np.log(rng / s))
+        ws.append(np.log(w))
+        ys.append(np.mean(vals))
+    slope = np.polyfit(ws, ys, 1)[0]
+    assert r["n_days"] == n
+    assert r["n_block_sizes"] == 5
+    assert abs(r["hurst_exponent"] - slope) < 1e-3
+
+
+def test_weibull_fit_matches_numpy(spark, orders):
+    """np.polyfit on the grouped Weibull plot (same plotting positions,
+    independent code path)."""
+    r = _row(QUERIES["repeat_gap_weibull_fit"](spark, SF))
+    o = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    nxt = o.groupby("o_custkey")["day"].shift(-1)
+    gaps = (nxt - o["day"]).dt.days.dropna().astype(int)
+    gaps = gaps[gaps >= 1]
+    v = gaps.value_counts().sort_index()
+    nn = int(v.sum())
+    cinc = v.cumsum()
+    xs = np.log(v.index.to_numpy(float))
+    ys = np.log(-np.log(1 - cinc.to_numpy(float) / (nn + 1)))
+    k, a = np.polyfit(xs, ys, 1)
+    lam = np.exp(-a / k)
+    assert r["n_gaps"] == nn
+    assert r["n_gap_values"] == len(v)
+    assert abs(r["weibull_shape"] - k) < 1e-3
+    assert abs(r["weibull_scale_days"] - lam) / lam < 1e-3
+
+
+def test_intrinsic_dimension_matches_numpy(spark, embeddings):
+    """Full numpy distance matrix + argsort two-NN + Facco MLE."""
+    r = _row(QUERIES["emb_intrinsic_dimension_2nn"](spark, SF))
+    sub = embeddings[embeddings["vec_id"] % 4 == 0].sort_values("vec_id")
+    V = np.stack(sub["embedding"].to_numpy()).astype(float)
+    n = len(V)
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    lnmu = []
+    for i in range(n):
+        idx = np.lexsort((sub["vec_id"].to_numpy(), d2[i]))
+        r1, r2 = d2[i][idx[0]], d2[i][idx[1]]
+        if r1 > 0:
+            lnmu.append(0.5 * np.log(r2 / r1))
+    est = len(lnmu) / sum(lnmu)
+    assert r["n_sample"] == n
+    assert r["n_anchors_used"] == len(lnmu)
+    assert abs(r["id_2nn"] - est) < 1e-3
+    assert abs(r["mean_ln_mu"] - np.mean(lnmu)) < 1e-5
+
+
+def test_ljung_box_matches_numpy(spark, orders):
+    """Direct float autocorrelations + the textbook Q formula."""
+    r = _row(QUERIES["daily_revenue_ljung_box"](spark, SF))
+    x = orders.groupby("day")["cents"].sum().sort_index().to_numpy(float)
+    n = len(x)
+    d = x - x.mean()
+    den = (d * d).sum()
+    q = 0.0
+    rhos = []
+    for k in range(1, 15):
+        rho = (d[:-k] * d[k:]).sum() / den
+        rhos.append(rho)
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert r["n_days"] == n
+    assert r["max_lag"] == 14
+    assert abs(r["q_stat"] - q) < max(1e-3, 1e-6 * abs(q))
+    assert abs(r["rho_lag1"] - rhos[0]) < 1e-6
