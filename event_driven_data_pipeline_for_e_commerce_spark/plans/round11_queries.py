@@ -259,26 +259,25 @@ _POIS_T = (367879, 735759, 919699, 981012, 996340)
     reps AS (
         SELECT b,
                CAST(SUM(CAST(w AS DECIMAL(38,0)) * cents) AS DOUBLE)
-                   / SUM(w) AS mean_b
+                   / SUM(w) AS mean_b,
+               SUM(CAST(cents AS DECIMAL(38,0))) AS rsum,
+               COUNT(*) AS rcnt
         FROM w GROUP BY b
     ),
     ci AS (
         SELECT ROUND(percentile_cont(0.025)
                      WITHIN GROUP (ORDER BY mean_b), 2) AS ci_lo_cents,
                ROUND(percentile_cont(0.975)
-                     WITHIN GROUP (ORDER BY mean_b), 2) AS ci_hi_cents
+                     WITHIN GROUP (ORDER BY mean_b), 2) AS ci_hi_cents,
+               MAX(rsum) AS tsum,
+               MAX(rcnt) AS tcnt
         FROM reps
-    ),
-    pt AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(CAST(SUM(CAST({O_CENTS} AS DECIMAL(38,0)))
-                          AS DOUBLE) / COUNT(*), 2) AS mean_cents
-        FROM orders
     )
-    SELECT pt.n_orders, pt.mean_cents,
+    SELECT CAST(tcnt AS BIGINT) AS n_orders,
+           ROUND(CAST(tsum AS DOUBLE) / tcnt, 2) AS mean_cents,
            CAST({_BOOT_B} AS BIGINT) AS n_replicates,
-           ci.ci_lo_cents, ci.ci_hi_cents
-    FROM pt, ci
+           ci_lo_cents, ci_hi_cents
+    FROM ci
     """,
 )
 def q_orders_poisson_bootstrap_ci(spark, sf_dir):
@@ -310,6 +309,9 @@ def q_orders_poisson_bootstrap_ci(spark, sf_dir):
         .when(F.col("u") < _POIS_T[4], 4)
         .otherwise(5)
     )
+    # every replicate's UNWEIGHTED sum/count equals the full table's
+    # (each order appears exactly once per b), so the point estimate
+    # rides along the replicate aggregation — ONE fact scan total
     reps = (
         t["orders"]
         .select(
@@ -324,16 +326,10 @@ def q_orders_poisson_bootstrap_ci(spark, sf_dir):
             (
                 F.sum(F.col("w").cast(dec) * F.col("cents")).cast("double")
                 / F.sum("w")
-            ).alias("mean_b")
+            ).alias("mean_b"),
+            F.sum(F.col("cents").cast(dec)).alias("rsum"),
+            F.count(F.lit(1)).alias("rcnt"),
         )
-    )
-    pt = t["orders"].agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.round(
-            F.sum(_o_cents().cast(dec)).cast("double")
-            / F.count(F.lit(1)),
-            2,
-        ).alias("mean_cents"),
     )
     ci = reps.agg(
         F.round(F.expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY mean_b)"), 2).alias(
@@ -342,10 +338,14 @@ def q_orders_poisson_bootstrap_ci(spark, sf_dir):
         F.round(F.expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY mean_b)"), 2).alias(
             "ci_hi_cents"
         ),
+        F.max("rsum").alias("tsum"),
+        F.max("rcnt").alias("tcnt"),
     )
-    return pt.crossJoin(F.broadcast(ci)).select(
-        "n_orders",
-        "mean_cents",
+    return ci.select(
+        F.col("tcnt").cast("long").alias("n_orders"),
+        F.round(F.col("tsum").cast("double") / F.col("tcnt"), 2).alias(
+            "mean_cents"
+        ),
         F.lit(_BOOT_B).cast("long").alias("n_replicates"),
         "ci_lo_cents",
         "ci_hi_cents",
@@ -676,16 +676,15 @@ def q_event_markov_stationary(spark, sf_dir):
     ),
     anch AS (
         SELECT vec_id, label, v,
-               LEAD(vec_id) OVER (
-                   PARTITION BY label ORDER BY vec_id) AS pos_id
+               LEAD(v) OVER (
+                   PARTITION BY label ORDER BY vec_id) AS pv
         FROM e
     ),
     tri AS (
-        SELECT a.v AS av, p.v AS pv, n.v AS nv
+        SELECT a.v AS av, a.pv AS pv, n.v AS nv
         FROM anch a
-        JOIN e p ON p.vec_id = a.pos_id
         JOIN e n ON n.vec_id = a.vec_id + 17 AND n.label <> a.label
-        WHERE a.vec_id % 4 = 0 AND a.pos_id IS NOT NULL
+        WHERE a.vec_id % 4 = 0 AND a.pv IS NOT NULL
     ),
     m AS (
         SELECT CAST(ROUND((
@@ -727,29 +726,31 @@ def q_emb_triplet_margin_stats(spark, sf_dir):
     BIGINT) before any aggregation; percentiles interpolate over
     exact integers.
 
-    Scale shape: triplet construction is two keyed equi-joins (pos_id
-    and vec_id+17 — no similarity search, no pair explosion); the
-    LEAD is label-partitioned; margins are one map-side projection
-    over the joined frame."""
+    Scale shape: the positive vector rides the label-partitioned
+    LEAD (no join back), so triplet construction is ONE window + ONE
+    keyed equi-join (vec_id+17 negatives) — no similarity search, no
+    pair explosion; margins are one map-side projection over the
+    joined frame."""
     from ..llmdata.similarity import cosine
 
     t = load_tables(spark, sf_dir)
     e = ensure_parallelism(t["embeddings"]).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    # the positive VECTOR rides the label-partitioned LEAD directly —
+    # no join back for positives, so triplet construction is one
+    # window + ONE keyed join (negatives)
     wl = Window.partitionBy("label").orderBy("vec_id")
     anch = e.select(
-        "vec_id", "label", "v", F.lead("vec_id").over(wl).alias("pos_id")
-    ).filter((F.col("vec_id") % 4 == 0) & F.col("pos_id").isNotNull())
-    p = e.select(F.col("vec_id").alias("pos_id"), F.col("v").alias("pv"))
+        "vec_id", "label", "v", F.lead("v").over(wl).alias("pv")
+    ).filter((F.col("vec_id") % 4 == 0) & F.col("pv").isNotNull())
     n = e.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
     )
     tri = (
-        anch.join(p, "pos_id")
-        .withColumn("neg_id", F.col("vec_id") + 17)
+        anch.withColumn("neg_id", F.col("vec_id") + 17)
         .join(n, "neg_id")
         .filter(F.col("nlabel") != F.col("label"))
     )
@@ -846,9 +847,14 @@ def q_supplier_graph_nation_modularity(spark, sf_dir):
     per-nation doubles from exact integer counts, e9-integerized
     before the final sum."""
     t = load_tables(spark, sf_dir)
-    sp = t["lineitem"].select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # pinned: both sides of the part-keyed self-join read ONE
+    # materialization of the distinct (supplier, part) frame — one
+    # fact scan instead of two
+    sp = pin(
+        t["lineitem"]
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
     a, b = sp.alias("a"), sp.alias("b")
     # pinned: the edge frame feeds total, degrees, and within-counts
     e = pin(
@@ -866,8 +872,12 @@ def q_supplier_graph_nation_modularity(spark, sf_dir):
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    nat = t["supplier"].select(
-        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("c")
+    # pinned: the tiny supplier dim feeds both edge endpoints and the
+    # degree rollup — one dim scan
+    nat = pin(
+        t["supplier"].select(
+            F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("c")
+        )
     )
     n1 = nat.select(F.col("s").alias("s1"), F.col("c").alias("c1"))
     n2 = nat.select(F.col("s").alias("s2"), F.col("c").alias("c2"))
@@ -899,11 +909,14 @@ def q_supplier_graph_nation_modularity(spark, sf_dir):
             .alias("t_e9")
         )
     )
-    ncom = dc.agg(F.count(F.lit(1)).alias("n_communities"))
+    # terms preserves every dc row (left join), so the community
+    # count rides the same aggregation — no second pass over dc
     return (
-        terms.agg(F.sum("t_e9").alias("q_e9"))
+        terms.agg(
+            F.sum("t_e9").alias("q_e9"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
         .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(ncom))
         .select(
             F.col("m").cast("long").alias("n_edges"),
             F.col("n_communities").cast("long").alias("n_communities"),
