@@ -606,7 +606,12 @@ def q_event_markov_stationary(spark, sf_dir):
     Determinism: the transition matrix is exact BIGINT counts; each
     iteration's 5-term dot products are re-quantized to 12 decimals
     (ROUND(...,12) on BOTH engines) so float merge-order noise
-    (~1e-17) can never compound across iterations.
+    (~1e-17) can never compound across iterations. Chain closure:
+    transitions into a state that never appears as a SOURCE are
+    dropped and row sums renormalized on the restricted state set
+    (both engines apply the same semi-join) — otherwise probability
+    mass would leak out of the iteration; on this data every event
+    type occurs on both sides, so the filter is a no-op guard.
 
     Scale shape: ONE fact pass builds (src, dst) counts (LEAD is
     key-partitioned by user); everything after runs on the ~k^2-row
