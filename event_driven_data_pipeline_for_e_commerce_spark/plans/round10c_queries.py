@@ -35,6 +35,28 @@ def _o_cents():
     return F.round(F.col("o_totalprice") * 100).cast("long")
 
 
+# Exact changepoint argmax (ADVICE-r10): the split objective
+# q = s1^2/n1 + (s-s1)^2/(n-n1) is ranked WITHOUT any double
+# arithmetic.  s1 and s (exact DECIMAL(38,0) cent sums) are
+# floor-truncated to the top _BS_SIG significant digit positions of
+# the grand total via the portable LPAD/SUBSTR string lever (exact
+# integer floor-division by 10^sc on BOTH engines), and candidates
+# are compared as exact rationals by cross-multiplication:
+# q_i > q_j  <=>  nm_i^2 * dd_j > nm_j^2 * dd_i, where
+# nm = n*s1' - n1*s' (the between-groups numerator, descaled) and
+# dd = n1*(n-n1).  Widths: the day grain is calendar-bounded
+# (TPC-H order dates span ~2.4k days at EVERY SF, enforced by the
+# DECIMAL(5,0) casts failing loudly past 99,999 days), so
+# |nm| <= n*10^12 < 2.5e15 -> nm^2 < 6.2e30 (DECIMAL(31,0)) and
+# dd < 1.5e6 (DECIMAL(7,0)); every cross product fits DECIMAL(38,0)
+# exactly.  Candidates whose objectives agree to better than one
+# part in ~1e12 of the grand total resolve by the EXACT earliest-day
+# tie-break — identically on both engines, at any scale, because the
+# ranking never touches a double (the r9 ROUND(q) key was the
+# identity above 2^53 and inherited cross-engine ULP noise).
+_BS_SIG = 12
+
+
 # --------------------------------------------------------------------------
 # 1. Binary-segmentation changepoint on daily revenue
 # --------------------------------------------------------------------------
@@ -50,7 +72,9 @@ def _o_cents():
         SELECT COUNT(*) AS n,
                SUM(CAST(cents AS DECIMAL(38,0))) AS s,
                SUM(CAST(cents AS DECIMAL(38,0))
-                   * CAST(cents AS DECIMAL(38,0))) AS ss
+                   * CAST(cents AS DECIMAL(38,0))) AS ss,
+               GREATEST(0, LENGTH(CAST(SUM(CAST(cents AS DECIMAL(38,0)))
+                                       AS STRING)) - {_BS_SIG}) AS sc
         FROM d
     ),
     pre AS (
@@ -60,17 +84,33 @@ def _o_cents():
                ROW_NUMBER() OVER (ORDER BY day) AS n1
         FROM d
     ),
-    obj AS (
+    cand AS (
         SELECT day, n1, s1, tot.n, tot.s, tot.ss,
                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
                    + (CAST(tot.s AS DOUBLE) - CAST(s1 AS DOUBLE))
                      * (CAST(tot.s AS DOUBLE) - CAST(s1 AS DOUBLE))
-                     / (tot.n - n1) AS q
+                     / (tot.n - n1) AS q,
+               CAST(tot.n AS DECIMAL(5,0))
+                   * CAST(SUBSTR(LPAD(CAST(s1 AS STRING), 40, '0'),
+                                 1, 40 - tot.sc) AS DECIMAL(13,0))
+                 - CAST(n1 AS DECIMAL(5,0))
+                   * CAST(SUBSTR(LPAD(CAST(tot.s AS STRING), 40, '0'),
+                                 1, 40 - tot.sc) AS DECIMAL(13,0)) AS nm,
+               CAST(n1 * (tot.n - n1) AS DECIMAL(7,0)) AS dd
         FROM pre, tot WHERE n1 < tot.n
     ),
+    obj AS (
+        SELECT day, n1, s1, n, s, ss, q,
+               CAST(CAST(nm AS DECIMAL(19,0)) * CAST(nm AS DECIMAL(19,0))
+                    AS DECIMAL(31,0)) AS nn2, dd
+        FROM cand
+    ),
     best AS (
-        SELECT * FROM obj
-        ORDER BY CAST(ROUND(q) AS DECIMAL(38,0)) DESC, day LIMIT 1
+        SELECT c.* FROM obj c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM obj j
+            WHERE j.nn2 * c.dd > c.nn2 * j.dd
+               OR (j.nn2 * c.dd = c.nn2 * j.dd AND j.day < c.day))
     )
     SELECT day AS split_day,
            CAST(n1 AS BIGINT) AS n_left,
@@ -94,14 +134,20 @@ def q_daily_revenue_best_split(spark, sf_dir):
 
     Scale shape: ONE day-grain rollup over the fact; prefix sums,
     the objective, and the argmax all run on the CALENDAR-BOUNDED
-    day frame (~2.4k rows — allowlisted bounded window; the argmax
-    is ORDER BY objective LIMIT 1 with a day tie-break). Prefix
-    sums accumulate in DECIMAL(38,0), and the argmax ORDERING KEY is
-    the objective integerized to DECIMAL(38,0) cents-squared
-    (ADVICE-r9: ordering on the raw double could flip a near-tie
-    between engines on a float ULP and change a whole output row;
-    candidates within half a cent-squared now fall through to the
-    exact day tie-break on BOTH engines)."""
+    day frame (~2.4k rows — allowlisted bounded window). Prefix sums
+    accumulate in DECIMAL(38,0), and the argmax is an EXACT integer
+    pairwise-rational comparison (see the _BS_SIG note above): the
+    between-groups numerator is descaled to 12 significant digits of
+    the grand total by portable string truncation, squared, and
+    candidates are compared cross-multiplied in DECIMAL(38,0) — no
+    double anywhere in the ranking, so cross-engine ULP noise cannot
+    flip the winner at ANY scale (ADVICE-r10: the former
+    ROUND(q)-to-DECIMAL key was the identity above 2^53 and still
+    inherited ULP differences); objectives closer than ~1e-12
+    relative resolve by the exact earliest-day tie-break on both
+    engines. The argmax itself is a broadcast anti-join of the
+    bounded candidate frame against itself (~2.4k x 2.4k integer
+    comparisons, calendar-bounded forever)."""
     t = load_tables(spark, sf_dir)
     dec = "decimal(38,0)"
     d = t["orders"].groupBy(
@@ -113,6 +159,11 @@ def q_daily_revenue_best_split(spark, sf_dir):
         F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias(
             "ss"
         ),
+    ).withColumn(
+        "sc",
+        F.greatest(
+            F.lit(0), F.length(F.col("s").cast("string")) - _BS_SIG
+        ),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     pre = d.select(
@@ -122,7 +173,20 @@ def q_daily_revenue_best_split(spark, sf_dir):
     )
     s1d = F.col("s1").cast("double")
     sd = F.col("s").cast("double")
-    obj = (
+
+    def _tr(col: str):
+        # exact floor-division of the DECIMAL(38,0) sum by 10^sc:
+        # keep the top (40 - sc) zero-padded digit positions
+        return F.expr(
+            f"CAST(SUBSTR(LPAD(CAST({col} AS STRING), 40, '0'), "
+            "1, 40 - sc) AS DECIMAL(13,0))"
+        )
+
+    nm = (
+        F.col("n").cast("decimal(5,0)") * _tr("s1")
+        - F.col("n1").cast("decimal(5,0)") * _tr("s")
+    )
+    obj = pin(
         pre.crossJoin(F.broadcast(tot))
         .filter(F.col("n1") < F.col("n"))
         .select(
@@ -136,11 +200,24 @@ def q_daily_revenue_best_split(spark, sf_dir):
                 s1d * s1d / F.col("n1")
                 + (sd - s1d) * (sd - s1d) / (F.col("n") - F.col("n1"))
             ).alias("q"),
+            (nm * nm).cast("decimal(31,0)").alias("nn2"),
+            (F.col("n1") * (F.col("n") - F.col("n1")))
+            .cast("decimal(7,0)")
+            .alias("dd"),
         )
     )
-    best = obj.orderBy(
-        F.round(F.col("q")).cast("decimal(38,0)").desc(), "day"
-    ).limit(1)
+    rival = obj.select(
+        F.col("day").alias("j_day"),
+        F.col("nn2").alias("j_nn2"),
+        F.col("dd").alias("j_dd"),
+    )
+    beats = (
+        F.col("j_nn2") * F.col("dd") > F.col("nn2") * F.col("j_dd")
+    ) | (
+        (F.col("j_nn2") * F.col("dd") == F.col("nn2") * F.col("j_dd"))
+        & (F.col("j_day") < F.col("day"))
+    )
+    best = obj.join(F.broadcast(rival), beats, "left_anti")
     ssd = F.col("ss").cast("double")
     return best.select(
         F.col("day").alias("split_day"),

@@ -554,9 +554,28 @@ def q_quantity_discount_cramers_v(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _MARKOV_ITERS = 8
+# Chain-closure fixpoint depth (ADVICE-r10): the closure
+# S_{i+1} = {src | some (src, dst) cell has dst in S_i} shrinks
+# monotonically from S_0 = all sources and can lose at most one
+# state per step, so 8 unrolled steps reach the true fixpoint for up
+# to 9 initial event types (the event_type enum has 5; same bounded
+# grain as _MARKOV_ITERS). At the fixpoint every surviving source
+# has at least one surviving out-transition, so the renormalized
+# rows each sum to exactly 1 and NO probability mass can leak out of
+# the power iteration — the single-pass closure could silently strand
+# a source whose every destination was itself dropped.
+_MARKOV_CLOSURE_STEPS = 8
 
 
 def _markov_oracle() -> str:
+    closure = "".join(
+        f""",
+    st{i + 1} AS (
+        SELECT DISTINCT c.src AS state
+        FROM cells c JOIN st{i} s ON s.state = c.dst
+    )"""
+        for i in range(_MARKOV_CLOSURE_STEPS)
+    )
     steps = "".join(
         f""",
     v{i + 1} AS (
@@ -576,8 +595,13 @@ def _markov_oracle() -> str:
         SELECT src, dst, COUNT(*) AS c FROM pr
         WHERE dst IS NOT NULL GROUP BY 1, 2
     ),
-    states AS (SELECT DISTINCT src AS state FROM cells),
-    cells2 AS (SELECT c.* FROM cells c JOIN states s ON s.state = c.dst),
+    st0 AS (SELECT DISTINCT src AS state FROM cells){closure},
+    states AS (SELECT state FROM st{_MARKOV_CLOSURE_STEPS}),
+    cells2 AS (
+        SELECT c.* FROM cells c
+        JOIN states sd ON sd.state = c.dst
+        JOIN states ss ON ss.state = c.src
+    ),
     rt AS (SELECT src, SUM(c) AS rc FROM cells2 GROUP BY src),
     p AS (
         SELECT c.src, c.dst, CAST(c.c AS DOUBLE) / rt.rc AS p
@@ -606,12 +630,19 @@ def q_event_markov_stationary(spark, sf_dir):
     Determinism: the transition matrix is exact BIGINT counts; each
     iteration's 5-term dot products are re-quantized to 12 decimals
     (ROUND(...,12) on BOTH engines) so float merge-order noise
-    (~1e-17) can never compound across iterations. Chain closure:
-    transitions into a state that never appears as a SOURCE are
-    dropped and row sums renormalized on the restricted state set
-    (both engines apply the same semi-join) — otherwise probability
-    mass would leak out of the iteration; on this data every event
-    type occurs on both sides, so the filter is a no-op guard.
+    (~1e-17) can never compound across iterations. Chain closure
+    (ADVICE-r10, iterated to FIXPOINT): the source set is shrunk
+    until every surviving state has at least one out-transition that
+    stays inside the set (8 unrolled semi-join steps — the exact
+    fixpoint for up to 9 initial event types, see
+    _MARKOV_CLOSURE_STEPS), then transitions leaving the set are
+    dropped and rows renormalized; every renormalized row sums to
+    exactly 1, so the iteration conserves probability mass BY
+    CONSTRUCTION — the former single-pass closure could strand a
+    source whose every destination was dropped and silently leak its
+    mass. On this data every event type survives, so the closure is
+    a no-op guard; on a pure-DAG chain both engines return the same
+    empty result.
 
     Scale shape: ONE fact pass builds (src, dst) counts (LEAD is
     key-partitioned by user); everything after runs on the ~k^2-row
@@ -628,10 +659,22 @@ def q_event_markov_stationary(spark, sf_dir):
     cells = pin(
         pr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
     )
+    # closure to FIXPOINT (ADVICE-r10; see _MARKOV_CLOSURE_STEPS):
+    # keep only states that can take a step staying inside the set —
+    # each step is a broadcast semi-join on the <=k^2-cell frame
     states = cells.select(F.col("src").alias("state")).distinct()
+    for _ in range(_MARKOV_CLOSURE_STEPS):
+        states = (
+            cells.join(
+                F.broadcast(states.select(F.col("state").alias("dst"))),
+                "dst",
+            )
+            .select(F.col("src").alias("state"))
+            .distinct()
+        )
     cells2 = cells.join(
         F.broadcast(states.select(F.col("state").alias("dst"))), "dst"
-    )
+    ).join(F.broadcast(states.select(F.col("state").alias("src"))), "src")
     rt = cells2.groupBy("src").agg(F.sum("c").alias("rc"))
     p = pin(
         cells2.join(F.broadcast(rt), "src").select(

@@ -407,8 +407,10 @@ _ID2NN_SAMPLE_MOD = 4
     ),
     nn AS (
         SELECT a_id, d2,
-               ROW_NUMBER() OVER (PARTITION BY a_id
-                                  ORDER BY d2, b_id) AS rn
+               ROW_NUMBER() OVER (
+                   PARTITION BY a_id
+                   ORDER BY CAST(ROUND(d2 * 1000000000) AS BIGINT),
+                            b_id) AS rn
         FROM pairs
     ),
     two AS (
@@ -443,7 +445,12 @@ def q_emb_intrinsic_dimension_2nn(spark, sf_dir):
     on both engines (n_anchors_used reports the survivors).
 
     Determinism: ln(mu) is e9-integerized per anchor before the
-    integer sum; the rank is tie-broken by neighbor id.
+    integer sum, and the 2-NN RANKING KEY is itself e9-integerized
+    (ROW_NUMBER over CAST(ROUND(d2*1e9) AS BIGINT), b_id on BOTH
+    engines — ADVICE-r10: ranking on the raw double let a ULP
+    difference between DuckDB's list_dot_product and Spark's
+    aggregate/zip_with fold swap ranks 1 and 2 for near-equal
+    distances; near-ties now resolve by the exact b_id tie-break).
 
     Scale shape: sampled audit contract (the _KNN_SAMPLE_MOD
     pattern — module constant shared by engine and oracle, never a
@@ -476,7 +483,9 @@ def q_emb_intrinsic_dimension_2nn(spark, sf_dir):
             - 2 * F.expr(dot_sql("va", "vb"))
         ).alias("d2"),
     )
-    wn = Window.partitionBy("a_id").orderBy("d2", "b_id")
+    wn = Window.partitionBy("a_id").orderBy(
+        F.round(F.col("d2") * 1e9).cast("long"), "b_id"
+    )
     nn = pairs.select(
         "a_id", "d2", F.row_number().over(wn).alias("rn")
     ).filter(F.col("rn") <= 2)
