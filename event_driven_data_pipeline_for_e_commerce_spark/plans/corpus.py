@@ -1947,3 +1947,8 @@ from . import round11_queries  # noqa: E402,F401
 # round-10 NEW additions, part 3: Hurst R/S, Weibull gap fit, two-NN
 # intrinsic dimension, Ljung-Box whiteness
 from . import round11b_queries  # noqa: E402,F401
+
+# round-11 NEW additions: Chao1/Good-Turing vocab estimation, Cohen's
+# kappa detector agreement, Jarque-Bera, blocked Levenshtein pairs,
+# CUPED, permutation entropy, Lin's CCC, Moran's I
+from . import round12_queries  # noqa: E402,F401

@@ -785,15 +785,27 @@ def q_customer_churn_risk(spark, sf_dir):
                      THEN 1 ELSE 0 END) AS re_prio
         FROM orders
     )
-    SELECT u.rule, u.col_name, u.n_violations, u.n_violations = 0 AS passed
-    FROM m, LATERAL (
-        VALUES ('not_null', 'o_orderkey', CAST(m.nn_key AS BIGINT)),
-               ('unique', 'o_orderkey', CAST(m.uq_key AS BIGINT)),
-               ('not_null', 'o_custkey', CAST(m.nn_cust AS BIGINT)),
-               ('accepted_values', 'o_orderstatus', CAST(m.av_status AS BIGINT)),
-               ('in_range', 'o_totalprice', CAST(m.rg_price AS BIGINT)),
-               ('matches', 'o_orderpriority', CAST(m.re_prio AS BIGINT))
-    ) AS u(rule, col_name, n_violations)
+    SELECT 'not_null' AS rule, 'o_orderkey' AS col_name,
+           CAST(nn_key AS BIGINT) AS n_violations, nn_key = 0 AS passed
+    FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', CAST(uq_key AS BIGINT), uq_key = 0
+    FROM m
+    UNION ALL
+    SELECT 'not_null', 'o_custkey', CAST(nn_cust AS BIGINT), nn_cust = 0
+    FROM m
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus', CAST(av_status AS BIGINT),
+           av_status = 0
+    FROM m
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice', CAST(rg_price AS BIGINT),
+           rg_price = 0
+    FROM m
+    UNION ALL
+    SELECT 'matches', 'o_orderpriority', CAST(re_prio AS BIGINT),
+           re_prio = 0
+    FROM m
     """,
 )
 def q_orders_quality_checks(spark, sf_dir):

@@ -421,6 +421,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "the bounded distinct-gap frame, the customer_survival_km class)",
     "daily_revenue_ljung_box": "calendar-day grain (14 LEAD lags + "
     "moment windows over the bounded day series)",
+    "daily_revenue_permutation_entropy": "calendar-day grain (2-lag "
+    "LEAD chain over the bounded day series)",
 }
 
 

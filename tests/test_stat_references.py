@@ -602,3 +602,236 @@ def test_ljung_box_matches_numpy(spark, orders):
     assert r["max_lag"] == 14
     assert abs(r["q_stat"] - q) < max(1e-3, 1e-6 * abs(q))
     assert abs(r["rho_lag1"] - rhos[0]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions (each independently formulated — see module doc)
+# ---------------------------------------------------------------------------
+
+
+def test_chao1_matches_pandas(spark, documents):
+    """Token value_counts per source + the bias-corrected Chao1 and
+    Good-Turing formulas (pandas split/explode instead of the SQL
+    regex tokenizer)."""
+    rows = {
+        r["source"]: r
+        for r in QUERIES["doc_vocab_chao1_richness"](spark, SF).collect()
+    }
+    toks = (
+        documents.assign(
+            token=documents["text"].str.strip().str.lower().str.split()
+        )
+        .explode("token")
+        .groupby(["source", "token"])
+        .size()
+    )
+    for source, tf in toks.groupby(level=0):
+        v = len(tf)
+        f1 = int((tf == 1).sum())
+        f2 = int((tf == 2).sum())
+        n = int(tf.sum())
+        r = rows[source]
+        assert r["vocab_size"] == v
+        assert r["f1"] == f1 and r["f2"] == f2 and r["n_tokens"] == n
+        assert abs(
+            r["chao1_vocab_est"] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))
+        ) < 0.01
+        assert r["gt_unseen_ppm"] == f1 * 1_000_000 // n
+
+
+def test_cohen_kappa_formula_consistency(spark):
+    """The kappa output must satisfy the textbook float po/pe
+    formulation recomputed from the query's OWN 2x2 counts (the
+    engines use exact integer polynomials — this checks the algebra,
+    marginals, and universe accounting all agree)."""
+    r = _row(QUERIES["doc_dedup_detector_kappa"](spark, SF))
+    n = r["n_docs"]
+    n11, n10 = r["n_both_flag"], r["n_minhash_only"]
+    n01, n00 = r["n_simhash_only"], r["n_neither"]
+    assert n == n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+    assert abs(r["observed_agreement"] - po) < 1e-6
+    assert abs(r["chance_agreement"] - pe) < 1e-6
+    assert abs(r["cohen_kappa"] - (po - pe) / (1 - pe)) < 1e-5
+
+
+def test_jarque_bera_matches_numpy(spark, orders):
+    """Raw float central moments of the daily series (no
+    standardization pass — a different computation order than the
+    engines' integerized z-powers)."""
+    r = _row(QUERIES["daily_revenue_jarque_bera"](spark, SF))
+    x = orders.groupby("day")["cents"].sum().sort_index().to_numpy(float)
+    n = len(x)
+    d = x - x.mean()
+    m2 = (d**2).mean()
+    s = (d**3).mean() / m2**1.5
+    k = (d**4).mean() / m2**2 - 3
+    jb = n / 6 * (s**2 + k**2 / 4)
+    assert r["n_days"] == n
+    assert abs(r["skewness"] - s) < 1e-3
+    assert abs(r["excess_kurtosis"] - k) < 1e-3
+    assert abs(r["jb_stat"] - jb) < max(1e-2, 1e-3 * abs(jb))
+
+
+def test_blocked_edit_pairs_match_python_dp(spark):
+    """Pure-Python DP Levenshtein over the same (brand, size) blocks
+    — an independent edit-distance implementation."""
+    part = pd.read_parquet(f"{SF}/part.parquet")
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    ref: dict[str, list[int]] = {}
+    for (brand, _size), blk in part.groupby(["p_brand", "p_size"]):
+        blk = blk.sort_values("p_partkey")
+        names = blk["p_name"].tolist()
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                ref.setdefault(brand, []).append(lev(names[i], names[j]))
+    rows = {
+        r["p_brand"]: r
+        for r in QUERIES["part_name_blocked_edit_pairs"](spark, SF).collect()
+    }
+    assert set(rows) == set(ref)
+    for brand, dists in ref.items():
+        r = rows[brand]
+        assert r["n_pairs"] == len(dists)
+        assert r["n_near"] == sum(1 for d in dists if d <= 12)
+        assert r["min_dist"] == min(dists)
+        assert abs(r["avg_dist"] - sum(dists) / len(dists)) < 0.005
+
+
+def test_cuped_matches_numpy(spark, orders):
+    """theta/corr via np.cov over the per-customer pre/post matrix
+    (population normalization cancels in the ratios)."""
+    r = _row(QUERIES["customer_spend_cuped"](spark, SF))
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    split = pd.Timestamp("1996-01-01")
+    o = orders.copy()
+    pre = o[o["day"] < split].groupby("o_custkey")["cents"].sum()
+    post = o[o["day"] >= split].groupby("o_custkey")["cents"].sum()
+    u = pd.DataFrame(index=cust["c_custkey"])
+    u["x"] = pre.reindex(u.index).fillna(0)
+    u["y"] = post.reindex(u.index).fillna(0)
+    c = np.cov(u["x"], u["y"], ddof=0)
+    theta = c[0, 1] / c[0, 0]
+    rho = c[0, 1] / np.sqrt(c[0, 0] * c[1, 1])
+    assert r["n_customers"] == len(u)
+    assert abs(r["theta"] - theta) < 1e-5
+    assert abs(r["corr_xy"] - rho) < 1e-5
+    assert abs(r["var_reduction_pct"] - 100 * rho**2) < 1e-3
+
+
+def test_permutation_entropy_matches_python(spark, orders):
+    """Stable-argsort ordinal patterns via Python sorted() keys (a
+    different pattern-encoding mechanism than the SQL comparison
+    counts)."""
+    r = _row(QUERIES["daily_revenue_permutation_entropy"](spark, SF))
+    x = orders.groupby("day")["cents"].sum().sort_index().to_numpy()
+    counts: dict[int, int] = {}
+    for i in range(len(x) - 2):
+        vals = x[i : i + 3]
+        order = sorted(range(3), key=lambda k: (vals[k], k))
+        rank = [0] * 3
+        for pos, k in enumerate(order):
+            rank[k] = pos
+        pid = rank[0] * 9 + rank[1] * 3 + rank[2]
+        counts[pid] = counts.get(pid, 0) + 1
+    n = sum(counts.values())
+    p = np.array(list(counts.values())) / n
+    h = float(-(p * np.log(p)).sum())
+    top = max(counts, key=lambda k: (counts[k], -k))
+    assert r["n_triples"] == n
+    assert r["n_patterns_seen"] == len(counts)
+    assert abs(r["perm_entropy"] - h) < 1e-4
+    assert abs(r["normalized_pe"] - h / np.log(6)) < 1e-4
+    assert r["top_pattern"] == top
+
+
+def test_ccc_matches_numpy(spark, orders, lineitem):
+    """Lin's CCC from float means/variances/covariance (ddof=0)."""
+    r = _row(QUERIES["order_total_lineitem_ccc"](spark, SF))
+    li = lineitem.copy()
+    # half-up cent rounding to match SQL ROUND (np.rint banker's
+    # rounding differs on exact .5 boundaries and shifts the means)
+    li["lc"] = np.floor(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5
+    ).astype(np.int64)
+    o = orders.copy()
+    o["cents_hu"] = np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    y = li.groupby("l_orderkey")["lc"].sum()
+    x = o.set_index("o_orderkey")["cents_hu"].reindex(y.index)
+    keep = x.notna()
+    x, y = x[keep].to_numpy(float), y[keep].to_numpy(float)
+    sxy = np.cov(x, y, ddof=0)[0, 1]
+    ccc = 2 * sxy / (x.var() + y.var() + (x.mean() - y.mean()) ** 2)
+    pear = sxy / np.sqrt(x.var() * y.var())
+    assert r["n_orders"] == len(x)
+    assert abs(r["ccc"] - ccc) < 1e-5
+    assert abs(r["pearson_r"] - pear) < 1e-5
+    assert abs(r["mean_diff_cents"] - (x.mean() - y.mean())) < 0.01
+
+
+def test_morans_i_matches_numpy(spark, orders, lineitem):
+    """Double loop over the nation-pair weight matrix with float
+    z-scores (no integerization)."""
+    r = _row(QUERIES["nation_revenue_morans_i"](spark, SF))
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    o = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    revs = (
+        o.groupby("c_nationkey")["cents"]
+        .sum()
+        .reindex(nation["n_nationkey"])
+        .fillna(0)
+        .to_numpy(float)
+    )
+    edges = (
+        lineitem.merge(
+            orders[["o_orderkey", "o_custkey"]],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        .merge(
+            cust[["c_custkey", "c_nationkey"]],
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )
+        .merge(
+            supp[["s_suppkey", "s_nationkey"]],
+            left_on="l_suppkey",
+            right_on="s_suppkey",
+        )
+    )
+    edges = edges[edges["c_nationkey"] != edges["s_nationkey"]]
+    w = edges.groupby(["c_nationkey", "s_nationkey"]).size()
+    z = revs - revs.mean()
+    nk = nation["n_nationkey"].to_numpy()
+    pos = {int(k): idx for idx, k in enumerate(nk)}
+    swzz = sum(
+        wt * z[pos[int(i)]] * z[pos[int(j)]] for (i, j), wt in w.items()
+    )
+    n = len(nk)
+    i_stat = n / w.sum() * swzz / (z**2).sum()
+    assert r["n_nations"] == n
+    assert r["w_total"] == int(w.sum())
+    assert abs(r["morans_i"] - i_stat) < 1e-4
+    assert abs(r["expected_i"] - (-1 / (n - 1))) < 1e-6
