@@ -134,6 +134,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Load the PRIOR committed full payload BEFORE this run overwrites
+    # it — the machine-flagged regression baseline (VERDICT-r10 task
+    # 6: print raw + probe-normalized round-over-round ratios instead
+    # of leaving the judge to recompute them).
+    prev: dict = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL_LATEST.json")) as fh:
+            prev = json.load(fh)
+    except Exception:
+        prev = {}
+
     import importlib.util
 
     spec = importlib.util.spec_from_file_location("se", os.path.join(REPO, "__spark_entry__.py"))
@@ -229,6 +240,39 @@ def main() -> None:
     }
     if failed:
         payload["failed_queries"] = failed
+
+    # Round-over-round comparison against the prior committed full
+    # payload, raw AND probe-normalized (this box's effective CPU
+    # speed swings 1.5-3x between sessions — the dual fixed-work
+    # probes bracket the drift, so normalized >1.10x means a real
+    # plan regression, not hypervisor noise).
+    prev_q = prev.get("queries") or {}
+    common = [k for k in timings if k in prev_q and prev_q[k] > 0]
+    if common and prev.get("sf") == sf:
+        cur_sum = sum(timings[k] for k in common)
+        prev_sum = sum(prev_q[k] for k in common)
+        raw = cur_sum / prev_sum if prev_sum else None
+        probes_prev = [
+            p for p in (prev.get("cpu_probe_s"), prev.get("cpu_probe_s_pre"))
+            if p
+        ]
+        cur_probe = (probe_pre + probe_post) / 2
+        payload["vs_prev_common_n"] = len(common)
+        payload["vs_prev_raw"] = round(raw, 4) if raw else None
+        if raw and probes_prev:
+            probe_ratio = cur_probe / (sum(probes_prev) / len(probes_prev))
+            payload["vs_prev_probe_ratio"] = round(probe_ratio, 4)
+            payload["vs_prev_normalized"] = round(raw / probe_ratio, 4)
+        per_q = {
+            k: round(timings[k] / prev_q[k], 3)
+            for k in common
+            if timings[k] / prev_q[k] > 1.3 and timings[k] > 0.5
+        }
+        if per_q:
+            # only genuinely suspicious entries (>1.3x raw AND >0.5s)
+            # — the full per-query detail is derivable from the two
+            # committed payloads
+            payload["vs_prev_raw_regressions"] = per_q
     # The driver records only the LAST 2000 characters of stdout and
     # parses the final JSON line out of that tail. Round 9's line
     # outgrew the tail (55 query names alone are ~1700 chars), so the
@@ -239,6 +283,9 @@ def main() -> None:
     # the tail budget, with an explicit omitted-count + pointer.
     def _tail_fit(p: dict, budget: int = 1900) -> dict:
         fitted = dict(p)
+        # per-query regression detail lives in the full payload only —
+        # the printed line keeps the scalar ratios
+        fitted.pop("vs_prev_raw_regressions", None)
         fitted["queries"] = {
             k: round(v, 2) for k, v in p["queries"].items()
         }
