@@ -96,8 +96,13 @@ def main() -> None:
             for _ in range(REPS):
                 release_pinned()
                 spark.catalog.clearCache()
-                df = corpus.QUERIES[name](spark, sf_dir)
+                # time CONSTRUCTION + execution: queries that pin()
+                # intermediates materialize them at construction, and
+                # for a scaling curve that work is the point (bench.py
+                # deliberately times post-pin steady state instead —
+                # different instrument, both documented)
                 t0 = time.perf_counter()
+                df = corpus.QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
@@ -112,11 +117,18 @@ def main() -> None:
     for name, r in results.items():
         entry = dict(r)
         if lo_name in r and hi_name in r and r[lo_name] > 0:
-            entry["alpha"] = round(
-                math.log(r[hi_name] / r[lo_name])
-                / math.log(hi_rows / lo_rows),
-                3,
+            alpha = math.log(r[hi_name] / r[lo_name]) / math.log(
+                hi_rows / lo_rows
             )
+            if r[hi_name] < 2.0:
+                # below ~2s the constant driver-side construction /
+                # scheduling floor dominates and the fitted exponent
+                # is noise — report the times, not a fake alpha (a
+                # genuine quadratic would be far above this floor at
+                # 10x data)
+                entry["alpha_note"] = "too fast to fit (floor-bound)"
+            else:
+                entry["alpha"] = round(alpha, 3)
         per_query[name] = entry
 
     payload = {
