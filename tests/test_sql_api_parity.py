@@ -1,4 +1,4 @@
-"""SQL-surface parity: the engine's queries are expressible through
+r"""SQL-surface parity: the engine's queries are expressible through
 BOTH public Spark surfaces — `spark.sql(...)` on registered views and
 the DataFrame API — with identical results.
 
@@ -28,7 +28,15 @@ orders_weekday_seasonality) or sit in already-DuckDB-only oracles.
 The 2 analyzable-but-unequal (doc_clean_normalize,
 source_char_class_profile) depend on `\s`-class regexes, which Spark
 SQL string literals swallow (its parser consumes the backslash;
-DuckDB keeps it) with no escape form both engines accept. This test
+DuckDB keeps it) with no escape form both engines accept. Levers
+probed in round 11 and CONFIRMED blocked (do not re-probe): Spark
+has no EXTRACT(EPOCH) field (INVALID_EXTRACT_FIELD — the epoch class
+stays), DuckDB has no regexp_count, the list-lambda names never
+intersect (Spark transform/aggregate/zip_with vs DuckDB
+list_transform/list_reduce/list_zip), and neither engine accepts the
+other's split-to-array name (Spark split vs DuckDB
+string_split/string_to_array) — split_part remains the only shared
+tokenizer primitive. This test
 pins a diverse 269-query subset and requires exact row-level
 equality between `spark.sql(oracle_text)` and the DataFrame-API
 implementation — the in-engine proof that a SQL-first user of the
