@@ -308,9 +308,13 @@ def q_daily_revenue_jarque_bera(spark, sf_dir):
     (~2.4k rows), one scalar aggregate."""
     t = load_tables(spark, sf_dir)
     dec = "decimal(38,0)"
-    d = t["orders"].groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.sum(_o_cents()).alias("cents"))
+    # pinned: the bounded day frame feeds BOTH the moment rollup and
+    # the z projection — ONE fact scan
+    d = pin(
+        t["orders"].groupBy(
+            F.col("o_orderdate").cast("date").alias("day")
+        ).agg(F.sum(_o_cents()).alias("cents"))
+    )
     tot = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("cents").cast(dec)).alias("s"),
@@ -868,7 +872,9 @@ def q_nation_revenue_morans_i(spark, sf_dir):
     folds run on bounded frames."""
     t = load_tables(spark, sf_dir)
     dec = "decimal(38,0)"
-    rev = (
+    # pinned: the 25-row revenue frame feeds the moment rollup AND
+    # the z projection — the orders/customer chain scans once
+    rev = pin(
         t["nation"]
         .select(F.col("n_nationkey").alias("nk"))
         .join(
