@@ -126,6 +126,12 @@ HEADLINE = [
     "emb_kmeans_k_sweep_inertia",
     "supplier_part_degree_assortativity",
     "doc_char_ngram_entropy_curve",
+    # round-11 additions worth cost-tracking: Cohen's-kappa detector
+    # agreement (runs BOTH banded detectors + the doc spine — the
+    # heaviest new shape) and the blocked Levenshtein ER pairs (the
+    # (brand,size)-blocked self-join)
+    "doc_dedup_detector_kappa",
+    "part_name_blocked_edit_pairs",
 ]
 
 
