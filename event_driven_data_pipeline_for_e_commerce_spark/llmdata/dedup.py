@@ -16,8 +16,10 @@ Scale design (the whole point of these ops):
 - SimHash: distinct tokens explode map-side, each token's md5 hex
   digits project once, and one codegen groupBy with ``bits``
   conditional sums emits the fingerprint (shuffle carries ``bits``
-  longs per doc, map-side combined); Hamming-radius search then works
-  over fingerprints only via a distributed band self-join.
+  longs per doc, map-side combined); Hamming-radius search then runs
+  at FINGERPRINT-VALUE grain (band self-join + bit_count verify over
+  distinct fingerprints only), and doc pairs re-attach through the
+  slim (fingerprint, id) membership frame — output-bound joins.
 
 Hash functions are md5-string based (lexicographic MIN over hex
 strings as the permutation proxy) — deliberately: md5 is the one hash
@@ -516,6 +518,58 @@ def duplicate_clusters(
     )
 
 
+def _fp_band_structs(bits: int, max_hamming: int, col: str = "simhash") -> Column:
+    """Pigeonhole band array for a ``bits``-wide fingerprint column:
+    ``max_hamming + 1`` equal-width bit-groups (last band absorbs the
+    remainder). Any pair within the Hamming radius agrees exactly on
+    at least one band."""
+    n_bands = max_hamming + 1
+    base_width = bits // n_bands
+    structs = []
+    lo = 0
+    for b in range(n_bands):
+        width = base_width if b < n_bands - 1 else bits - lo
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright(F.col(col), lo).cast("long")
+                 % F.lit(2 ** width)).alias("band_key"),
+            )
+        )
+        lo += width
+    return F.array(*structs)
+
+
+def simhash_fp_pairs(fp: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Distinct FINGERPRINT-VALUE pairs (fa < fb, hamming) within the
+    Hamming radius, from any frame carrying a ``simhash`` column.
+
+    The whole radius search runs at fingerprint grain: the distinct
+    fingerprint set is banded (pigeonhole: radius-``max_hamming``
+    pairs agree on >= 1 of the ``max_hamming + 1`` bands), the band
+    self-join emits value pairs, and ``bit_count(xor)`` verifies
+    BEFORE the dedup so the distinct runs over surviving pairs only.
+    On a mass-near-duplicated corpus this is the scale lever: every
+    class of documents sharing one fingerprint collapses to a single
+    row before the quadratic step (sf0.1 testdata: 5,000 docs hold
+    2,949 distinct 32-bit fingerprints, and the doc-grain band join
+    emitted 4.2M candidate rows vs ~15k verified fp-grain pairs)."""
+    fpd = fp.select("simhash").distinct()
+    bands = fpd.select(
+        "simhash", F.explode(_fp_band_structs(bits, max_hamming)).alias("bk")
+    ).select("simhash", "bk.band", "bk.band_key")
+    a = bands.select("band", "band_key", F.col("simhash").alias("fa"))
+    b = bands.select("band", "band_key", F.col("simhash").alias("fb"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("fa") < F.col("fb"))
+        .withColumn("hamming", F.expr("bit_count(fa ^ fb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("fa", "fb", "hamming")
+        .dropDuplicates()
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -528,55 +582,52 @@ def simhash_near_duplicates(
     fingerprint into ``max_hamming + 1`` bit-groups — by pigeonhole,
     any pair within the radius agrees exactly on at least one band, so
     the search is an equi-join on (band, band_value), never all-pairs.
-    Verification is one ``bit_count(xor)`` per candidate (codegen).
 
     Output: (doc_a, doc_b, hamming), doc_a < doc_b. Hamming search
     over fingerprints is the cheap sibling of MinHash: no shingle
     state at all — one long per document — at the cost of coarser
     similarity resolution (16-32 bits here; production uses 64).
 
-    The fingerprint frame feeds THREE consumers (band unfold + both
-    verify-join sides); it is persisted so the token-hash aggregation
-    runs once, not three times — at one long per document it stays
-    persistable at any corpus size. (On corpora with huge true
-    near-dup classes the runtime is dominated by the quadratic OUTPUT
-    pair count itself — the testdata corpus yields 777k pairs from 5k
-    docs; run exact_dedup first to collapse identical texts when that
-    shape is expected.)
-    """
-    n_bands = max_hamming + 1
-    base_width = bits // n_bands
+    The radius search runs at FINGERPRINT grain (r11 rewrite,
+    guide §8 "decide with small rows"): documents sharing a
+    fingerprint are interchangeable for the Hamming test, so the band
+    self-join + bit_count verify touch only DISTINCT fingerprint
+    values (:func:`simhash_fp_pairs`), and doc pairs re-attach
+    afterwards through the slim (fingerprint, id) membership frame —
+    two output-bound equi-joins for cross-fingerprint pairs plus one
+    membership self-join for the hamming-0 pairs inside each
+    fingerprint class. Exact equivalence with the former doc-grain
+    band join: hamming(a,b) <= max_hamming implies a shared pigeonhole
+    band, so BOTH forms output precisely the Hamming ball; each doc
+    pair maps to exactly one fingerprint pair, so the expansion emits
+    each pair once (verified value-equal at sf0.001/0.01/0.1 — 777,152
+    pairs at sf0.1 where the doc-grain join carried 4.2M candidates).
+    The output is still quadratic in true near-dup class sizes — run
+    exact_dedup first to collapse identical texts when that shape is
+    expected."""
     fp = pin(simhash(df, text_col, id_col, bits))
-    band_structs = []
-    lo = 0
-    for b in range(n_bands):
-        # equal-width bands; the last band absorbs the remainder bits
-        width = base_width if b < n_bands - 1 else bits - lo
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                (F.shiftright(F.col("simhash"), lo).cast("long")
-                 % F.lit(2 ** width)).alias("band_key"),
-            )
+    fpp = simhash_fp_pairs(fp, bits, max_hamming)
+    mem_a = fp.select(F.col("simhash").alias("fa"), F.col(id_col).alias("__da"))
+    mem_b = fp.select(F.col("simhash").alias("fb"), F.col(id_col).alias("__db"))
+    cross = (
+        fpp.join(mem_a, "fa")
+        .join(mem_b, "fb")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "hamming",
         )
-        lo += width
-    bands = fp.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")).select(
-        id_col, "bk.band", "bk.band_key"
     )
-    # Pigeonhole bands over a 16-bit fingerprint are 5-6 bits wide —
-    # every bucket holds a corpus fraction, so candidate generation
-    # must be the distributed self-join, not the bucket-collect path
-    # (which would materialize ~corpus/32 ids in single rows).
-    cands = lsh_candidate_pairs_join(bands, id_col)
-    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        cands.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    same = (
+        mem_a.join(mem_b, F.col("fa") == F.col("fb"))
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("doc_a"),
+            F.col("__db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
     )
+    return cross.unionByName(same)
 
 
 def semdedup_prune(

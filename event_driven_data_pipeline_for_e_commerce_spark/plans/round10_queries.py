@@ -65,17 +65,25 @@ def q_doc_dedup_family_agreement_survivors(spark, sf_dir):
     Scale shape: exact dedup is ONE text-hash aggregation (min
     doc_id + the group's identical text — no keeper frame, no
     semi-join back); the survivor frame is pinned once and feeds
-    both banded detectors; agreement is the single-pass full-outer +
-    one scalar agg of the audit form (round7b). Nothing
-    here is quadratic in corpus size — SimHash candidate output is
-    quadratic only in NEAR-dup class sizes, which exact dedup has
-    already collapsed."""
+    both banded detectors. Agreement is the r11 count-grain form of
+    the audit query (guide §8): the SimHash side never materializes
+    doc pairs — identical-fingerprint classes contribute
+    mult-choose-2, verified cross-fingerprint pairs (simhash_fp_pairs
+    over DISTINCT fingerprints) contribute mult_a*mult_b, and the
+    mh-intersection count is one bit_count(fp_a ^ fp_b) <= 2 test
+    over the small MinHash candidate frame. Nothing here is
+    quadratic in corpus size — SimHash PAIR COUNTS are quadratic
+    only in NEAR-dup class sizes, which exact dedup has already
+    collapsed, and those counts are now computed by multiplication,
+    not enumeration. Value-equal at sf0.001/0.01/0.1 against the
+    pair-grain form and the unchanged oracle."""
     from ..llmdata.dedup import (
         _minhash_agg_hashed,
         lsh_candidate_pairs,
         minhash_band_keys,
         shingle_hash_frame,
-        simhash_near_duplicates,
+        simhash,
+        simhash_fp_pairs,
     )
     from .llm_queries import NUM_HASHES, ROWS_PER_BAND, SHINGLE_N
 
@@ -93,40 +101,54 @@ def q_doc_dedup_family_agreement_survivors(spark, sf_dir):
     shb = shingle_hash_frame(surv, "text", "doc_id", SHINGLE_N)
     sigs = _minhash_agg_hashed(shb, "doc_id", NUM_HASHES)
     bands = minhash_band_keys(sigs, "doc_id", NUM_HASHES, ROWS_PER_BAND)
-    mh = lsh_candidate_pairs(bands, "doc_id").withColumn("in_mh", F.lit(1))
-    sh = (
-        simhash_near_duplicates(surv, "text", "doc_id", bits=32, max_hamming=2)
-        .select("doc_a", "doc_b")
-        .withColumn("in_sh", F.lit(1))
+    mh = lsh_candidate_pairs(bands, "doc_id")
+    fp = pin(simhash(surv, "text", "doc_id", bits=32))
+    fpg = pin(fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("mult")))
+    same_cnt = fpg.agg(
+        F.sum(F.col("mult") * (F.col("mult") - 1) / 2)
+        .cast("long")
+        .alias("n_same")
+    )
+    fpp = simhash_fp_pairs(fpg, bits=32, max_hamming=2)
+    ma = fpg.select(F.col("simhash").alias("fa"), F.col("mult").alias("ma"))
+    mb = fpg.select(F.col("simhash").alias("fb"), F.col("mult").alias("mb"))
+    cross_cnt = (
+        fpp.join(ma, "fa")
+        .join(mb, "fb")
+        .agg(
+            F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+            .cast("long")
+            .alias("n_cross")
+        )
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    mh_counts = (
+        mh.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mh"),
+            F.count_if(F.expr("bit_count(sh_a ^ sh_b)") <= 2)
+            .cast("long")
+            .alias("n_both"),
+        )
     )
     n_surv = surv.agg(F.count(F.lit(1)).alias("n_survivors"))
-    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
-    agg = j.agg(
-        F.sum(F.coalesce(F.col("in_mh"), F.lit(0)))
-        .cast("long")
-        .alias("n_minhash_pairs"),
-        F.sum(F.coalesce(F.col("in_sh"), F.lit(0)))
-        .cast("long")
-        .alias("n_simhash_pairs"),
-        F.sum(
-            F.when(
-                F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_both"),
+    agg = mh_counts.crossJoin(F.broadcast(same_cnt)).crossJoin(
+        F.broadcast(cross_cnt)
     )
     return n_surv.crossJoin(F.broadcast(agg)).select(
         "n_survivors",
-        "n_minhash_pairs",
-        "n_simhash_pairs",
+        F.col("n_mh").alias("n_minhash_pairs"),
+        (F.col("n_same") + F.col("n_cross")).alias("n_simhash_pairs"),
         "n_both",
         F.round(
             F.col("n_both")
             * 1.0
             / F.greatest(
-                F.col("n_minhash_pairs")
-                + F.col("n_simhash_pairs")
+                F.col("n_mh")
+                + F.col("n_same")
+                + F.col("n_cross")
                 - F.col("n_both"),
                 F.lit(1),
             ),

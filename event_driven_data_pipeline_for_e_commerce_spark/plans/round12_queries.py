@@ -149,17 +149,30 @@ def q_doc_dedup_detector_kappa(spark, sf_dir):
     kappa = (n*(n11+n00) - pe_num) / (n*n - pe_num) with
     pe_num = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00).
 
-    Scale shape: the two banded detectors run once each (never
-    all-pairs); flags fold to doc grain via two semi-join markers on
-    the documents spine, and the 2x2 table is ONE scalar aggregate.
-    DECIMAL(38,0) casts keep the kappa polynomials exact past 2^63
-    doc counts."""
+    Scale shape (r11 flag-grain rewrite, guide §8): kappa needs only
+    the doc-level FLAG SETS, never candidate pairs, so neither
+    detector materializes a pair frame. MinHash flags: a doc appears
+    in >= 1 generated pair exactly when it is among the capped
+    (max_bucket smallest) ids of some band bucket holding >= 2 docs —
+    the capped-bucket EXPLODE (linear in band rows) replaces the
+    quadratic within-bucket pair unfold + pair-distinct. SimHash
+    flags: a doc is flagged iff its FINGERPRINT VALUE is flagged —
+    multiplicity >= 2 (a hamming-0 partner exists) or a verified
+    cross-fingerprint partner within the radius (simhash_fp_pairs
+    over DISTINCT fingerprints) — one semi-join of the one-long-
+    per-doc fingerprint frame against the tiny flagged-fp set. Both
+    flag sets are provably identical to the pair-endpoint unions of
+    the former form (each capped bucket member of a >= 2 bucket pairs
+    with another member; hamming <= 2 implies a shared pigeonhole
+    band); value-equal at sf0.001/0.01/0.1. The 2x2 table is ONE
+    scalar aggregate; DECIMAL(38,0) casts keep the kappa polynomials
+    exact past 2^63 doc counts."""
     from ..llmdata.dedup import (
         _minhash_agg_hashed,
-        lsh_candidate_pairs,
         minhash_band_keys,
         shingle_hash_frame,
-        simhash_near_duplicates,
+        simhash,
+        simhash_fp_pairs,
     )
     from .llm_queries import NUM_HASHES, ROWS_PER_BAND, SHINGLE_N
 
@@ -168,20 +181,33 @@ def q_doc_dedup_detector_kappa(spark, sf_dir):
     shb = shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N)
     sigs = _minhash_agg_hashed(shb, "doc_id", NUM_HASHES)
     bands = minhash_band_keys(sigs, "doc_id", NUM_HASHES, ROWS_PER_BAND)
-    mh = lsh_candidate_pairs(bands, "doc_id")
-    sh = simhash_near_duplicates(
-        docs, "text", "doc_id", bits=32, max_hamming=2
-    ).select("doc_a", "doc_b")
+    # flagged = member of the capped id set of any >= 2-doc band
+    # bucket (mirrors lsh_candidate_pairs' max_bucket=1000 slice:
+    # every in-cap member of such a bucket appears in >= 1 pair)
+    bucket_ids = F.slice(
+        F.array_distinct(F.sort_array(F.collect_list("doc_id"))), 1, 1000
+    )
     mh_docs = (
-        mh.select(F.col("doc_a").alias("doc_id"))
-        .union(mh.select(F.col("doc_b").alias("doc_id")))
+        bands.groupBy("band", "band_key")
+        .agg(bucket_ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_id"))
         .distinct()
         .withColumn("mh", F.lit(1))
     )
-    sh_docs = (
-        sh.select(F.col("doc_a").alias("doc_id"))
-        .union(sh.select(F.col("doc_b").alias("doc_id")))
+    fp = pin(simhash(docs, "text", "doc_id", bits=32))
+    fpg = pin(fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("mult")))
+    fpp = simhash_fp_pairs(fpg, bits=32, max_hamming=2)
+    flagged_fp = (
+        fpg.filter(F.col("mult") >= 2)
+        .select("simhash")
+        .union(fpp.select(F.col("fa").alias("simhash")))
+        .union(fpp.select(F.col("fb").alias("simhash")))
         .distinct()
+    )
+    sh_docs = (
+        fp.join(flagged_fp, "simhash", "left_semi")
+        .select("doc_id")
         .withColumn("sh", F.lit(1))
     )
     u = (

@@ -1058,31 +1058,38 @@ def q_doc_dedup_family_agreement(spark, sf_dir):
     The pair-set Jaccard is the one-number answer to 'do we need both
     dedup passes?'.
 
-    Scale shape: both generators are banded equi-joins (never
-    all-pairs); the agreement is ONE full-outer join of the two
-    bare-id pair frames with membership markers folded in a single
-    scalar aggregate — each detector executes exactly once (VERDICT
-    r7 #3: the earlier form pinned both frames and consumed each
-    twice — count + semi-join — adding 16.7% over the detectors run
-    separately; scripts/ab_family_agreement.py measures this form at
-    2.5% overhead, i.e. the query's cost IS the two detectors, and
-    SimHash dominates because its candidate OUTPUT is quadratic in
-    the true near-dup classes of the mass-duplicated testdata corpus
-    — 777k pairs from 5k docs, see simhash_near_duplicates docstring;
-    irreducible for the contract as specified). Under byte-dup mass
-    this audit form is the EXPENSIVE one: with 40% verbatim
-    duplicates injected, scripts/ab_family_agreement_dupmass.py
-    measures it at 8.180s vs 4.901s for the survivor-contracted
-    form (1.67x) — run this form to VALIDATE detectors,
-    doc_dedup_family_agreement_survivors to OPERATE them.
+    Scale shape (r11 count-grain rewrite, guide §8 "decide with small
+    rows"): the agreement needs only three COUNTS, never the SimHash
+    pair rows, so the SimHash side folds to fingerprint grain —
+    n_simhash_pairs = sum(mult*(mult-1)/2) over identical-fingerprint
+    classes + sum(mult_a*mult_b) over the verified cross-fingerprint
+    pairs (simhash_fp_pairs: the Hamming search over DISTINCT
+    fingerprint values only — each unordered doc pair maps to exactly
+    one unordered fingerprint pair, so the weighted sum counts every
+    Hamming-<=2 doc pair exactly once). n_both needs no SimHash pair
+    frame either: sh membership of an mh pair is just
+    bit_count(fp_a ^ fp_b) <= 2, so the small MinHash candidate frame
+    joins the one-long-per-doc fingerprint frame twice and one
+    count_if yields the intersection (every shingled doc has >= 1
+    token, hence a fingerprint row, so the inner join keeps all mh
+    pairs). The former full-outer-join form materialized the 777k-row
+    (sf0.1) SimHash pair set — built from a 4.2M-row doc-grain band
+    join — just to count it; this form's heaviest frame is the 44k
+    MinHash candidate set. Value-equal at sf0.001/0.01/0.1 against
+    the pair-grain form and the unchanged oracle. Under byte-dup mass
+    the audit contract is still the expensive one — run this form to
+    VALIDATE detectors, doc_dedup_family_agreement_survivors to
+    OPERATE them.
     """
     from ..llmdata.dedup import (
         _minhash_agg_hashed,
         lsh_candidate_pairs,
         minhash_band_keys,
         shingle_hash_frame,
-        simhash_near_duplicates,
+        simhash,
+        simhash_fp_pairs,
     )
+    from ..operators.pinning import pin
     from .llm_queries import NUM_HASHES, ROWS_PER_BAND, SHINGLE_N
 
     t = load_tables(spark, sf_dir)
@@ -1090,44 +1097,59 @@ def q_doc_dedup_family_agreement(spark, sf_dir):
     shb = shingle_hash_frame(docs, "text", "doc_id", SHINGLE_N)
     sigs = _minhash_agg_hashed(shb, "doc_id", NUM_HASHES)
     bands = minhash_band_keys(sigs, "doc_id", NUM_HASHES, ROWS_PER_BAND)
-    mh = lsh_candidate_pairs(bands, "doc_id").withColumn(
-        "in_mh", F.lit(1)
+    mh = lsh_candidate_pairs(bands, "doc_id")
+    fp = pin(simhash(docs, "text", "doc_id", bits=32))
+    # SimHash pair count at fingerprint grain: identical-fp classes
+    # contribute mult-choose-2 hamming-0 pairs; distinct-fp pairs
+    # within the radius contribute mult_a*mult_b each
+    fpg = pin(
+        fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("mult"))
     )
-    sh = (
-        simhash_near_duplicates(
-            docs, "text", "doc_id", bits=32, max_hamming=2
-        )
-        .select("doc_a", "doc_b")
-        .withColumn("in_sh", F.lit(1))
+    same_cnt = fpg.agg(
+        F.sum(F.col("mult") * (F.col("mult") - 1) / 2)
+        .cast("long")
+        .alias("n_same")
     )
-    # both pair frames are distinct on (doc_a, doc_b), so the full
-    # outer join is 1:1 and one scalar agg yields all three counts
-    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
-    return j.agg(
-        F.sum(F.coalesce(F.col("in_mh"), F.lit(0)))
-        .cast("long")
-        .alias("n_minhash_pairs"),
-        F.sum(F.coalesce(F.col("in_sh"), F.lit(0)))
-        .cast("long")
-        .alias("n_simhash_pairs"),
-        F.sum(
-            F.when(
-                F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(),
-                1,
-            ).otherwise(0)
+    fpp = simhash_fp_pairs(fpg, bits=32, max_hamming=2)
+    ma = fpg.select(F.col("simhash").alias("fa"), F.col("mult").alias("ma"))
+    mb = fpg.select(F.col("simhash").alias("fb"), F.col("mult").alias("mb"))
+    cross_cnt = (
+        fpp.join(ma, "fa")
+        .join(mb, "fb")
+        .agg(
+            F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+            .cast("long")
+            .alias("n_cross")
         )
-        .cast("long")
-        .alias("n_both"),
-    ).select(
-        "n_minhash_pairs",
-        "n_simhash_pairs",
+    )
+    # mh count + intersection in ONE pass: attach both fingerprints
+    # and test the Hamming ball membership directly
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    mh_counts = (
+        mh.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mh"),
+            F.count_if(F.expr("bit_count(sh_a ^ sh_b)") <= 2)
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    j = mh_counts.crossJoin(F.broadcast(same_cnt)).crossJoin(
+        F.broadcast(cross_cnt)
+    )
+    return j.select(
+        F.col("n_mh").alias("n_minhash_pairs"),
+        (F.col("n_same") + F.col("n_cross")).alias("n_simhash_pairs"),
         "n_both",
         F.round(
             F.col("n_both")
             * 1.0
             / F.greatest(
-                F.col("n_minhash_pairs")
-                + F.col("n_simhash_pairs")
+                F.col("n_mh")
+                + F.col("n_same")
+                + F.col("n_cross")
                 - F.col("n_both"),
                 F.lit(1),
             ),

@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..operators.partitioning import ensure_parallelism
+from ..operators.pinning import pin
 from .corpus import ORACLES, QUERIES, query  # noqa: F401
 from .tables import load_tables
 
@@ -382,19 +383,32 @@ def q_supplier_shared_part_jaccard_topk(spark, sf_dir):
     of bare ids), pair generation keyed ON THE PART (suppliers per
     part is a bounded fanout — the banded-join discipline of the dedup
     family, never supplier x supplier), keyed degree joins, and the
-    top-20 cut plans as TakeOrderedAndProject."""
+    top-20 cut plans as TakeOrderedAndProject. Pair generation is the
+    bucket-collect shape (r11, guide §2.4): ONE groupBy on the part
+    key gathers each part's sorted supplier set and the within-part
+    pairs unfold map-side into the (s1, s2) rollup — one exchange
+    where the former equi-self-join shuffled the edge frame twice and
+    re-shuffled the pair rows; fanout per part is bounded by
+    suppliers-per-part exactly as before (value-equal at
+    sf0.001/0.01/0.1)."""
     t = load_tables(spark, sf_dir)
-    e = (
+    e = pin(
         t["lineitem"]
         .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
     deg = e.groupBy("sk").agg(F.count(F.lit(1)).alias("n_parts"))
-    a = e.select("pk", F.col("sk").alias("s1"))
-    b = e.select(F.col("pk").alias("pk2"), F.col("sk").alias("s2"))
+    pair_expr = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS s1, b AS s2))))"
+    )
     p = (
-        a.join(b, (F.col("pk") == F.col("pk2")) & (F.col("s1") < F.col("s2")))
-        .groupBy("s1", "s2")
+        e.groupBy("pk")
+        .agg(F.sort_array(F.collect_list("sk")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("pp"))
+        .groupBy(F.col("pp.s1").alias("s1"), F.col("pp.s2").alias("s2"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     d1 = deg.select(F.col("sk").alias("s1"), F.col("n_parts").alias("np1"))
