@@ -43,6 +43,17 @@ RUNTIME_CONF = {
     # shuffle-partition count — a driver session's default 200 yields
     # 200 tiny tasks per cached-plan stage at small SF.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Let the planner pick shuffled-hash join where its size conditions
+    # hold instead of always sorting both sides (optimization guide
+    # §3.1/§9): a same-session interleaved A/B over the 10 join-heavy
+    # headline queries measured 15.7s vs 17.8s (every query <= 1.0x,
+    # best 0.72x on q21's double-EXISTS). Not a local-only knob — SHJ
+    # skips both sort passes wherever a per-partition build side fits
+    # in memory, which scales with shuffle partition count; AQE skew
+    # splitting still applies, and the planner falls back to
+    # sort-merge when its size estimates exceed the build budget, so
+    # the OOM risk profile is the planner's standard one.
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
