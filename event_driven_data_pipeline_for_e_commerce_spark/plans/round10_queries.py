@@ -53,14 +53,16 @@ def q_doc_dedup_family_agreement_survivors(spark, sf_dir):
     the survivor frame is ~the full corpus and this form times within
     run-to-run noise of the audit form (single-session A/B: keeper
     aggregation adds no measurable cost; the detectors dominate).
-    The contract's win appears exactly when exact-dup mass exists —
-    the 100 TB web-corpus regime (30-50% byte-duplicate is typical),
-    not this generator. MEASURED (round 10, VERDICT-r9 task 3):
-    scripts/ab_family_agreement_dupmass.py injects 40% verbatim
-    byte-dups into sf0.1 and times both registered forms in one
-    session — audit median 8.180s vs survivors 4.901s = 1.67x
-    cheaper, with the mechanism visible in the pair counts (SimHash
-    candidates 1,535,657 audit vs 775,547 survivors).
+    MEASURED under 40% injected byte-dup mass
+    (scripts/ab_family_agreement_dupmass.py): in round 10 the
+    pair-ENUMERATING audit form paid 8.180s vs 4.901s for this form
+    (1.67x — the quadratic-in-class-size SimHash pair term). The r11
+    count-grain rewrite removed that term from BOTH forms (pair
+    counts come from fingerprint multiplicities, never enumeration),
+    and the re-run shows parity: audit 2.197s vs survivors 2.250s
+    medians (0.98x). The survivor contract's remaining 100 TB value
+    is OPERATIONAL — downstream dedup stages consume the collapsed
+    survivor corpus, not agreement-counting cost.
 
     Scale shape: exact dedup is ONE text-hash aggregation (min
     doc_id + the group's identical text — no keeper frame, no

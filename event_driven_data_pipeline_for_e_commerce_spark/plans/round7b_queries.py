@@ -1089,10 +1089,14 @@ def q_doc_dedup_family_agreement(spark, sf_dir):
     (sf0.1) SimHash pair set — built from a 4.2M-row doc-grain band
     join — just to count it; this form's heaviest frame is the 44k
     MinHash candidate set. Value-equal at sf0.001/0.01/0.1 against
-    the pair-grain form and the unchanged oracle. Under byte-dup mass
-    the audit contract is still the expensive one — run this form to
-    VALIDATE detectors, doc_dedup_family_agreement_survivors to
-    OPERATE them.
+    the pair-grain form and the unchanged oracle. Under 40% injected
+    byte-dup mass (scripts/ab_family_agreement_dupmass.py) the former
+    pair-enumerating form paid 8.180s vs the survivor form's 4.901s;
+    the count-grain rewrite removes the quadratic enumeration term
+    and the re-run shows 2.197s — parity with survivors (0.98x).
+    Run this form to VALIDATE detectors,
+    doc_dedup_family_agreement_survivors to OPERATE them (its value
+    is the collapsed survivor corpus downstream stages consume).
     """
     from ..llmdata.dedup import (
         _minhash_agg_hashed,

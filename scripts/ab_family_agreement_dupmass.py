@@ -38,6 +38,19 @@ medians of 4, recorded 2026-08-16, round 10):
     term that the keeper aggregation removes before either detector
     runs. The gap widens with the dup fraction.
 
+Round-11 re-measurement (2026-08-18, after the count-grain rewrite of
+both registered forms — pair counts now derive from fingerprint
+multiplicities instead of pair enumeration):
+
+    AUDIT     runs [2.197, 2.421, 1.960, 2.125]s  median 2.197s
+    SURVIVORS runs [2.109, 2.338, 2.046, 2.250]s  median 2.250s
+    ratio     0.98x — the rewrite removed the quadratic-in-class-size
+    SimHash enumeration term from BOTH forms, so the audit form's
+    3.7x r10 penalty under dup mass is gone and the two forms are at
+    parity. The survivor contract's remaining value is operational
+    (downstream stages consume the collapsed survivor corpus), not
+    agreement-counting cost.
+
 (Numbers are from one recorded session; re-running reprints
 current-session values — always compare within ONE session on this
 drift-prone box.)
