@@ -522,18 +522,30 @@ def _fp_band_structs(bits: int, max_hamming: int, col: str = "simhash") -> Colum
     """Pigeonhole band array for a ``bits``-wide fingerprint column:
     ``max_hamming + 1`` equal-width bit-groups (last band absorbs the
     remainder). Any pair within the Hamming radius agrees exactly on
-    at least one band."""
+    at least one band.
+
+    Band keys are extracted with an UNSIGNED shift + bitmask — safe for
+    the full 64-bit fingerprint width (ADVICE r11): an arithmetic
+    ``shiftright`` on a sign-bit-set fingerprint smears 1s into the
+    high bits, and ``% 2**width`` at width 64 overflows the long
+    literal and yields negative remainders — either would break
+    band-key agreement (missed pairs). Current call sites are 16/32
+    bits with non-negative fingerprints, where both forms agree
+    bit-for-bit; the mask form is also correct at bits=64."""
     n_bands = max_hamming + 1
     base_width = bits // n_bands
     structs = []
     lo = 0
     for b in range(n_bands):
         width = base_width if b < n_bands - 1 else bits - lo
+        mask = F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
         structs.append(
             F.struct(
                 F.lit(b).alias("band"),
-                (F.shiftright(F.col(col), lo).cast("long")
-                 % F.lit(2 ** width)).alias("band_key"),
+                F.shiftrightunsigned(F.col(col), lo)
+                .bitwiseAND(mask)
+                .cast("long")
+                .alias("band_key"),
             )
         )
         lo += width

@@ -543,33 +543,25 @@ def q_part_copurchase_pagerank(spark, sf_dir):
     frames (edges, nodes, degrees) are pinned: without the cache,
     the n_nodes count plus every iteration would re-derive the
     basket pair unfold from lineage (VERDICT r5 — 39 shuffles, the
-    corpus max). Edge build is the basket-collect shape (r11, guide
-    §2.4, the kcore/triangle form): one groupBy(l_orderkey) +
-    collect_set replaces the distinct + orderkey self-join — parts
-    per order is a small bounded fanout, so the map-side pair unfold
-    beats the join here (same-session A/B medians 1.81s vs 2.04s;
-    contrast supplier_shared_part_jaccard_topk, where ~25-supplier
-    buckets made the unfold LOSE 1.6x and the self-join stays).
+    corpus max). Edge build is the orderkey self-join (r12 REVERT of
+    the r11 basket-collect rewrite, VERDICT-r11 task 8): the r11
+    same-session A/B favored the collect unfold at sf0.1 (1.81s vs
+    2.04s medians) but the driver's official record showed 0.84x and
+    the r12 re-A/B at the tiled sf0.5 (scripts/ab_graph_edges_r12.py,
+    interleaved, 4 reps) INVERTED it — collect 4.05s vs join 3.44s
+    medians (sf0.1: collect 2.32 vs join 2.71) — so the join form is
+    the 100 TB choice. Contrast copurchase_triangle_census, whose
+    wedge-collect re-A/B reproduced at BOTH SFs and stays.
     """
     t = load_tables(spark, sf_dir)
-    pair_expr = (
-        "flatten(transform(parts, (a, i) -> "
-        "transform(slice(parts, i + 2, size(parts)), "
-        "b -> struct(a AS src, b AS dst))))"
-    )
-    und = (
-        t["lineitem"]
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .filter(F.size("parts") > 1)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.src", "p.dst")
-        .distinct()
-    )
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     edges = pin(
-        und.unionAll(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
     )
     nodes = pin(edges.select(F.col("src").alias("part")).distinct())
     n_nodes = nodes.count()  # scalar: graph node count (drives the teleport term)

@@ -24,6 +24,7 @@ from ..operators.pinning import pin
 from .round3_queries import PQ_Q_LO, PQ_Q_HI, PQ_TOPK
 
 ANN_K = 3  # cosine-top-k contract size (mirrors emb_cosine_topk)
+ANN_Q_HI = 5  # cosine query set: vec_id < 5 (mirrors emb_cosine_topk)
 
 
 def _l2_truth_oracle() -> str:
@@ -108,40 +109,77 @@ def q_emb_ann_recall_contract(spark, sf_dir):
     audited by their own queries; this contract adds only
     query-set-grain work on top.
 
-    Pinning (round 7): exactly ONE pin — the unioned ``truths`` frame,
-    the only frame consumed twice (semi-join probe + the per-query
-    denominator). The round-6 form pinned all five inputs; a
-    standalone A/B (scripts/ab_ann_recall.py, release_pinned +
-    clearCache between runs, alternating) measured that form at
-    ~3.4s median vs ~3.1s for this one-pin form and ~3.2s for the
-    pre-round-6 three-chain form at sf0.1 — i.e. the extra pins cost
-    real persist passes, and the r5-vs-r6 bench swing (2.27s->4.26s)
-    was dominated by cross-query plan-keyed cache reuse that the
-    bench's release_pinned boundaries now prevent. The two truth
-    scans cannot share fold work: their query sets are disjoint
-    (cosine truth vec_id<5, L2 truth vec_id in [16,24))."""
-    truth_cos = (
-        QUERIES["emb_cosine_topk"](spark, sf_dir)
-        .select("query_id", "neighbor_id")
-    )
+    Pinning (round 7 + r12): the unioned ``truths`` frame (consumed
+    twice: semi-join probe + per-query denominator) and — new in r12,
+    guide §2.4 reuse-the-exchange — ONE shared corpus-side projection
+    ``(vec_id, v, n2 = dot(v, v))`` feeding BOTH truth sides. Before,
+    the cosine truth and the L2 truth each re-scanned embeddings and
+    re-ran the squared-norm fold — and the L2 side evaluated
+    ``dot(v, v)`` per PAIR (once per query = 8x per corpus vector)
+    because the norm was not attached before the broadcast join. The
+    shared pin computes the fold once per vector; the cosine side
+    takes sqrt(n2) (bit-identical to norm(v) — same fold, same sqrt)
+    and the L2 side uses n2 directly (same add order as before:
+    n2 + qn2 - 2*dot). The round-6 lesson still holds for the three
+    SEARCH pipelines (ivf/lsh/pq build different projections — sign
+    sketches, probe lists, codes — so a shared pin would only add
+    persist passes; each is consumed once). A standalone A/B
+    (scripts/ab_ann_recall.py protocol) for the r7 one-pin form
+    measured ~3.1s vs ~3.4s for the five-pin form at sf0.1."""
     t = load_tables(spark, sf_dir)
     from ..llmdata.similarity import _as_double, dot
     from ..operators.partitioning import ensure_parallelism
 
-    e = ensure_parallelism(t["embeddings"]).select(
-        "vec_id", _as_double("embedding").alias("v")
+    # shared corpus projection: one embeddings scan + one squared-norm
+    # fold per vector, reused by the cosine truth and the L2 truth
+    corpus = pin(
+        ensure_parallelism(t["embeddings"])
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("n2", dot(F.col("v"), F.col("v")))
     )
-    q = e.filter(
+
+    # exact cosine top-ANN_K truth (the emb_cosine_topk contract,
+    # arithmetic identical to llmdata.similarity.brute_force_topk:
+    # norms attached per vector before the pair join, sim ranked raw
+    # with id tie-break, rounded after ranking — the rounding column
+    # is dropped here since only (query_id, neighbor_id) feed recall)
+    cos_corpus = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.sqrt(F.col("n2")).alias("n_v"),
+    )
+    cos_q = corpus.filter(F.col("vec_id") < ANN_Q_HI).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(F.col("n2")).alias("n_q"),
+    )
+    cos_pairs = cos_corpus.join(
+        F.broadcast(cos_q), F.col("neighbor_id") != F.col("query_id")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    truth_cos = (
+        cos_pairs.withColumn(
+            "sim",
+            dot(F.col("v"), F.col("qv")) / (F.col("n_v") * F.col("n_q")),
+        )
+        .withColumn("__rn", F.row_number().over(w_cos))
+        .filter(F.col("__rn") <= ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    q = corpus.filter(
         (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    pairs = e.withColumnRenamed("vec_id", "neighbor_id").join(
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = corpus.withColumnRenamed("vec_id", "neighbor_id").join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     )
-    d2 = (
-        dot(F.col("v"), F.col("v"))
-        + dot(F.col("qv"), F.col("qv"))
-        - 2 * dot(F.col("v"), F.col("qv"))
-    )
+    d2 = F.col("n2") + F.col("qn2") - 2 * dot(F.col("v"), F.col("qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("neighbor_id")
     )
