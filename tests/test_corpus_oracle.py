@@ -10,6 +10,10 @@ from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES
 
 from .oracle_utils import compare_query
 
+# Full-corpus parametrized sweep: excluded from the default (driver-
+# verify) pytest run via pytest.ini; run with -m "" for the full suite.
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):

@@ -53,6 +53,10 @@ import pytest
 from event_driven_data_pipeline_for_e_commerce_spark.plans.corpus import ORACLES, QUERIES
 from event_driven_data_pipeline_for_e_commerce_spark.plans.tables import load_tables
 
+# Full-corpus parametrized sweep: excluded from the default (driver-
+# verify) pytest run via pytest.ini; run with -m "" for the full suite.
+pytestmark = pytest.mark.slow
+
 # Diverse pinned subset of the 308 verbatim-portable row-equal
 # oracles: filters, multi-way joins, windows, grouping sets, set ops,
 # unpivot, TPC-H shapes, dedup, graph, sketches, SCD2, as-of joins,
