@@ -1,8 +1,9 @@
-"""Round-11 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1).
 
 For each named corpus query: capture `.explain("formatted")` to
-plans/r11/<query>_<tag>.txt and time N noop-sink runs (guide §1.4)
-with the job labelled (§1.5). Prints per-query median/min seconds.
+$OPT_PLANS_DIR/<query>_<tag>.txt (default plans/r12) and time N
+noop-sink runs (guide §1.4) with the job labelled (§1.5). Prints
+per-query median/min seconds.
 
 Usage: python scripts/opt_measure.py <tag> <reps> <query> [query ...]
        (tag is e.g. "before" / "after"; sf dir from $SPARK_GRAFT_SF_DIR,
@@ -32,7 +33,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     queries = entry.queries()
     spark = get_spark("opt-measure")
-    os.makedirs("plans/r11", exist_ok=True)
+    plans_dir = os.environ.get("OPT_PLANS_DIR", "plans/r12")
+    os.makedirs(plans_dir, exist_ok=True)
 
     # fixed-work probe bracketing the session (hypervisor drift guard)
     def probe() -> float:
@@ -58,7 +60,7 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        with open(f"plans/r11/{name}_{tag}.txt", "w") as fh:
+        with open(f"{plans_dir}/{name}_{tag}.txt", "w") as fh:
             fh.write(buf.getvalue())
         times = []
         for r in range(reps):
